@@ -1,0 +1,321 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator surface of the reference engine, Spark-first.
+  *
+  * Covers SURVEY.md §2.1–§2.4, §2.6, §2.8: scans (S1/S2), filters (F1/F2),
+  * projection/row-shaping (P1–P4), JSON row encoding (P3), counts and the
+  * pipeline summary (A1/A2), the ordered "recent created products" flagship
+  * (F1∧F2+O1, reference `src/sql_to_kafka.py:138-169` +
+  * `test/test_sql_to_kafka.py:187-192`), plus the join/group-by/window/
+  * distinct/set-op/limit surface the reference lacks (§2.9) but the
+  * 100 TB extension requires.
+  *
+  * Every query here is paired with DuckDB oracle SQL in
+  * [[graft.SparkEntry.oracleSql]]. Determinism rules for hash-exact oracle
+  * parity:
+  *   - aggregate doubles through `DECIMAL(18,2)` (exact, order-independent),
+  *     then cast the result back to double — identical bits on both engines;
+  *   - row-wise double arithmetic is IEEE-exact and safe as-is;
+  *   - dates/timestamps are emitted as formatted strings;
+  *   - every result has a total ORDER BY.
+  *
+  * Scale notes (100 TB): filters/projections push into the parquet scan;
+  * dimension joins are explicitly `broadcast`; the fact-fact join shuffles
+  * on the join key only after pre-aggregation where possible; windows
+  * partition on high-cardinality keys. AQE handles skew at runtime.
+  */
+object Relational {
+
+  /** F1∧F2+O1 flagship: equality status filter AND lexicographic
+    * date-string range filter, descending order. Reference semantics:
+    * `src/sql_to_kafka.py:145-153` (string `>=` on ISO dates — correct
+    * because ISO-8601 sorts lexicographically) and DESC order from the
+    * stale-but-semantic test `test/test_sql_to_kafka.py:187-192`.
+    *
+    * Parameterized like the reference's `(days_back, article_status)` pair,
+    * but with an explicit threshold instead of a buried `current_date()`
+    * (lesson of the reference's mocked-clock tests, SURVEY §5.1).
+    */
+  def recentByStatus(df: DataFrame, statusCol: String, dateCol: String,
+                     idCols: Seq[String], status: String, threshold: String): DataFrame = {
+    val dateStr = date_format(col(dateCol), "yyyy-MM-dd")
+    df.filter(col(statusCol) === lit(status) && dateStr >= lit(threshold))
+      .withColumn("ready_date", dateStr)
+      .select((Seq("ready_date") ++ idCols ++ Seq(statusCol)).map(col): _*)
+      .orderBy(col("ready_date").desc +: idCols.map(col): _*)
+  }
+
+  /** Exact decimal sum of a double column, returned as double: identical
+    * bits in Spark and DuckDB regardless of aggregation order.
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship: F1 ∧ F2 + O1 over orders --------------------------------
+    "recent_created_orders" -> ((s, dir) =>
+      recentByStatus(Tables.load(s, dir, "orders"),
+        "o_orderstatus", "o_orderdate", Seq("o_orderkey", "o_custkey"),
+        status = "O", threshold = "1998-01-01")),
+
+    // ---- F1: parameterized equality predicate ------------------------------
+    "filter_eq_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === lit("signup"))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")),
+
+    // ---- F2: lexicographic range on full ISO string, yyyy-MM-dd threshold --
+    // Reproduces the reference's "threshold date at midnight is included"
+    // subtlety (`'...T08:00' >= '2026-07-13'`, SURVEY §1.2).
+    "filter_range_isostring" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("o_iso", date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .filter(col("o_iso") >= lit("2000-06-15"))
+        .select(col("o_orderkey"), col("o_iso"))
+        .orderBy("o_orderkey")),
+
+    // ---- P1/P2/P4: projection + row shaping + scalar string fns ------------
+    "project_shape_docs" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), upper(col("lang")).as("lang_uc"),
+          concat_ws("_", col("lang"), col("source")).as("tag"),
+          element_at(split(col("source"), "c"), -1).as("src_num"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    // ---- P3: per-row JSON encoding (Kafka message body) --------------------
+    // Reference `src/sql_to_kafka.py:209` json.dumps per row; here
+    // `to_json(struct(...))` — codegen'd, no UDF.
+    "json_encode_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("js"))
+        .orderBy("event_id")),
+
+    // ---- A1: count ---------------------------------------------------------
+    "count_lineitem" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // ---- A2: pipeline summary record ---------------------------------------
+    "pipeline_summary" -> ((s, dir) =>
+      Tables.load(s, dir, "orders").agg(
+        count(lit(1)).as("products_processed"),
+        min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("min_date"),
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("max_date"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))),
+
+    // ---- group-by aggregation (TPC-H Q1 shape) -----------------------------
+    "agg_pricing_summary" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- star join: broadcast all dimensions, one shuffle for the agg ------
+    "join_star_region_rev" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      val nation = Tables.load(s, dir, "nation")
+      val region = Tables.load(s, dir, "region")
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name")
+    }),
+
+    // ---- fact-fact join: shuffle on the join key, decimal-exact revenue ----
+    "join_lineitem_orders" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- window: top-3 orders per customer (deterministic tiebreak) --------
+    "window_topk_per_customer" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- window: running decimal-exact sum per user over event time --------
+    "window_running_value" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("running_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- distinct + count distinct -----------------------------------------
+    "distinct_event_types" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_type")).distinct().orderBy("event_type")),
+
+    "count_distinct_lineitem" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // ---- set op: EXCEPT (hours with clicks but no errors) ------------------
+    "set_except_hours" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("h", date_format(col("ts"), "yyyy-MM-dd HH"))
+      ev.filter(col("event_type") === "click").select(col("h"))
+        .except(ev.filter(col("event_type") === "error").select(col("h")))
+        .orderBy("h")
+    }),
+
+    // ---- anti join: customers with no big open order -----------------------
+    "anti_join_customers" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 300000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- semi join: customers with at least one big order ------------------
+    "semi_join_big_spenders" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- top-k by global sort + limit --------------------------------------
+    "topk_orders" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "recent_created_orders" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS ready_date, o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND strftime(o_orderdate, '%Y-%m-%d') >= '1998-01-01'
+        |ORDER BY ready_date DESC, o_orderkey, o_custkey""".stripMargin,
+    "filter_eq_events" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+    "filter_range_isostring" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS o_iso
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') >= '2000-06-15'
+        |ORDER BY o_orderkey""".stripMargin,
+    "project_shape_docs" ->
+      """SELECT doc_id, upper(lang) AS lang_uc,
+        |       lang || '_' || source AS tag,
+        |       list_extract(string_split(source, 'c'), -1) AS src_num,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "json_encode_events" ->
+      """SELECT event_id,
+        |       CAST(to_json(struct_pack(event_id := event_id, user_id := user_id,
+        |                                event_type := event_type)) AS VARCHAR) AS js
+        |FROM events ORDER BY event_id""".stripMargin,
+    "count_lineitem" ->
+      "SELECT count(*) AS n FROM lineitem",
+    "pipeline_summary" ->
+      """SELECT count(*) AS products_processed,
+        |       min(strftime(o_orderdate, '%Y-%m-%d')) AS min_date,
+        |       max(strftime(o_orderdate, '%Y-%m-%d')) AS max_date,
+        |       count(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders""".stripMargin,
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_star_region_rev" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_lineitem_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "window_topk_per_customer" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_running_value" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id ORDER BY event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "distinct_event_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "count_distinct_lineitem" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "set_except_hours" ->
+      """SELECT h FROM (
+        |  SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS h FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS h FROM events WHERE event_type = 'error')
+        |ORDER BY h""".stripMargin,
+    "anti_join_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderstatus = 'O' AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "semi_join_big_spenders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+  )
+}

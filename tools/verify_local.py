@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Dev-only local mirror of the driver's DuckDB-oracle correctness gate.
+
+NOT part of the engine (the engine is pure Scala/Spark). This replays what
+the driver does each round: run graft.Verify at a scale factor, load each
+query's parquet result, run the corresponding oracle SQL in DuckDB over the
+same test tables, and compare schema + values exactly.
+
+Usage: python3 tools/verify_local.py [sfDir] [outDir]
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_fingerprint(cols):
+    """cols: dict name -> list of values. Sort columns by name (driver rule),
+    emit row tuples in result order."""
+    names = sorted(cols.keys())
+    n = len(cols[names[0]]) if names else 0
+    rows = [tuple(canon(cols[c][i]) for c in names) for i in range(n)]
+    return names, rows
+
+
+def spark_result(name):
+    import glob
+    files = glob.glob(f"{OUT_DIR}/{name}/*.parquet")
+    if not files:
+        return None
+    t = pq.read_table(files[0])
+    return {c: t.column(c).to_pylist() for c in t.column_names}
+
+
+def main():
+    with open(f"{OUT_DIR}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    import os
+    results = {}
+    names = sorted(d for d in os.listdir(OUT_DIR)
+                   if os.path.isdir(os.path.join(OUT_DIR, d)))
+    for name in names:
+        got = spark_result(name)
+        if got is None:
+            results[name] = "SPARK_EMPTY_OR_FAILED"
+            continue
+        if name not in oracle:
+            n = len(next(iter(got.values()))) if got else 0
+            results[name] = f"rows-only ({n} rows)"
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            t = cur.fetch_arrow_table()
+            exp = {c: t.column(c).to_pylist() for c in t.column_names}
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        gn, gr = frame_fingerprint(got)
+        en, er = frame_fingerprint(exp)
+        if gn != en:
+            results[name] = f"SCHEMA_MISMATCH spark={gn} duckdb={en}"
+        elif len(gr) != len(er):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(gr)} duckdb={len(er)}"
+        elif gr != er:
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(gr, er)) if a != b][:3]
+            results[name] = f"VALUE_MISMATCH first_diffs={diffs}"
+        else:
+            results[name] = f"OK ({len(gr)} rows)"
+
+    ok = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("rows-only"))
+    for k in sorted(results):
+        flag = "  " if results[k].startswith(("OK", "rows-only")) else "!!"
+        print(f"{flag} {k}: {results[k]}")
+    print(f"\n{ok}/{len(results)} pass")
+    sys.exit(0 if ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
