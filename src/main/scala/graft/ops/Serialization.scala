@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sinks.KafkaSink
+import graft.xml.{XmlDocument, XmlRender, XmlRules}
+
+/** Serialization operators over the test tables: P3/K2 Kafka message
+  * shaping and the X1/X2 XML subsystem (SURVEY §2.2, §2.5), exercised on
+  * driver data. Not SQL-expressible in DuckDB (custom wrapper-rule XML;
+  * engine-specific JSON float formatting), so these register without
+  * oracles — the byte-exact golden tests in XmlRenderSpec/KafkaSinkSpec
+  * carry their correctness.
+  */
+object Serialization {
+
+  /** Shape an order row like a nested product document and render X1 —
+    * distributed per-row rendering, no driver fold.
+    */
+  def ordersAsXml(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .orderBy("o_orderkey")
+      .limit(1000)
+    val shaped = orders.select(struct(
+      col("o_orderkey").cast("string").as("ean"),
+      col("o_orderpriority").as("styleOption"),
+      array(struct(lit("English").as("language"),
+        col("o_orderpriority").as("value"))).as("countryOfOrigin"),
+      array(struct(lit("EDI Retail Price").as("priceType"),
+        lit("Euro").as("priceCurrency"),
+        col("o_totalprice").as("price"),
+        lit("Worldwide").as("validInRegion"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("validFrom"),
+        lit("9999-12-31T00:00:00.000Z").as("validUntil"))).as("itemSellingPrices"),
+      struct(date_format(col("o_orderdate"), "yyyy-MM-dd").as("createdOn"),
+        col("o_orderstatus").as("articleStatus")).as("styleLifeCycle")).as("product"),
+      col("o_orderkey"))
+    val spark = s
+    import spark.implicits._
+    shaped.map { r =>
+      (r.getLong(r.fieldIndex("o_orderkey")),
+        XmlRender.renderProduct(r.getStruct(0), "    ", XmlRules.reference))
+    }.toDF("o_orderkey", "xml").orderBy("o_orderkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xml_render_orders" -> ((s, dir) => ordersAsXml(s, dir)),
+    "kafka_messages_orders" -> ((s, dir) => {
+      val recent = Relational.recentByStatus(Tables.load(s, dir, "orders"),
+        "o_orderstatus", "o_orderdate", Seq("o_orderkey", "o_custkey"),
+        status = "O", threshold = "1998-01-01")
+      KafkaSink.toMessages(recent)
+    })
+  )
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source operators (SURVEY §2.1).
+  *
+  * All sources go through Spark's DataSource V2 readers, so predicate
+  * pushdown, column pruning and vectorized decoding apply; an `s3a://`
+  * path behaves identically to `file://` given hadoop-aws + credentials in
+  * the Hadoop conf (reference's env-switched MinIO/S3 endpoint, O5, becomes
+  * `spark.hadoop.fs.s3a.*` configuration — never engine logic).
+  */
+object Sources {
+
+  /** S1: CSV scan with header. Explicit schema preferred (pins nullability
+    * and keeps full-scan-free pruning); `inferSchema=true` reproduces the
+    * reference's pandas-inferred path (`src/sql_to_kafka.py:127`) at the
+    * cost of one extra pass — unacceptable at 100 TB, so explicit is the
+    * default here.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S4: multiline JSON document scan — a file containing one JSON array of
+    * documents becomes one row per element (reference `json.load` +
+    * list-iteration, `src/s3_json_to_xml.py:104,126`). Explicit schema in
+    * document order (never inference — it sorts keys, SURVEY §7.4.2).
+    * `FAILFAST` reproduces the reference's raise-on-malformed behavior (F3).
+    */
+  def jsonDocuments(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("multiLine", "true")
+      .option("mode", "FAILFAST")
+      .schema(schema)
+      .json(path)
+
+  /** Parquet table scan (the engine-native format; S2 analog). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
