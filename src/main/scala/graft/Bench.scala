@@ -10,9 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the write path + codegen stack once so one-time JVM costs
+    // (noop DataSource ServiceLoader scan, Janino bootstrap, JIT) don't
+    // land on whichever query happens to run first.
+    spark.range(100).selectExpr("id", "sha2(cast(id as string), 256) as h")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces full evaluation of every output column —
+      // a bare count() would let Catalyst prune projections and
+      // under-report (flatteringly) the real query cost.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -29,7 +29,10 @@ object Tables {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(col("ts") / 1000L cast "long"))
+        // integer `div`, not `/`: double division of epoch-nanos loses
+        // sub-microsecond precision (2^53 < 1e18) and can shift a value
+        // across a truncation boundary.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

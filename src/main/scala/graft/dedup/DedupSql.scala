@@ -1,0 +1,78 @@
+package graft.dedup
+
+import graft.text.TextSql
+
+/** DuckDB oracle mirrors of [[Dedup]] — same constants, same arithmetic. */
+object DedupSql {
+  val P: Long = Dedup.P
+  val MP: Long = Dedup.MIX % Dedup.P
+
+  def exact(table: String = "documents"): String =
+    s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       |FROM $table GROUP BY text ORDER BY doc_id""".stripMargin
+
+  def minhashSignature(sh: String): String =
+    s"list_transform(range(0, ${Dedup.K}), i -> " +
+      s"list_min(list_transform($sh, h -> " +
+      s"(((i*2+1) * $MP % $P) * h + (i*2+2) * $MP % $P) % $P)))"
+
+  def bandHashes(sig: String): String =
+    s"list_transform(range(0, ${Dedup.BANDS}), j -> " +
+      s"struct_pack(band := j, bh := (($sig)[j*${Dedup.R}+1] * 31 + ($sig)[j*${Dedup.R}+2]) % $P))"
+
+  /** Full MinHash-LSH near-dup pair query with exact-Jaccard verification —
+    * the same shingle → signature → band-bucket self-join → verify plan as
+    * [[Dedup.minhashPairs]], in SQL.
+    */
+  def minhashPairs(minJaccard: Double, table: String = "documents"): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id, ${TextSql.shingleHashes("text")} AS sh
+       |  FROM $table
+       |  WHERE len(${TextSql.shingleHashes("text")}) > 0
+       |), bands AS (
+       |  SELECT id, sh, UNNEST(${bandHashes(minhashSignature("sh"))}) AS b FROM sh
+       |), flat AS (
+       |  SELECT id, sh, b.band AS band, b.bh AS bh FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b, x.sh AS sha, y.sh AS shb
+       |  FROM flat x JOIN flat y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+       |), verified AS (
+       |  SELECT a, b,
+       |    CAST(len(list_filter(sha, v -> list_contains(shb, v))) AS DOUBLE) /
+       |    (len(sha) + len(shb) - len(list_filter(sha, v -> list_contains(shb, v)))) AS jaccard
+       |  FROM cand
+       |)
+       |SELECT a, b, jaccard FROM verified WHERE jaccard >= $minJaccard
+       |ORDER BY a, b""".stripMargin
+
+  def simhash(text: String): String = {
+    val th = TextSql.polyHashAll(TextSql.tokens(text))
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), range(${Dedup.SIMBITS - 1}, -1, -1)), " +
+      s"(acc, j) -> acc * 2 + CASE WHEN " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $th), (s, h) -> s + " +
+      s"CASE WHEN (((j*2+101) * $MP % $P) * h + (j*2+102) * $MP % $P) % $P % 2 = 1 " +
+      s"THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)"
+  }
+
+  def simhashBandsStructs(sim: String, nb: Int = 4): String = {
+    val width = Dedup.SIMBITS / nb
+    val items = (0 until nb).map(k =>
+      s"struct_pack(band := $k, bh := (($sim) >> ${k * width}) & ${(1L << width) - 1})")
+    s"[${items.mkString(", ")}]"
+  }
+
+  def simhashPairs(maxHamming: Int, table: String = "documents"): String =
+    s"""WITH sims AS (
+       |  SELECT doc_id AS id, ${simhash("text")} AS sim FROM $table
+       |), bands AS (
+       |  SELECT id, sim, UNNEST(${simhashBandsStructs("sim")}) AS b FROM sims
+       |), flat AS (
+       |  SELECT id, sim, b.band AS band, b.bh AS bh FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b, x.sim AS sima, y.sim AS simb
+       |  FROM flat x JOIN flat y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+       |)
+       |SELECT a, b, CAST(bit_count(xor(sima, simb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sima, simb)) <= $maxHamming
+       |ORDER BY a, b""".stripMargin
+}

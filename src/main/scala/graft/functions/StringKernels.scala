@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd string-hashing kernels (see [[ArrayKernels]] for why):
+  * polynomial codepoint hash, char k-gram rolling hashes, winnowing
+  * window-minima. Bit-identical to the HOF formulations in
+  * [[graft.text.TextOps]] and the DuckDB mirrors in
+  * [[graft.text.TextSql]] — all iterate Unicode CODEPOINTS (DuckDB `ord`
+  * parity), not UTF-16 units.
+  */
+object StringKernels {
+  def poly_hash(s: Column): Column =
+    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(s)))
+  def char_gram_hashes(s: Column, k: Int): Column =
+    ExpressionUtils.column(CharGramHashes(ExpressionUtils.expression(s), k))
+  def winnow(grams: Column, w: Int): Column =
+    ExpressionUtils.column(Winnow(ExpressionUtils.expression(grams), w))
+
+  val P: Long = graft.text.TextOps.P
+
+  def codepoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var i = 0
+    var j = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  def polyHash(s: UTF8String): Long = {
+    val cps = codepoints(s)
+    var h = 0L
+    var i = 0
+    while (i < cps.length) { h = (h * 31 + cps(i)) % P; i += 1 }
+    h
+  }
+
+  def charGramHashes(s: UTF8String, k: Int): Array[Long] = {
+    val cps = codepoints(s)
+    val n = cps.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31 + cps(i + j)) % P; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct window-minima, first-occurrence order — matches
+    * `array_distinct(transform(..., i -> array_min(slice(grams, i+1, w))))`.
+    */
+  def winnow(grams: Array[Long], w: Int): Array[Long] = {
+    val n = grams.length - w + 1
+    if (n <= 0) return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      var m = grams(i)
+      var j = 1
+      while (j < w) { if (grams(i + j) < m) m = grams(i + j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    out
+  }
+}
+
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    StringKernels.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.StringKernels.polyHash($s);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(StringKernels.charGramHashes(input.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.StringKernels.charGramHashes($s, $k));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class Winnow(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    new GenericArrayData(StringKernels.winnow(arr, w))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.StringKernels.winnow($g.toLongArray(), $w));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

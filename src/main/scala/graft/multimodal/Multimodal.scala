@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video payloads as opaque
+  * `BinaryType` columns with a typed metadata struct, plus decode /
+  * feature-extract / frame-sample operators.
+  *
+  * The Spark-side plumbing — schema, partition-preserving `mapPartitions`
+  * batching, deterministic output shape — is real and tested. The codec
+  * itself is STUBBED (no image/audio libraries in this container): the
+  * "decode" is a deterministic fake that derives pseudo-dimensions and
+  * pseudo-frames from the payload bytes. Swapping in a real codec changes
+  * only the marked function body, not the plan shape.
+  *
+  * Scale notes: payloads stay in executor memory one partition at a time;
+  * `mapPartitions` amortizes per-batch codec setup exactly like a Pandas
+  * UDF's batch loop; frame extraction is a generator (one row in, N rows
+  * out) so no whole-video materialization.
+  */
+object Multimodal {
+
+  /** Asset row: payload + typed metadata (the schema a 100 TB media lake
+    * would carry; metadata extracted once at ingest, filterable without
+    * touching bytes).
+    */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", LongType, nullable = false),
+      StructField("sha256", StringType, nullable = false),
+      StructField("source", StringType, nullable = true))), nullable = true)))
+
+  /** Wrap any table with a string column into asset shape (test/demo
+    * carrier: text bytes stand in for media payloads).
+    */
+  def assetsFromText(df: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit("application/octet-stream").as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        octet_length(encode(col(textCol), "UTF-8")).cast("long").as("byte_len"),
+        lower(sha2(encode(col(textCol), "UTF-8"), 256)).as("sha256"),
+        col(sourceCol).as("source")).as("meta"))
+
+  case class DecodedMeta(asset_id: Long, width: Int, height: Int,
+                         n_frames: Int, fingerprint: Long)
+
+  /** STUB decode: derives deterministic pseudo-dimensions from the payload
+    * — replace the body with a real codec (e.g. javax.imageio /
+    * jcodec) when available. ??? marker: real decode NOT implemented.
+    */
+  def stubDecode(assetId: Long, payload: Array[Byte]): DecodedMeta = {
+    // STUB — a real implementation would parse the container header here.
+    var h = 0L
+    var i = 0
+    while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+    val w = 16 + (h % 1024).toInt
+    val ht = 16 + ((h / 1024) % 1024).toInt
+    DecodedMeta(assetId, w, ht, 1 + (payload.length / 64), h)
+  }
+
+  /** Decode operator: batched per partition (codec init once per
+    * partition, like a Pandas UDF batch loop).
+    */
+  def decode(assets: DataFrame): Dataset[DecodedMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec setup would go here (STUB: none needed)
+        it.map { case (id, bytes) =>
+          stubDecode(id, Option(bytes).getOrElse(Array.emptyByteArray))
+        }
+      }
+  }
+
+  case class Frame(asset_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Frame sampling: one row per sampled frame (every `stride`-th 64-byte
+    * block stands in for a decoded frame; the generator shape — flatMap,
+    * no full materialization — is the real thing).
+    */
+  def sampleFrames(assets: DataFrame, stride: Int = 4): Dataset[Frame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val payload = Option(bytes).getOrElse(Array.emptyByteArray)
+        (0 until payload.length by 64 * stride).iterator.map { off =>
+          var h = 0L
+          var i = off
+          val end = math.min(off + 64, payload.length)
+          while (i < end) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+          Frame(id, off / 64, h)
+        }
+      }
+  }
+}

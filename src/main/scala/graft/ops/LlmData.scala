@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.{Dedup, DedupSql}
+import graft.multimodal.Multimodal
+import graft.sim.{Similarity, SimilaritySql}
+import graft.text.{TextOps, TextSql}
+
+/** Query registry for the LLM-data-pipeline extension: dedup, similarity
+  * search, text analysis, multimodal columns (BASELINE.json north star).
+  * Oracle SQL is generated from the same constants as the Spark plans
+  * (TextSql/DedupSql/SimilaritySql) so the two sides cannot drift.
+  */
+object LlmData {
+
+  val EmbDim = 64
+  val AnnK = 5
+  val AnnQueries = 8
+  val MinJaccard = 0.5
+  /** With 4 LSH bands over 48 bits, <=3 flips cannot miss every band —
+    * banded candidate generation is COMPLETE for this threshold
+    * (pigeonhole), not probabilistic.
+    */
+  val MaxHamming = 3
+  val NearDupCos = 0.4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis -----------------------------------------------------
+    "text_token_stats" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(TextOps.tokensBpeIsh(col("text"))).cast("long").as("n_bpeish"),
+          length(col("text")).cast("long").as("n_chars2"))
+        .orderBy("doc_id")),
+
+    "text_simhash" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.polyHashAll(TextOps.tokens(col("text"))).as("th"))
+        .select(col("doc_id"), Dedup.simhash(col("th")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "text_lang_id" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          TextOps.langIdExpr(col("toks")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      val feats = TextOps.qualityFeatures(col("text"), col("toks"))
+        .map { case (n, c) => c.as(n) }
+      d.select((col("doc_id") +: feats :+
+        TextOps.qualityScore(col("text"), col("toks")).as("quality")): _*)
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprints" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.charGramHashes(col("text"), 5).as("grams"))
+        .select(col("doc_id"),
+          explode(TextOps.winnowFingerprints(col("grams"))).as("fp"))
+        .orderBy("doc_id", "fp")),
+
+    // ---- dedup -------------------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"), MinJaccard)
+        .orderBy("a", "b")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), MaxHamming)
+        .orderBy("a", "b")),
+
+    // ---- similarity search -------------------------------------------------
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshBucketTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK)
+        .orderBy("q_id", "rank")
+    }),
+
+    "emb_neardup_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), NearDupCos)
+        .orderBy("a", "b")),
+
+    // ---- multimodal --------------------------------------------------------
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.assetsFromText(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "source")
+        .select(col("asset_id"), col("media_type"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.sha256").as("sha256"),
+          col("meta.source").as("source"))
+        .orderBy("asset_id")),
+
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.assetsFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source"))
+        .toDF().orderBy("asset_id")),
+
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.assetsFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source"))
+        .toDF().orderBy("asset_id", "frame_idx"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${TextSql.tokens("text")}) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpeish,
+         |  CAST(length(text) AS BIGINT) AS n_chars2
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_simhash" ->
+      s"""SELECT doc_id, ${DedupSql.simhash("text")} AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""SELECT doc_id, lang, ${TextSql.langIdExpr("text")} AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" -> {
+      val feats = TextSql.qualityFeatures("text")
+        .map { case (n, e) => s"  $e AS $n" }.mkString(",\n")
+      s"""SELECT doc_id,\n$feats,
+         |  ${TextSql.qualityScore("text")} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // CTE-staged: inlining grams into the winnow lambda makes DuckDB
+    // recompute string_split per window element — O(n^2·k) per doc (the
+    // same re-inlining trap the Spark side hits with HOFs).
+    "text_fingerprints" ->
+      s"""WITH chars AS (
+         |  SELECT doc_id, string_split(text, '') AS cs FROM documents
+         |), grams AS (
+         |  SELECT doc_id, list_transform(range(1, greatest(len(cs) - 3, 1)), i ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, 5), j -> CAST(ord(cs[i + j]) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % ${TextOps.P})) AS g
+         |  FROM chars
+         |), fps AS (
+         |  SELECT doc_id, UNNEST(list_distinct(
+         |    list_transform(range(1, greatest(len(g) - 2, 1)),
+         |      i -> list_min(g[i : i + 3])))) AS fp
+         |  FROM grams
+         |)
+         |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
+    "dedup_exact" -> DedupSql.exact(),
+    "dedup_minhash_pairs" -> DedupSql.minhashPairs(MinJaccard),
+    "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
+    "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),
+    "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
+    "emb_neardup_pairs" -> SimilaritySql.nearDupPairs(NearDupCos, EmbDim),
+    "multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'application/octet-stream' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  lower(sha256(text)) AS sha256, source
+        |FROM documents ORDER BY asset_id""".stripMargin
+    // multimodal_decode / multimodal_frames: stubbed codec semantics are
+    // engine-defined → rows-only check + ScalaTest determinism specs.
+  )
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.StreamPipelines
+
+/** Batch registrations of the streaming transforms (same
+  * `DataFrame => DataFrame` bodies run under `readStream` in
+  * StreamingSpec) plus the as-of join. Oracle SQL mirrors window
+  * semantics with explicit epoch arithmetic so bucket alignment is
+  * engine-independent.
+  */
+object StreamingOps {
+
+  /** As-of join: for each event, the most recent order of the same user
+    * at-or-before the event time (ties on time resolve to highest order
+    * key — fully deterministic).
+    *
+    * Implementation is the scalable union+window form: tag both inputs,
+    * union, partition by user, order by (time, kind, key), carry the last
+    * seen order forward with `last(ignoreNulls)`. ONE shuffle on the user
+    * key and a linear pass — no row explosion, no range-join blowup; at
+    * 100 TB this is the sort-merge as-of shape (cf. pandas merge_asof /
+    * QuestDB ASOF), expressed entirely in Catalyst operators.
+    */
+  def asOfJoin(events: DataFrame, orders: DataFrame): DataFrame = {
+    // cast("timestamp"): parquet NTZ timestamps → session-TZ (UTC)
+    // timestamps so unix_micros applies; identity under UTC.
+    val e = events.select(col("event_id"), col("user_id").as("k"),
+      unix_micros(col("ts").cast("timestamp")).as("t"),
+      lit(1).as("kind"), lit(null).cast("long").as("okey"))
+    val o = orders.select(lit(null).cast("long").as("event_id"), col("o_custkey").as("k"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t"), lit(0).as("kind"),
+      col("o_orderkey").as("okey"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("kind"), col("okey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("last_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("last_orderkey"))
+      .orderBy("event_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_counts" -> ((s, dir) =>
+      StreamPipelines.tumblingCounts(Tables.events(s, dir))
+        .orderBy("w_start", "event_type")),
+    "stream_sliding_counts" -> ((s, dir) =>
+      StreamPipelines.slidingCounts(Tables.events(s, dir))
+        .orderBy("w_start", "event_type")),
+    "stream_sessionize" -> ((s, dir) =>
+      StreamPipelines.sessionize(Tables.events(s, dir))
+        .orderBy("user_id", "s_start")),
+    "asof_join_events_orders" -> ((s, dir) =>
+      asOfJoin(Tables.events(s, dir), Tables.load(s, dir, "orders")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_sliding_counts" ->
+      """WITH expanded AS (
+        |  SELECT event_type,
+        |         to_timestamp(floor(epoch(ts) / 900) * 900) - to_seconds(CAST(i * 900 AS BIGINT)) AS w_start
+        |  FROM events, UNNEST(range(0, 4)) AS t(i)
+        |)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*) AS n
+        |FROM expanded GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "asof_join_events_orders" ->
+      """SELECT event_id, user_id,
+        |  (SELECT o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
+        |FROM events e ORDER BY event_id""".stripMargin
+  )
+}

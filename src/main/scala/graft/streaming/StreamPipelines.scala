@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming pipelines — the north-star upgrade of the
+  * reference's daily batch jobs (BASELINE.json: "Kafka-to-S3 ETL maps to
+  * Structured Streaming with Kafka source and Parquet/S3 sink").
+  *
+  * Design rule: every transform is a plain `DataFrame => DataFrame` that
+  * works identically on a batch frame and a streaming frame — batch runs
+  * are the oracle for the streaming runs (tested in StreamingSpec), and
+  * `Trigger.AvailableNow` reproduces the reference's daily-batch cadence
+  * (O2, `dags/sql_to_kafka_dag.py:21-30`) with checkpointed exactly-once
+  * sink semantics instead of the reference's at-least-once keyless
+  * publish (SURVEY §7.4.5).
+  */
+object StreamPipelines {
+
+  /** Kafka JSON topic → typed columns. The inverse of
+    * [[graft.sinks.KafkaSink.toMessages]]: value bytes → schema'd struct.
+    */
+  def parseKafkaJson(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("r"),
+        col("timestamp").as("kafka_ts"))
+      .select(col("r.*"), col("kafka_ts"))
+
+  /** Kafka source (needs spark-sql-kafka on the classpath at runtime;
+    * untestable in this container — the parse/transform stages are the
+    * tested surface).
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** File-based streaming source over a parquet path (the testable stand-in
+    * for the Kafka source; identical downstream plan).
+    */
+  def parquetSource(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  // ---- shared batch/streaming transforms ----------------------------------
+
+  /** Tumbling-window counts + exact decimal sums per event type.
+    * On a streaming frame add [[withWatermark]] upstream.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window event rates. */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"))
+
+  /** Session windows per user (gap-based), built-in `session_window`. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+        col("n_events"), col("session_value"))
+
+  /** Streaming dedup within the watermark — the exactly-once-ish upgrade
+    * the reference lacks (at-least-once producer ⇒ duplicates possible;
+    * SURVEY §7.4.5).
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour",
+                           keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  // ---- sinks --------------------------------------------------------------
+
+  /** Parquet-on-object-store sink with checkpointing;
+    * `Trigger.AvailableNow` drains everything available then stops —
+    * the daily-batch cadence with streaming-grade exactly-once bookkeeping.
+    */
+  def parquetSink(df: DataFrame, outPath: String, checkpoint: String,
+                  availableNow: Boolean = true): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    if (availableNow) w.trigger(Trigger.AvailableNow()) else w
+  }
+
+  /** End-to-end job: streaming parquet source → watermark + dedup →
+    * tumbling aggregation → parquet sink, drained with AvailableNow.
+    */
+  def runFileEtl(spark: SparkSession, inPath: String, schema: StructType,
+                 outPath: String, checkpoint: String): Unit = {
+    val raw = parquetSource(spark, inPath, schema)
+    // normalize a legacy nanos-as-long ts (see Tables.events)
+    val src = schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val agg = tumblingCounts(src.withWatermark("ts", "1 hour"))
+    val q = parquetSink(agg, outPath, checkpoint).start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,165 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline extension (SURVEY §7.2
+  * item 6): tokenization, language-ID heuristic, quality scoring, and
+  * winnowing document fingerprints.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * higher-order functions — no UDFs — so plans stay inside whole-stage
+  * codegen and scale linearly with document bytes. The deterministic
+  * polynomial hashing below is engine-portable integer arithmetic
+  * (int64-safe, mod 1e9+7), mirrored verbatim in [[TextSql]] so every
+  * operator is DuckDB-oracle-checkable.
+  */
+object TextOps {
+
+  /** Modulus for all polynomial hashing: products stay < 2^63. */
+  val P = 1000000007L
+  /** Per-slot mixing multiplier (Knuth). */
+  val MIX = 2654435761L
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish tokens: runs of word chars OR single non-word-non-space chars
+    * (the regex-pretokenizer shape GPT-style BPE uses before merges).
+    * `regexp_extract_all` (no lookarounds) keeps the pattern portable to
+    * the DuckDB oracle.
+    */
+  def tokensBpeIsh(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
+
+  /** Deterministic polynomial string hash: fold (h*31 + codepoint) mod P.
+    * Identical arithmetic in DuckDB ([[TextSql.polyHash]]). Codegen'd
+    * kernel; [[polyHashHof]] is the builtin formulation (equivalence spec).
+    */
+  def polyHash(s: Column): Column = graft.functions.StringKernels.poly_hash(s)
+
+  def polyHashHof(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % P)
+
+  /** Hash each element of a string array. */
+  def polyHashAll(arr: Column): Column = transform(arr, s => polyHash(s))
+
+  /** Word n-gram shingles as strings (space-joined). NB `sequence(0, -1)`
+    * would generate a DESCENDING sequence, so short inputs need the guard.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle hash set — the unit of Jaccard/MinHash dedup.
+    * `toks` must be a materialized token-array column (re-inlining caveat
+    * on [[charGramHashes]]).
+    */
+  def shingleHashes(toks: Column, n: Int = 3): Column =
+    array_distinct(polyHashAll(shingles(toks, n)))
+
+  // ---- language ID -------------------------------------------------------
+
+  /** Marker stopwords per language; prediction = argmax hit-count with
+    * first-listed language winning ties. A transparent n-gram/stopword
+    * heuristic (not a trained model) — the point is a deterministic,
+    * pushdown-friendly scoring pipeline.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "query", "table", "row"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "filter", "fast"),
+    "es" -> Seq("el", "la", "de", "que", "los", "scan", "slow"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "merge", "sort"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren", "spark", "stream"))
+
+  def langHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.foldLeft(lit(false))((acc, m) => acc || t === m)))
+
+  /** Argmax over marker-hit counts, ties to the earlier language.
+    * `toks`: materialized token-array column.
+    */
+  def langIdExpr(toks: Column): Column = {
+    val hits = langMarkers.map { case (l, ms) => l -> langHits(toks, ms) }
+    // CASE chain: lang i wins if its count >= every later count and
+    // strictly beats no earlier one (earlier branches already matched).
+    hits.zipWithIndex.foldRight(lit(langMarkers.last._1)) {
+      case (((lang, c), i), els) =>
+        val laterGte = hits.drop(i + 1).foldLeft(lit(true)) {
+          case (acc, (_, c2)) => acc && c >= c2
+        }
+        when(laterGte, lit(lang)).otherwise(els)
+    }
+  }
+
+  // ---- quality scoring ---------------------------------------------------
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** Quality feature columns: lengths, ratios, lexical diversity. All
+    * integer counts + row-wise IEEE double divisions — bit-exact across
+    * engines.
+    */
+  def qualityFeatures(text: Column, toks: Column): Seq[(String, Column)] = {
+    val nTok = size(toks)
+    val nChar = length(text)
+    val stopHits = langHits(toks, stopwords)
+    val distinctTok = size(array_distinct(toks))
+    val sumTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    Seq(
+      "n_chars2" -> nChar.cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "mean_token_len" -> sumTokLen.cast("double") / nTok,
+      "stopword_ratio" -> stopHits.cast("double") / nTok,
+      "type_token_ratio" -> distinctTok.cast("double") / nTok,
+      "digit_ratio" -> regexp_count(text, lit("[0-9]")).cast("double") / nChar,
+      "upper_ratio" -> regexp_count(text, lit("[A-Z]")).cast("double") / nChar)
+  }
+
+  /** Scalar quality score: fixed-weight combination of the features —
+    * same double expression on both engines.
+    */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val f = qualityFeatures(text, toks).toMap
+    f("type_token_ratio") * 0.5 + f("stopword_ratio") * 0.3 +
+      least(f("mean_token_len") / 10.0, lit(1.0)) * 0.2
+  }
+
+  // ---- winnowing fingerprints -------------------------------------------
+
+  /** Character k-gram rolling hashes (position i → hash of chars i..i+k-1).
+    * Codegen'd kernel over the string; [[charGramHashesHof]] is the
+    * builtin formulation over a MATERIALIZED char-array column (HOF
+    * lambdas re-inline free subexpressions per element — an inline
+    * `split` would make it O(n²·k)).
+    */
+  def charGramHashes(text: Column, k: Int): Column =
+    graft.functions.StringKernels.char_gram_hashes(text, k)
+
+  def charGramHashesHof(chars: Column, k: Int): Column =
+    when(size(chars) >= k,
+      transform(sequence(lit(0), size(chars) - k),
+        i => aggregate(sequence(lit(1), lit(k)),
+          lit(0L), (h, j) => (h * 31L + ascii(element_at(chars, i + j))) % P)))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Winnowing (Schleimer et al., SIGMOD 2003 — public algorithm): the
+    * distinct set of per-window minima over the k-gram hash sequence.
+    * Robust document fingerprint: shared substrings of length >= k+w-1
+    * guarantee a shared fingerprint.
+    */
+  /** Codegen'd winnow kernel; [[winnowFingerprintsHof]] is the builtin
+    * formulation over a materialized grams column (re-inlining caveat).
+    */
+  def winnowFingerprints(grams: Column, w: Int = 4): Column =
+    graft.functions.StringKernels.winnow(grams, w)
+
+  def winnowFingerprintsHof(grams: Column, w: Int = 4): Column =
+    when(size(grams) >= w,
+      array_distinct(transform(
+        sequence(lit(0), size(grams) - w),
+        i => array_min(slice(grams, i + 1, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+}

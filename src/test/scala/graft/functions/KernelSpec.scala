@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Codegen'd kernels must be bit-identical to the pure-builtin (HOF)
+  * formulations they replace — the HOF forms are what the DuckDB oracle
+  * SQL mirrors.
+  */
+class KernelSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet(s"$sfDir/documents.parquet").limit(200).cache()
+
+  test("PolyHash kernel == HOF fold") {
+    val d = docs.select(
+      TextOps.polyHash(col("text")).as("k"),
+      TextOps.polyHashHof(col("text")).as("h"))
+    assert(d.filter(col("k") =!= col("h")).count() == 0)
+  }
+
+  test("CharGramHashes + Winnow kernels == HOF forms") {
+    val d = docs
+      .select(col("doc_id"), col("text"), split(col("text"), "").as("chars"))
+      .select(col("doc_id"),
+        TextOps.charGramHashes(col("text"), 5).as("gk"),
+        TextOps.charGramHashesHof(col("chars"), 5).as("gh"))
+      .select(col("gk"), col("gh"),
+        TextOps.winnowFingerprints(col("gk")).as("wk"),
+        TextOps.winnowFingerprintsHof(col("gh")).as("wh"))
+    assert(d.filter(col("gk") =!= col("gh") || col("wk") =!= col("wh")).count() == 0)
+  }
+
+  test("MinHashSig kernel == HOF form") {
+    val d = docs
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(TextOps.shingleHashes(col("toks")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(Dedup.minhashSignature(col("sh")).as("k"),
+        Dedup.minhashSignatureHof(col("sh")).as("h"))
+    assert(d.filter(col("k") =!= col("h")).count() == 0)
+  }
+
+  test("SimHash48 kernel == HOF form") {
+    val d = docs
+      .select(TextOps.polyHashAll(TextOps.tokens(col("text"))).as("th"))
+      .select(Dedup.simhash(col("th")).as("k"), Dedup.simhashHof(col("th")).as("h"))
+    assert(d.filter(col("k") =!= col("h")).count() == 0)
+  }
+
+  test("DotProductF kernel == HOF fold, bit-exact") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val pairs = e.select(col("embedding").as("a"))
+      .crossJoin(e.select(col("embedding").as("b")).limit(5))
+    val d = pairs.select(Similarity.dot(col("a"), col("b")).as("k"),
+      Similarity.dotHof(col("a"), col("b")).as("h"))
+    assert(d.filter(col("k") =!= col("h")).count() == 0)
+  }
+
+  test("kernels survive both codegen and interpreted eval paths") {
+    // Force interpreted path by using the expressions in a filter that
+    // Catalyst constant-folds / evaluates eagerly on literals.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val lit = Literal(UTF8String.fromString("abc"), org.apache.spark.sql.types.StringType)
+    assert(PolyHash(lit).eval(null) == 96354L)
+    val grams = CharGramHashes(lit, 2).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(grams.toSeq == Seq(97L * 31 + 98, 98L * 31 + 99))
+  }
+}

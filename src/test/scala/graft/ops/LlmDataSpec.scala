@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+import graft.multimodal.Multimodal
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class LlmDataSpec extends SparkSpec {
+
+  test("minhash pairs find the planted near-duplicates with high jaccard") {
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= LlmData.MinJaccard))
+  }
+
+  test("simhash pairs respect the hamming bound and symmetry convention") {
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(2) <= LlmData.MaxHamming))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("ann topk: k per query, rank 1 has max sim, no self-matches") {
+    val topk = SparkEntry.queries("ann_cosine_topk")(spark, sfDir).collect()
+    val byQ = topk.groupBy(_.getLong(0))
+    assert(byQ.size == LlmData.AnnQueries)
+    byQ.values.foreach { rows =>
+      assert(rows.length == LlmData.AnnK)
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    assert(topk.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("lsh ann is a subset-of-bucket approximation of exact ann semantics") {
+    val lsh = SparkEntry.queries("ann_lsh_topk")(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    // every lsh neighbor shares the query's sign bucket by construction;
+    // spot-check determinism across two runs
+    val again = SparkEntry.queries("ann_lsh_topk")(spark, sfDir).collect()
+    assert(lsh.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("language id predicts a known language label for every doc") {
+    val langs = graft.text.TextOps.langMarkers.map(_._1).toSet
+    val out = SparkEntry.queries("text_lang_id")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(r => langs.contains(r.getString(2))))
+  }
+
+  test("multimodal decode is deterministic and total over the corpus") {
+    val a = SparkEntry.queries("multimodal_decode")(spark, sfDir).collect()
+    val b = SparkEntry.queries("multimodal_decode")(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.length == Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("frame sampling emits stride-spaced frame indices per asset") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.assetsFromText(Tables.load(spark, sfDir, "documents"),
+        "doc_id", "text", "source"), stride = 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 4 == 0))
+  }
+
+  test("winnowing: shared long substring implies shared fingerprint") {
+    import spark.implicits._
+    val common = "zqxjkvbnmp wrty uiop asdf ghkl"
+    val df = Seq(
+      (1L, s"alpha beta $common gamma delta epsilon zeta"),
+      (2L, s"one two three $common four five six seven")
+    ).toDF("doc_id", "text")
+    val fps = df
+      .select(col("doc_id"), graft.text.TextOps.charGramHashes(col("text"), 5).as("g"))
+      .select(col("doc_id"), explode(graft.text.TextOps.winnowFingerprints(col("g"))).as("fp"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
+}
