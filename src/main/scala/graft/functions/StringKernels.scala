@@ -18,6 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object StringKernels {
   def poly_hash(s: Column): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(s)))
+  def shingle_hashes(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(tokens), n))
   def char_gram_hashes(s: Column, k: Int): Column =
     ExpressionUtils.column(CharGramHashes(ExpressionUtils.expression(s), k))
   def winnow(grams: Column, w: Int): Column =
@@ -84,6 +86,58 @@ object StringKernels {
     while (it.hasNext) { out(idx) = it.next(); idx += 1 }
     out
   }
+}
+
+/** Distinct hashes of word n-gram shingles, straight from the token array:
+  * the hash of `tok_i || ' ' || ... || tok_(i+n-1)` is computed over the
+  * char stream without materializing the joined strings. First-occurrence
+  * order (= `array_distinct(transform(...))` order).
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val count = nTok - n + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val cps = new Array[Array[Int]](nTok)
+    var t = 0
+    while (t < nTok) { cps(t) = StringKernels.codepoints(arr.getUTF8String(t)); t += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < count) {
+      var h = 0L
+      var k = 0
+      while (k < n) {
+        if (k > 0) h = (h * 31 + ' ') % StringKernels.P
+        val cp = cps(i + k)
+        var j = 0
+        while (j < cp.length) { h = (h * 31 + cp(j)) % StringKernels.P; j += 1 }
+        k += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) " +
+        s"graft.functions.ShingleHashes.compute($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashes {
+  /** Codegen entry point (static call keeps generated code tiny). */
+  def compute(arr: ArrayData, n: Int): GenericArrayData =
+    ShingleHashes(null, n).nullSafeEval(arr).asInstanceOf[GenericArrayData]
 }
 
 case class PolyHash(child: Expression) extends UnaryExpression {

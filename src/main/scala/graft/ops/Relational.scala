@@ -62,6 +62,20 @@ object Relational {
         "o_orderstatus", "o_orderdate", Seq("o_orderkey", "o_custkey"),
         status = "O", threshold = "1998-01-01")),
 
+    // Typed-date variant of the flagship: the predicate compares the
+    // TIMESTAMP column directly, so BOTH filters push into the parquet
+    // scan (the parity variant's date_format() string compare cannot).
+    // At 100 TB this is the difference between pruning row groups at the
+    // source and decoding every date. Semantically identical here because
+    // ISO date strings sort like dates (SURVEY §1.2).
+    "recent_created_orders_typed" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === lit("O") &&
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ready_date"),
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("ready_date").desc, col("o_orderkey"), col("o_custkey"))),
+
     // ---- F1: parameterized equality predicate ------------------------------
     "filter_eq_events" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -226,6 +240,11 @@ object Relational {
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS ready_date, o_orderkey, o_custkey, o_orderstatus
         |FROM orders
         |WHERE o_orderstatus = 'O' AND strftime(o_orderdate, '%Y-%m-%d') >= '1998-01-01'
+        |ORDER BY ready_date DESC, o_orderkey, o_custkey""".stripMargin,
+    "recent_created_orders_typed" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS ready_date, o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY ready_date DESC, o_orderkey, o_custkey""".stripMargin,
     "filter_eq_events" ->
       """SELECT event_id, user_id, value FROM events

@@ -54,10 +54,14 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
 
   /** Distinct shingle hash set — the unit of Jaccard/MinHash dedup.
-    * `toks` must be a materialized token-array column (re-inlining caveat
-    * on [[charGramHashes]]).
+    * Codegen'd kernel hashing the n-gram char stream directly;
+    * [[shingleHashesHof]] is the builtin formulation (equivalence spec;
+    * `toks` must be a materialized token-array column there).
     */
   def shingleHashes(toks: Column, n: Int = 3): Column =
+    graft.functions.StringKernels.shingle_hashes(toks, n)
+
+  def shingleHashesHof(toks: Column, n: Int = 3): Column =
     array_distinct(polyHashAll(shingles(toks, n)))
 
   // ---- language ID -------------------------------------------------------

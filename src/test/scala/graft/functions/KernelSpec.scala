@@ -23,15 +23,31 @@ class KernelSpec extends SparkSpec {
   }
 
   test("CharGramHashes + Winnow kernels == HOF forms") {
-    val d = docs
+    // persist() the staged char/gram arrays: CollapseProject re-inlines a
+    // once-used projected column into HOF lambdas, which would turn the
+    // HOF reference implementation into O(n^2*k) re-splitting.
+    val staged = docs.limit(50)
       .select(col("doc_id"), col("text"), split(col("text"), "").as("chars"))
+      .persist()
+    val grams = staged
       .select(col("doc_id"),
         TextOps.charGramHashes(col("text"), 5).as("gk"),
         TextOps.charGramHashesHof(col("chars"), 5).as("gh"))
-      .select(col("gk"), col("gh"),
-        TextOps.winnowFingerprints(col("gk")).as("wk"),
-        TextOps.winnowFingerprintsHof(col("gh")).as("wh"))
-    assert(d.filter(col("gk") =!= col("gh") || col("wk") =!= col("wh")).count() == 0)
+      .persist()
+    assert(grams.filter(col("gk") =!= col("gh")).count() == 0)
+    val w = grams.select(
+      TextOps.winnowFingerprints(col("gk")).as("wk"),
+      TextOps.winnowFingerprintsHof(col("gh")).as("wh"))
+    assert(w.filter(col("wk") =!= col("wh")).count() == 0)
+    staged.unpersist(); grams.unpersist()
+  }
+
+  test("ShingleHashes kernel == HOF form") {
+    val d = docs
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(TextOps.shingleHashes(col("toks")).as("k"),
+        TextOps.shingleHashesHof(col("toks")).as("h"))
+    assert(d.filter(col("k") =!= col("h")).count() == 0)
   }
 
   test("MinHashSig kernel == HOF form") {
