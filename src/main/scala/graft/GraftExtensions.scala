@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Engine registration: exposes the custom Catalyst expressions as SQL
+  * functions so `spark.sql("SELECT graft_simhash48(...)")` works — the
+  * library is usable as a SparkSessionExtensions plugin:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_poly_hash"),
+      info("graft_poly_hash", "polynomial codepoint hash mod 1e9+7"),
+      (args: Seq[Expression]) => PolyHash(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "distinct word n-gram shingle hashes; args: (tokens, n)"),
+      (args: Seq[Expression]) => ShingleHashes(args(0),
+        args(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("graft_char_grams"),
+      info("graft_char_grams", "char k-gram rolling hashes; args: (text, k)"),
+      (args: Seq[Expression]) => CharGramHashes(args(0),
+        args(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "winnowing fingerprints; args: (grams, w)"),
+      (args: Seq[Expression]) => Winnow(args(0),
+        args(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "minhash signature; args: (shingleHashes, k)"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        args(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("graft_simhash48"),
+      info("graft_simhash48", "48-bit simhash of a token-hash array"),
+      (args: Seq[Expression]) => SimHash48(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_dot_f"),
+      info("graft_dot_f", "double-precision dot product of float arrays"),
+      (args: Seq[Expression]) => DotProductF(args(0), args(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register the graft functions on an ALREADY-RUNNING session (the
+    * extensions path only applies at session construction).
+    */
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
+    r.createOrReplaceTempFunction("graft_poly_hash",
+      (args: Seq[Expression]) => PolyHash(args.head), "scala_udf")
+    r.createOrReplaceTempFunction("graft_shingle_hashes",
+      (args: Seq[Expression]) => ShingleHashes(args(0), asInt(args(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_char_grams",
+      (args: Seq[Expression]) => CharGramHashes(args(0), asInt(args(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_winnow",
+      (args: Seq[Expression]) => Winnow(args(0), asInt(args(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_minhash_sig",
+      (args: Seq[Expression]) => MinHashSig(args(0), asInt(args(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_simhash48",
+      (args: Seq[Expression]) => SimHash48(args.head), "scala_udf")
+    r.createOrReplaceTempFunction("graft_dot_f",
+      (args: Seq[Expression]) => DotProductF(args(0), args(1)), "scala_udf")
+  }
+}
+
+/** Session factory with the conf an operator of this engine would run at
+  * scale: AQE (runtime re-planning, skew-join splitting, partition
+  * coalescing) on, shuffle partitions sized to the environment, UTC, and
+  * the graft SQL functions registered.
+  */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+              shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val parts = shufflePartitions.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    SparkSession.builder()
+      .master(master)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+  }
+}

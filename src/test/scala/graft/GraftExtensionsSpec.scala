@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("graft SQL functions are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_poly_hash('abc') AS h").head.getLong(0) == 96354L)
+    val sh = spark.sql(
+      "SELECT graft_shingle_hashes(array('a','b','c','d'), 3) AS s").head.getSeq[Long](0)
+    assert(sh.length == 2)
+    val sim = spark.sql(
+      "SELECT graft_simhash48(graft_minhash_sig(graft_shingle_hashes(split('x y z w v', ' '), 3), 8)) AS s")
+      .head.getLong(0)
+    assert(sim >= 0)
+    val d = spark.sql(
+      "SELECT graft_dot_f(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d").head.getDouble(0)
+    assert(d == 11.0)
+  }
+
+  test("SQL function results match the Column API kernels") {
+    GraftExtensions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_poly_hash(text) AS h FROM docs_ext ORDER BY doc_id").collect()
+    val viaCol = docs.select(col("doc_id"), graft.text.TextOps.polyHash(col("text")).as("h"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toString).toSeq == viaCol.map(_.toString).toSeq)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties (SURVEY §5.2 item 3). Plain scalacheck `Gen`
+  * sampled under a fixed seed (the scalatest-plus bridge isn't in the
+  * offline dependency set).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    (0 until n).foreach { _ =>
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))({ case (a, b) => f(a, b) })
+
+  private def forAll[A, B, C, D](ga: Gen[A], gb: Gen[B], gc: Gen[C], gd: Gen[D])
+                                (f: (A, B, C, D) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc, gd))({ case (a, b, c, d) => f(a, b, c, d) })
+
+  private val isoTs: Gen[String] = for {
+    y <- Gen.choose(1990, 2030); mo <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    h <- Gen.choose(0, 23); mi <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+  } yield f"$y%04d-$mo%02d-$d%02dT$h%02d:$mi%02d:$s%02d.000Z"
+
+  test("PROPERTY: lexicographic ISO-string compare == instant compare (F2 semantics)") {
+    forAll(isoTs, isoTs) { (a, b) =>
+      val sa = java.time.Instant.parse(a)
+      val sb = java.time.Instant.parse(b)
+      assert((a >= b) == !sa.isBefore(sb))
+    }
+  }
+
+  test("PROPERTY: winnow fingerprints are a subset of gram hashes and nonempty on long text") {
+    forAll(Gen.listOfN(30, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
+      val text = words.mkString(" ")
+      import org.apache.spark.unsafe.types.UTF8String
+      val grams = functions.StringKernels.charGramHashes(UTF8String.fromString(text), 5)
+      val fps = functions.StringKernels.winnow(grams, 4)
+      assert(fps.toSet.subsetOf(grams.toSet))
+      if (grams.length >= 4) assert(fps.nonEmpty)
+    }
+  }
+
+  test("PROPERTY: shingle hashes from tokens == polyhash of joined shingle strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(Gen.listOfN(10, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        words.map(w => UTF8String.fromString(w)).toArray[Any])
+      val kernel = functions.ShingleHashes(null, 3).nullSafeEval(arr)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+      val expected = words.sliding(3).filter(_.size == 3)
+        .map(s => functions.StringKernels.polyHash(UTF8String.fromString(s.mkString(" "))))
+        .toSeq.distinct
+      assert(kernel == expected)
+    }
+  }
+
+  test("PROPERTY: XML render is total and well-nested over arbitrary flat products") {
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ean", StringType), StructField("price", DoubleType),
+      StructField("n", LongType), StructField("ok", BooleanType)))
+    forAll(Gen.alphaNumStr, Gen.double, Gen.long, Gen.oneOf(true, false)) {
+      (s, d, n, b) =>
+        val row = new GenericRowWithSchema(Array[Any](s, d, n, b), schema)
+        val xml = graft.xml.XmlRender.renderProduct(row, "")
+        assert(xml.count(_ == '<') == xml.count(_ == '>'))
+        assert(xml.contains(s"<n>$n</n>"))
+    }
+  }
+}
