@@ -19,6 +19,7 @@ object LlmData {
   val EmbDim = 64
   val AnnK = 5
   val AnnQueries = 8
+  val IvfCentroids = 16
   val MinJaccard = 0.5
   /** With 4 LSH bands over 48 bits, <=3 flips cannot miss every band —
     * banded candidate generation is COMPLETE for this threshold
@@ -93,6 +94,12 @@ object LlmData {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK, IvfCentroids)
+        .orderBy("q_id", "rank")
+    }),
+
     "emb_neardup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), NearDupCos)
         .orderBy("a", "b")),
@@ -162,6 +169,7 @@ object LlmData {
     "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
     "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
+    "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim),
     "emb_neardup_pairs" -> SimilaritySql.nearDupPairs(NearDupCos, EmbDim),
     "multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'application/octet-stream' AS media_type,

@@ -227,6 +227,31 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // ---- rollup: hierarchical subtotals (region > nation) ------------------
+    "agg_rollup_region_nation" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("acctbal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          col("n_cust"), col("acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---- pivot: status categories to columns (static schema, exact) --------
+    "pivot_status_by_priority" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"))
+        .orderBy("o_orderpriority")),
+
     // ---- top-k by global sort + limit --------------------------------------
     "topk_orders" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -335,6 +360,21 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "agg_rollup_region_nation" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        |       count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY coalesce(r_name, 'ALL'), coalesce(n_name, 'ALL')""".stripMargin,
+    "pivot_status_by_priority" ->
+      """SELECT o_orderpriority,
+        |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+        |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+        |       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -81,6 +81,40 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
   }
 
+  /** IVF-style ANN: a deterministic centroid set (first `nCentroids`
+    * corpus vectors — a k-means iteration would refine them; determinism
+    * matters more here), every vector assigned to its nearest centroid by
+    * L2 (ties → lowest centroid id), queries probe ONLY their centroid's
+    * inverted list. The real IVF shape: the corpus is hash-partitioned by
+    * centroid id, a query touches 1/nCentroids of the data; nprobe>1 is a
+    * union over the next-nearest centroids.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec")))
+    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("c_id"))
+      df.join(cents)
+        .withColumn("d2", dot(col(vec), col(vec)) - dot(col(vec), col("c_vec")) * 2
+          + dot(col("c_vec"), col("c_vec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col(id), col(vec), col("c_id").as("centroid"))
+    }
+    val corpusAssigned = assign(
+      corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id", "n_vec")
+    val queriesAssigned = broadcast(assign(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    queriesAssigned.join(corpusAssigned, Seq("centroid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: sign-LSH blocking, then exact cosine
     * threshold inside each bucket (a < b).
     */
