@@ -104,6 +104,16 @@ object LlmData {
       Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), NearDupCos)
         .orderBy("a", "b")),
 
+    // ---- approximate sketches (engine-specific implementations: HLL++ /
+    // KLL vs DuckDB's — numerically different by design, so rows-only
+    // check here + tolerance-vs-exact assertions in LlmDataSpec) ----------
+    "approx_sketches" -> ((s, dir) =>
+      Tables.events(s, dir).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+        expr("percentile(value, 0.5)").as("exact_p50"))),
+
     // ---- multimodal --------------------------------------------------------
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.assetsFromText(Tables.load(s, dir, "documents"),

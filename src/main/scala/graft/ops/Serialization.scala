@@ -48,6 +48,23 @@ object Serialization {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "xml_render_orders" -> ((s, dir) => ordersAsXml(s, dir)),
+
+    // X2 at scale: one complete XML document per group (priority class),
+    // folded in parallel — the distributed alternative to the global
+    // single-document assemble.
+    "xml_documents_per_priority" -> ((s, dir) => {
+      val shaped = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .orderBy("o_orderkey").limit(2000)
+        .select(
+          col("o_orderkey").cast("string").as("ean"),
+          col("o_orderpriority").as("styleOption"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("b2bReadinessDate"),
+          col("o_orderpriority"))
+      XmlDocument.assemblePerKey(shaped, "o_orderpriority")
+        .select(col("key"), length(col("document")).cast("long").as("doc_len"))
+        .orderBy("key")
+    }),
     "kafka_messages_orders" -> ((s, dir) => {
       val recent = Relational.recentByStatus(Tables.load(s, dir, "orders"),
         "o_orderstatus", "o_orderdate", Seq("o_orderkey", "o_custkey"),

@@ -47,6 +47,29 @@ class LlmDataSpec extends SparkSpec {
     assert(out.nonEmpty && out.forall(r => langs.contains(r.getString(2))))
   }
 
+  test("approx sketches are within tolerance of exact values") {
+    val r = SparkEntry.queries("approx_sketches")(spark, sfDir).head
+    val (approxU, exactU) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approxU - exactU).toDouble / exactU < 0.05,
+      s"HLL err: $approxU vs $exactU")
+    val (approxP, exactP) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(approxP - exactP) / math.max(exactP, 1e-9) < 0.05,
+      s"p50 err: $approxP vs $exactP")
+  }
+
+  test("per-priority XML documents: one well-formed doc per key") {
+    val docs = SparkEntry.queries("xml_documents_per_priority")(spark, sfDir).collect()
+    assert(docs.length == 5) // five order priorities
+    assert(docs.forall(_.getLong(1) > 100))
+  }
+
+  test("ivf ann: k per query, deterministic assignment") {
+    val a = SparkEntry.queries("ann_ivf_topk")(spark, sfDir).collect()
+    val b = SparkEntry.queries("ann_ivf_topk")(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.groupBy(_.getLong(0)).values.forall(_.length <= LlmData.AnnK))
+  }
+
   test("multimodal decode is deterministic and total over the corpus") {
     val a = SparkEntry.queries("multimodal_decode")(spark, sfDir).collect()
     val b = SparkEntry.queries("multimodal_decode")(spark, sfDir).collect()

@@ -1,0 +1,68 @@
+package graft.sinks
+
+import graft.{SparkSpec, Tables}
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+class TableSinkSpec extends SparkSpec {
+
+  test("partitioned write: partition pruning reads only matching directories") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    TableSink.writePartitioned(orders, out, Seq("o_year"))
+    val pruned = spark.read.parquet(out).filter(col("o_year") === 1998)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // a pruned scan lists only the matching partition directory
+    assert(pruned.count() ==
+      orders.filter(year(col("o_orderdate")) === 1998).count())
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan)
+  }
+
+  test("bucketed tables: join on the bucket key runs without an exchange") {
+    // default spark-warehouse/ dir (gitignored); warehouse.dir is static.
+    // A previous JVM's table files survive while the in-memory catalog
+    // forgets them — clean both before writing.
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val o = Tables.load(spark, sfDir, "orders")
+    TableSink.writeBucketed(li, "li_b", "l_orderkey", 4, Some("l_orderkey"))
+    TableSink.writeBucketed(o, "o_b", "o_orderkey", 4, Some("o_orderkey"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == li.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("salted aggregation equals direct aggregation (decimal-exact)") {
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    val salted = Skew.saltedSumCount(ev, "event_type", col("value").cast("decimal(18,2)"))
+      .orderBy("event_type").collect()
+    assert(direct.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSeq ==
+      salted.map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSeq)
+  }
+
+  test("salted join equals plain join") {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("event_id"))
+    val users = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = ev.join(users, Seq("user_id")).count()
+    val salted = Skew.saltedJoin(ev, users, "user_id").count()
+    assert(plain == salted)
+  }
+}
