@@ -208,6 +208,34 @@ object Relational {
         .orderBy("h")
     }),
 
+    // ---- set op: INTERSECT (hours with both clicks and errors) -------------
+    "set_intersect_hours" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("h", date_format(col("ts"), "yyyy-MM-dd HH"))
+      ev.filter(col("event_type") === "click").select(col("h"))
+        .intersect(ev.filter(col("event_type") === "error").select(col("h")))
+        .orderBy("h")
+    }),
+
+    // ---- raw SQL surface: TPC-H Q3 shape through spark.sql -----------------
+    // The engine's third API (DataFrame, Dataset, SQL text): temp views +
+    // one multi-join analytical statement, decimal-exact revenue.
+    "sql_shipping_priority" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("v_customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("v_orders")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderkey,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |       date_format(o_orderdate, 'yyyy-MM-dd') AS order_date, o_orderpriority
+          |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+          |JOIN v_lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
+    }),
+
     // ---- anti join: customers with no big open order -----------------------
     "anti_join_customers" -> ((s, dir) => {
       val c = Tables.load(s, dir, "customer")
@@ -348,6 +376,22 @@ object Relational {
         |  EXCEPT
         |  SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS h FROM events WHERE event_type = 'error')
         |ORDER BY h""".stripMargin,
+    "set_intersect_hours" ->
+      """SELECT h FROM (
+        |  SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS h FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT strftime(ts, '%Y-%m-%d %H') AS h FROM events WHERE event_type = 'error')
+        |ORDER BY h""".stripMargin,
+    "sql_shipping_priority" ->
+      """SELECT o_orderkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
     "anti_join_customers" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
