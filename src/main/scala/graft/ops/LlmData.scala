@@ -20,6 +20,7 @@ object LlmData {
   val AnnK = 5
   val AnnQueries = 8
   val IvfCentroids = 16
+  val IvfProbes = 2
   val MinJaccard = 0.5
   /** With 4 LSH bands over 48 bits, <=3 flips cannot miss every band —
     * banded candidate generation is COMPLETE for this threshold
@@ -96,7 +97,8 @@ object LlmData {
 
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK, IvfCentroids)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+        IvfCentroids, nprobe = IvfProbes)
         .orderBy("q_id", "rank")
     }),
 
@@ -179,7 +181,7 @@ object LlmData {
     "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
     "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
-    "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim),
+    "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim, IvfProbes),
     "emb_neardup_pairs" -> SimilaritySql.nearDupPairs(NearDupCos, EmbDim),
     "multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'application/octet-stream' AS media_type,

@@ -90,22 +90,25 @@ object Similarity {
     * union over the next-nearest centroids.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
+              nprobe: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = broadcast(corpus.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec")))
-    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+    // corpus rows live in exactly ONE inverted list; queries probe their
+    // `nprobe` nearest centroids (recall/cost dial).
+    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("c_id"))
       df.join(cents)
         .withColumn("d2", dot(col(vec), col(vec)) - dot(col(vec), col("c_vec")) * 2
           + dot(col("c_vec"), col("c_vec")))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .filter(col("rn") <= probes)
         .select(col(id), col(vec), col("c_id").as("centroid"))
     }
     val corpusAssigned = assign(
-      corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id", "n_vec")
+      corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id", "n_vec", 1)
     val queriesAssigned = broadcast(assign(
-      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec"))
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec", nprobe))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     queriesAssigned.join(corpusAssigned, Seq("centroid"))
       .filter(col("q_id") =!= col("n_id"))

@@ -47,9 +47,9 @@ object SimilaritySql {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim FROM ranked
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
-  def ivfTopK(k: Int, nQueries: Int, nCentroids: Int, dim: Int,
+  def ivfTopK(k: Int, nQueries: Int, nCentroids: Int, dim: Int, nprobe: Int = 1,
               table: String = "embeddings"): String = {
-    def assign(src: String, idAs: String, vecAs: String) =
+    def assign(src: String, idAs: String, vecAs: String, probes: Int = 1) =
       s"""SELECT $idAs, $vecAs, centroid FROM (
          |  SELECT v.vec_id AS $idAs, v.embedding AS $vecAs, c.vec_id AS centroid,
          |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -57,9 +57,9 @@ object SimilaritySql {
          |           - (${dot("v.embedding", "c.embedding", dim)}) * 2
          |           + (${dot("c.embedding", "c.embedding", dim)}), c.vec_id) AS rn
          |  FROM ($src) v, (SELECT vec_id, embedding FROM $table WHERE vec_id < $nCentroids) c
-         |) WHERE rn = 1""".stripMargin
+         |) WHERE rn <= {PROBES}""".stripMargin.replace("{PROBES}", probes.toString)
     s"""WITH corpus_a AS (${assign(s"SELECT vec_id, embedding FROM $table", "n_id", "n_vec")}),
-       |queries_a AS (${assign(s"SELECT vec_id, embedding FROM $table WHERE vec_id < $nQueries", "q_id", "q_vec")}),
+       |queries_a AS (${assign(s"SELECT vec_id, embedding FROM $table WHERE vec_id < $nQueries", "q_id", "q_vec", nprobe)}),
        |sims AS (
        |  SELECT q.q_id, c.n_id, ${cosine("q.q_vec", "c.n_vec", dim)} AS sim
        |  FROM queries_a q JOIN corpus_a c ON q.centroid = c.centroid AND q.q_id <> c.n_id

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming (the `KeyValueGroupedDataset` state API) —
+  * per-user running profiles maintained across micro-batches. This is the
+  * piece of the streaming surface that windows can't express: arbitrary
+  * per-key state with engine-managed fault tolerance (checkpointed state
+  * store, at-least-once state transitions).
+  *
+  * Scale shape: state is hash-partitioned by key across executors; each
+  * micro-batch touches only the keys present in the batch plus timed-out
+  * state. The batch oracle (`profilesBatch`) computes the same final
+  * profiles with a plain aggregation — StatefulSpec asserts equality.
+  */
+object StatefulOps {
+
+  case class EventIn(user_id: Long, event_id: Long, value: Double, tsMicros: Long)
+
+  case class UserProfile(user_id: Long, n_events: Long, total_cents: Long,
+                         first_event: Long, last_event: Long)
+
+  /** Streaming: fold events into per-user profiles with mapGroupsWithState.
+    * Values are accumulated in integer cents so the result is identical
+    * regardless of arrival order (double addition would be order-
+    * sensitive; at-least-once replays make that matter in production).
+    */
+  def profilesStreaming(events: Dataset[EventIn]): Dataset[UserProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[EventIn], state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(
+            UserProfile(user, 0L, 0L, Long.MaxValue, Long.MinValue))
+          val next = batch.foldLeft(prev) { (p, e) =>
+            UserProfile(user,
+              p.n_events + 1,
+              p.total_cents + math.round(e.value * 100),
+              math.min(p.first_event, e.event_id),
+              math.max(p.last_event, e.event_id))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch oracle: same profiles via plain aggregation. */
+  def profilesBatch(events: DataFrame): DataFrame =
+    events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("total_cents"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+
+  /** Adapt the events table (ts already normalized) to the typed input. */
+  def asEventIn(events: DataFrame): Dataset[EventIn] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("value"),
+      unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      .as[EventIn]
+  }
+
+  /** Run the stateful query over a file stream to completion (update mode;
+    * the LAST emitted row per user is the final profile).
+    */
+  def runToFinalProfiles(spark: SparkSession, src: Dataset[EventIn],
+                         queryName: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = profilesStreaming(src).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // last update per user wins
+    val all = spark.table(queryName)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

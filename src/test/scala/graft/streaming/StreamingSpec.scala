@@ -89,6 +89,18 @@ class StreamingSpec extends SparkSpec {
     assert(written.columns.contains("w_start"))
   }
 
+  test("stateful mapGroupsWithState profiles == batch aggregation") {
+    import spark.implicits._
+    val src = StatefulOps.asEventIn(streamEvents)
+    val streamed = StatefulOps.runToFinalProfiles(spark, src, "profiles_out")
+      .select("user_id", "n_events", "total_cents", "first_event", "last_event")
+      .orderBy("user_id").collect()
+    val batch = StatefulOps.profilesBatch(eventsBatch)
+      .orderBy("user_id").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("kafka message shaping round-trips through streaming JSON parse") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
