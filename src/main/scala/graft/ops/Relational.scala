@@ -270,6 +270,16 @@ object Relational {
         .orderBy("r_name", "n_name")
     }),
 
+    // ---- cube: all grouping-set combinations of (status, priority) ---------
+    "agg_cube_status_priority" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
     // ---- pivot: status categories to columns (static schema, exact) --------
     "pivot_status_by_priority" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -414,6 +424,14 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY coalesce(r_name, 'ALL'), coalesce(n_name, 'ALL')""".stripMargin,
+    "agg_cube_status_priority" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY coalesce(o_orderstatus, 'ALL'), coalesce(o_orderpriority, 'ALL')""".stripMargin,
     "pivot_status_by_priority" ->
       """SELECT o_orderpriority,
         |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
