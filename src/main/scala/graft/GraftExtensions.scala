@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
+  import GraftExtensions.foldableInt
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_poly_hash"),
       info("graft_poly_hash", "polynomial codepoint hash mod 1e9+7"),
@@ -30,19 +32,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "distinct word n-gram shingle hashes; args: (tokens, n)"),
       (args: Seq[Expression]) => ShingleHashes(args(0),
-        args(1).eval(null).asInstanceOf[Number].intValue())))
+        foldableInt("graft_shingle_hashes", args(1)))))
     e.injectFunction((FunctionIdentifier("graft_char_grams"),
       info("graft_char_grams", "char k-gram rolling hashes; args: (text, k)"),
       (args: Seq[Expression]) => CharGramHashes(args(0),
-        args(1).eval(null).asInstanceOf[Number].intValue())))
+        foldableInt("graft_char_grams", args(1)))))
     e.injectFunction((FunctionIdentifier("graft_winnow"),
       info("graft_winnow", "winnowing fingerprints; args: (grams, w)"),
       (args: Seq[Expression]) => Winnow(args(0),
-        args(1).eval(null).asInstanceOf[Number].intValue())))
+        foldableInt("graft_winnow", args(1)))))
     e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "minhash signature; args: (shingleHashes, k)"),
       (args: Seq[Expression]) => MinHashSig(args(0),
-        args(1).eval(null).asInstanceOf[Number].intValue())))
+        foldableInt("graft_minhash_sig", args(1)))))
     e.injectFunction((FunctionIdentifier("graft_simhash48"),
       info("graft_simhash48", "48-bit simhash of a token-hash array"),
       (args: Seq[Expression]) => SimHash48(args.head)))
@@ -53,22 +55,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** The int-parameterized kernels (shingle width, winnow window, signature
+    * length) bind the literal at plan-construction time; a non-foldable or
+    * non-integral argument must fail analysis with the function name, not a
+    * NullPointerException deep in `eval`.
+    */
+  private[graft] def foldableInt(fn: String, e: Expression): Int = {
+    def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$fn`", "paramName" -> "`k`", "paramType" -> "\"INT\""),
+      None)
+    if (!e.foldable) fail()
+    e.eval(null) match {
+      case n: java.lang.Number => n.intValue()
+      case _ => fail()
+    }
+  }
+
   /** Register the graft functions on an ALREADY-RUNNING session (the
     * extensions path only applies at session construction).
     */
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    def asInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
+    def asInt(fn: String)(e: Expression): Int = foldableInt(fn, e)
     r.createOrReplaceTempFunction("graft_poly_hash",
       (args: Seq[Expression]) => PolyHash(args.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_shingle_hashes",
-      (args: Seq[Expression]) => ShingleHashes(args(0), asInt(args(1))), "scala_udf")
+      (args: Seq[Expression]) => ShingleHashes(args(0), asInt("graft_shingle_hashes")(args(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_char_grams",
-      (args: Seq[Expression]) => CharGramHashes(args(0), asInt(args(1))), "scala_udf")
+      (args: Seq[Expression]) => CharGramHashes(args(0), asInt("graft_char_grams")(args(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_winnow",
-      (args: Seq[Expression]) => Winnow(args(0), asInt(args(1))), "scala_udf")
+      (args: Seq[Expression]) => Winnow(args(0), asInt("graft_winnow")(args(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_minhash_sig",
-      (args: Seq[Expression]) => MinHashSig(args(0), asInt(args(1))), "scala_udf")
+      (args: Seq[Expression]) => MinHashSig(args(0), asInt("graft_minhash_sig")(args(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_simhash48",
       (args: Seq[Expression]) => SimHash48(args.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_dot_f",

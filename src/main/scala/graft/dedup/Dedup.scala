@@ -66,19 +66,24 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // Signature table is tiny relative to the corpus — persist it so the
+    // Signature table is tiny relative to the corpus — materialize it so the
     // band self-join's two branches don't recompute shingling, and so
     // CollapseProject can't re-inline the HOF chains (which would turn the
-    // signature into a per-branch recompute).
+    // signature into a per-branch recompute). localCheckpoint (not persist):
+    // the blocks are RDD-level, so the ContextCleaner reclaims them when the
+    // returned DataFrame is GC'd — persist() pins a CacheManager entry for
+    // the session's lifetime, which accumulates across a long query sweep.
+    // At cluster scale, swap for reliable checkpoint() or persist+unpersist
+    // if executor loss must be recoverable mid-query.
     val sh = docs
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("id"), TextOps.shingleHashes(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
+      .localCheckpoint(eager = false)
     val bands = sh
       .select(col("id"), posexplode(bandHashes(minhashSignature(col("sh")))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
-      .persist()
+      .localCheckpoint(eager = false)
     // Distinct candidate ids FIRST (cheap fixed-width shuffle), then join
     // the shingle sets back by id — never shuffle arrays at candidate
     // cardinality.
@@ -132,7 +137,9 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextOps.polyHashAll(TextOps.tokens(col(textCol))).as("th"))
       .select(col("id"), simhash(col("th")).as("sim"))
-      .persist() // see minhashPairs: block re-inlining across the self-join
+      // see minhashPairs: block re-inlining across the self-join; RDD-level
+      // blocks are GC-reclaimed, unlike a CacheManager persist() entry
+      .localCheckpoint(eager = false)
     val bands = sims.select(col("id"), col("sim"),
       posexplode(simhashBands(col("sim"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))

@@ -43,11 +43,32 @@ def frame_fingerprint(cols):
 
 def spark_result(name):
     import glob
-    files = glob.glob(f"{OUT_DIR}/{name}/*.parquet")
+    files = sorted(glob.glob(f"{OUT_DIR}/{name}/*.parquet"))
     if not files:
-        return None
-    t = pq.read_table(files[0])
-    return {c: t.column(c).to_pylist() for c in t.column_names}
+        return None, None
+    # Read ALL part files: comparing only files[0] would silently pass on a
+    # partial result if Verify ever stopped coalescing to one file.
+    t = pq.read_table(files)
+    types = {c: str(t.schema.field(c).type) for c in t.column_names}
+    return {c: t.column(c).to_pylist() for c in t.column_names}, types
+
+
+def type_class(t):
+    """Coarse arrow-type class: catches engine-vs-oracle typing drift (the
+    HUGEINT->float64 pivot case) without false-alarming on representation
+    details (string vs large_string, int32 vs int64 literals)."""
+    t = str(t)
+    for cls, prefixes in [
+        ("int", ("int", "uint")), ("float", ("float", "double", "halffloat")),
+        ("decimal", ("decimal",)), ("str", ("string", "large_string", "utf8")),
+        ("bool", ("bool",)), ("ts", ("timestamp",)), ("date", ("date",)),
+        ("bin", ("binary", "large_binary", "fixed_size_binary")),
+        ("list", ("list", "large_list", "fixed_size_list")),
+        ("struct", ("struct",)),
+    ]:
+        if t.startswith(prefixes):
+            return cls
+    return t
 
 
 def main():
@@ -64,7 +85,7 @@ def main():
     names = sorted(d for d in os.listdir(OUT_DIR)
                    if os.path.isdir(os.path.join(OUT_DIR, d)))
     for name in names:
-        got = spark_result(name)
+        got, got_types = spark_result(name)
         if got is None:
             results[name] = "SPARK_EMPTY_OR_FAILED"
             continue
@@ -76,13 +97,19 @@ def main():
             cur = con.execute(oracle[name])
             t = cur.fetch_arrow_table()
             exp = {c: t.column(c).to_pylist() for c in t.column_names}
+            exp_types = {c: str(t.schema.field(c).type) for c in t.column_names}
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
         gn, gr = frame_fingerprint(got)
         en, er = frame_fingerprint(exp)
+        gt = {c: type_class(got_types[c]) for c in got_types}
+        et = {c: type_class(exp_types[c]) for c in exp_types}
         if gn != en:
             results[name] = f"SCHEMA_MISMATCH spark={gn} duckdb={en}"
+        elif gt != et:
+            results[name] = (f"TYPE_MISMATCH "
+                             f"{ {c: (gt[c], et.get(c)) for c in gt if gt[c] != et.get(c)} }")
         elif len(gr) != len(er):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(gr)} duckdb={len(er)}"
         elif gr != er:
