@@ -27,6 +27,11 @@ object ArrayKernels {
   def dot_f(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def nearest_centroids(v: Column, centIds: Array[Long],
+                        cents: Array[Array[Double]], probes: Int): Column =
+    ExpressionUtils.column(
+      NearestCentroids(ExpressionUtils.expression(v), centIds, cents, probes))
+
   def minhash_sig(shingleHashes: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingleHashes), k))
 
@@ -72,6 +77,79 @@ case class DotProductF(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** The `probes` nearest centroid ids for a float-array vector, by squared
+  * L2 distance (ties → lowest centroid id). The centroid matrix rides along
+  * as a broadcast-like literal (a few KB — `nlist × dim` doubles), so
+  * assignment is a NARROW projection: no join, no shuffle, whole-stage
+  * codegen. This replaces the corpus×centroids join + per-vector-id window
+  * (a shuffle of `nlist ×` the corpus) that a relational argmin costs.
+  *
+  * Distance arithmetic mirrors [[graft.sim.SimilaritySql]] bit-for-bit:
+  * `d2 = dot(v,v) - dot(v,c)*2 + dot(c,c)`, each dot a sequential
+  * left-to-right double fold.
+  */
+case class NearestCentroids(child: Expression, centIds: Array[Long],
+                            cents: Array[Array[Double]], probes: Int)
+    extends UnaryExpression {
+  require(centIds.length == cents.length && cents.nonEmpty && probes >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val dcc: Array[Double] = cents.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  def nearest(vin: ArrayData): ArrayData = {
+    val n = cents.length
+    val d2 = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val c = cents(j)
+      val dim = math.min(vin.numElements(), c.length)
+      var dvv = 0.0
+      var dvc = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = vin.getFloat(i).toDouble
+        dvv += x * x
+        dvc += x * c(i)
+        i += 1
+      }
+      d2(j) = dvv - dvc * 2 + dcc(j)
+      j += 1
+    }
+    val out = new Array[Long](math.min(probes, n))
+    val used = new Array[Boolean](n)
+    var p = 0
+    while (p < out.length) {
+      var best = -1
+      var i = 0
+      while (i < n) {
+        if (!used(i) && (best < 0 || d2(i) < d2(best) ||
+            (d2(i) == d2(best) && centIds(i) < centIds(best)))) best = i
+        i += 1
+      }
+      used(best) = true
+      out(p) = centIds(best)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $ref.nearest($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** MinHash signature: slot i = min over the input hash set of

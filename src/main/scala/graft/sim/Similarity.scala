@@ -47,6 +47,20 @@ object Similarity {
       when(element_at(v, i + 1) > 0f, 1L << i).otherwise(0L))
       .reduce(_ + _)
 
+  /** Bucket-count math: smallest `b` in [minBits, maxBits] with
+    * `2^b * targetBucket >= n`, i.e. enough buckets that the EXPECTED
+    * bucket holds ~`targetBucket` vectors — the within-bucket work is then
+    * O(N * targetBucket) for near-dup (not O(N²/2^b) with a fixed b, which
+    * at 100 TB degenerates to all-pairs-within-64-buckets). Fixed-point
+    * integer comparison, NOT ceil(log2(...)): a floating log disagrees
+    * with the DuckDB oracle in the last ulp exactly at powers of two,
+    * which is where the answer flips. Mirrored by
+    * [[SimilaritySql.planeBitsSql]].
+    */
+  def planeBitsFor(n: Long, targetBucket: Int = 32,
+                   minBits: Int = 4, maxBits: Int = 20): Int =
+    (minBits to maxBits).find(b => (1L << b) * targetBucket >= n).getOrElse(maxBits)
+
   /** Exact top-k cosine neighbors for each query vector (`queries` is a
     * small DataFrame broadcast against the corpus). Deterministic rank:
     * (sim DESC, neighbor id ASC).
@@ -64,14 +78,18 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
   }
 
-  /** Approximate top-k: probe only the query's sign-LSH bucket. */
+  /** Approximate top-k: probe only the query's sign-LSH bucket.
+    * `planeBits = None` (default) derives the bucket count from the corpus
+    * size via [[planeBitsFor]] — one count() pass at plan time.
+    */
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    planeBits: Int = 6,
+                    planeBits: Option[Int] = None,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bits = planeBits.getOrElse(planeBitsFor(corpus.count()))
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      signBucket(col(vecCol), planeBits).as("bucket")))
+      signBucket(col(vecCol), bits).as("bucket")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      signBucket(col(vecCol), planeBits).as("bucket"))
+      signBucket(col(vecCol), bits).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
@@ -81,34 +99,79 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
   }
 
-  /** IVF-style ANN: a deterministic centroid set (first `nCentroids`
-    * corpus vectors — a k-means iteration would refine them; determinism
-    * matters more here), every vector assigned to its nearest centroid by
-    * L2 (ties → lowest centroid id), queries probe ONLY their centroid's
-    * inverted list. The real IVF shape: the corpus is hash-partitioned by
-    * centroid id, a query touches 1/nCentroids of the data; nprobe>1 is a
-    * union over the next-nearest centroids.
+  /** Nearest-centroid assignment as a NARROW projection: the centroid
+    * matrix (nlist × dim doubles — a few KB) is baked into a codegen'd
+    * kernel ([[graft.functions.NearestCentroids]]), so assigning N vectors
+    * costs one corpus pass with zero shuffle. The relational alternative
+    * (corpus × centroids join + per-vector-id window argmin) shuffles
+    * `nlist ×` the corpus — the one genuinely scale-hostile plan in an ANN
+    * suite, eliminated here.
+    */
+  def nearestCentroids(v: Column, cents: Array[(Long, Array[Double])],
+                       probes: Int): Column =
+    graft.functions.ArrayKernels.nearest_centroids(
+      v, cents.map(_._1), cents.map(_._2), probes)
+
+  /** Deterministic k-means for IVF coarse quantization: seed with the
+    * first `nCentroids` corpus vectors (by id — reproducible, no RNG),
+    * then `iters` Lloyd iterations. The per-centroid mean folds members in
+    * vec-id order (sort_array + sequential `aggregate`), so the refined
+    * coordinates are bit-identical to the DuckDB oracle's
+    * `list_sum(list(x ORDER BY vec_id))` — determinism the hash-exact gate
+    * needs. At cluster scale, swap the ordered fold for a plain `avg`
+    * (associative partial aggregation, map-side combine) and accept
+    * last-ulp nondeterminism; the shape is otherwise identical.
+    * Centroids that lose all members drop out (standard Lloyd).
+    */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 1,
+                      idCol: String = "vec_id", vecCol: String = "embedding"
+                     ): Array[(Long, Array[Double])] = {
+    def collectCents(df: DataFrame, id: Column, vec: Column): Array[(Long, Array[Double])] =
+      df.select(id.cast("long"), vec).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    var cents = collectCents(
+      corpus.filter(col(idCol) < nCentroids),
+      col(idCol), transform(col(vecCol), _.cast("double")))
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("centroid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
+      val coords = assigned
+        .select(col("centroid"), col("id"), posexplode(col("vec")))
+        .groupBy(col("centroid"), col("pos"))
+        .agg(sort_array(collect_list(struct(col("id"), col("col")))).as("xs"))
+        .select(col("centroid"), col("pos"),
+          (aggregate(col("xs"), lit(0.0), (acc, s) =>
+            acc + s.getField("col").cast("double")) / size(col("xs"))).as("coord"))
+      cents = collectCents(
+        coords.groupBy(col("centroid"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("coord")))).as("cs")),
+        col("centroid"), transform(col("cs"), _.getField("coord")))
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF ANN: k-means coarse centroids (deterministic seed + `refineIters`
+    * Lloyd steps), every corpus vector assigned to exactly ONE inverted
+    * list by the narrow [[nearestCentroids]] kernel, queries probe their
+    * `nprobe` nearest lists (recall/cost dial). The probe is a broadcast
+    * join on centroid id — the corpus is never shuffled; at scale the
+    * corpus would be WRITTEN bucketed by centroid so repeated query
+    * batches skip even the scan of non-probed lists.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
-              nprobe: Int = 1,
+              nprobe: Int = 1, refineIters: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(corpus.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec")))
-    // corpus rows live in exactly ONE inverted list; queries probe their
-    // `nprobe` nearest centroids (recall/cost dial).
-    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("c_id"))
-      df.join(cents)
-        .withColumn("d2", dot(col(vec), col(vec)) - dot(col(vec), col("c_vec")) * 2
-          + dot(col("c_vec"), col("c_vec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= probes)
-        .select(col(id), col(vec), col("c_id").as("centroid"))
-    }
-    val corpusAssigned = assign(
-      corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id", "n_vec", 1)
-    val queriesAssigned = broadcast(assign(
-      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec", nprobe))
+    val cents = kmeansCentroids(corpus, nCentroids, refineIters, idCol, vecCol)
+    val corpusAssigned = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("centroid", element_at(nearestCentroids(col("n_vec"), cents, 1), 1))
+    val queriesAssigned = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("centroid", explode(nearestCentroids(col("q_vec"), cents, nprobe))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     queriesAssigned.join(corpusAssigned, Seq("centroid"))
       .filter(col("q_id") =!= col("n_id"))
@@ -119,12 +182,16 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: sign-LSH blocking, then exact cosine
-    * threshold inside each bucket (a < b).
+    * threshold inside each bucket (a < b). `planeBits = None` derives the
+    * bucket count from the corpus size ([[planeBitsFor]]) so the
+    * within-bucket quadratic term stays bounded at any scale.
     */
-  def nearDupPairs(corpus: DataFrame, minCosine: Double, planeBits: Int = 6,
+  def nearDupPairs(corpus: DataFrame, minCosine: Double,
+                   planeBits: Option[Int] = None,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bits = planeBits.getOrElse(planeBitsFor(corpus.count()))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      signBucket(col(vecCol), planeBits).as("bucket"))
+      signBucket(col(vecCol), bits).as("bucket"))
     val x = c.select(col("bucket"), col("id").as("a"), col("vec").as("va"))
     val y = c.select(col("bucket"), col("id").as("b"), col("vec").as("vb"))
     x.join(y, Seq("bucket")).filter(col("a") < col("b"))

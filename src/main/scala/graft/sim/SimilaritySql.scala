@@ -17,6 +17,23 @@ object SimilaritySql {
     (0 until planeBits).map(i =>
       s"CASE WHEN ($v)[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
+  /** Mirrors [[Similarity.planeBitsFor]] with the same integer fixed-point
+    * (no floating log2): a one-row CTE `pb(pb)`.
+    */
+  def planeBitsSql(table: String, targetBucket: Int = 32,
+                   minBits: Int = 4, maxBits: Int = 20): String =
+    s"""SELECT coalesce(min(b), $maxBits) AS pb FROM range($minBits, ${maxBits + 1}) t(b)
+       |WHERE (CAST(1 AS BIGINT) << b) * $targetBucket >= (SELECT count(*) FROM $table)""".stripMargin
+
+  /** [[signBucket]] with the bit count read from the `pb` CTE column —
+    * bits at positions >= pb contribute 0, so the static sum over
+    * [0, maxBits) equals the engine's literal `planeBits`-bit bucket.
+    */
+  def signBucketDynamic(v: String, pbCol: String = "pb", maxBits: Int = 20): String =
+    (0 until maxBits).map(i =>
+      s"CASE WHEN $i < $pbCol AND ($v)[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+
   def cosineTopK(k: Int, nQueries: Int, dim: Int, table: String = "embeddings"): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM $table WHERE vec_id < $nQueries),
        |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM $table),
@@ -31,9 +48,10 @@ object SimilaritySql {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim FROM ranked
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
-  def lshBucketTopK(k: Int, nQueries: Int, dim: Int, planeBits: Int = 6,
+  def lshBucketTopK(k: Int, nQueries: Int, dim: Int,
                     table: String = "embeddings"): String =
-    s"""WITH b AS (SELECT vec_id, embedding, ${signBucket("embedding", planeBits)} AS bucket FROM $table),
+    s"""WITH pbt AS (${planeBitsSql(table)}),
+       |b AS (SELECT vec_id, embedding, ${signBucketDynamic("embedding")} AS bucket FROM $table, pbt),
        |sims AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |         ${cosine("q.embedding", "c.embedding", dim)} AS sim
@@ -47,19 +65,40 @@ object SimilaritySql {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim FROM ranked
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Mirrors [[Similarity.ivfTopK]] including the deterministic k-means
+    * refinement: seed centroids = first `nCentroids` vectors, ONE Lloyd
+    * step whose per-centroid per-dimension mean folds members in vec-id
+    * order (`list_sum(list(x ORDER BY id))` == Spark's sorted sequential
+    * `aggregate` fold, bit-exact), then assignment by
+    * `d2 = dot(v,v) - dot(v,c)*2 + dot(c,c)` with ties to the lowest
+    * centroid id — the same arithmetic the codegen'd
+    * [[graft.functions.NearestCentroids]] kernel runs.
+    */
   def ivfTopK(k: Int, nQueries: Int, nCentroids: Int, dim: Int, nprobe: Int = 1,
-              table: String = "embeddings"): String = {
-    def assign(src: String, idAs: String, vecAs: String, probes: Int = 1) =
+              refineIters: Int = 1, table: String = "embeddings"): String = {
+    require(refineIters == 1, "oracle SQL is written for exactly one Lloyd step")
+    def d2(v: String, c: String) =
+      s"""(${dot(v, v, dim)})
+         |           - (${dot(v, c, dim)}) * 2
+         |           + (${dot(c, c, dim)})""".stripMargin
+    def assign(src: String, cents: String, idAs: String, vecAs: String, probes: Int) =
       s"""SELECT $idAs, $vecAs, centroid FROM (
-         |  SELECT v.vec_id AS $idAs, v.embedding AS $vecAs, c.vec_id AS centroid,
+         |  SELECT v.vec_id AS $idAs, v.embedding AS $vecAs, c.c_id AS centroid,
          |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |           (${dot("v.embedding", "v.embedding", dim)})
-         |           - (${dot("v.embedding", "c.embedding", dim)}) * 2
-         |           + (${dot("c.embedding", "c.embedding", dim)}), c.vec_id) AS rn
-         |  FROM ($src) v, (SELECT vec_id, embedding FROM $table WHERE vec_id < $nCentroids) c
-         |) WHERE rn <= {PROBES}""".stripMargin.replace("{PROBES}", probes.toString)
-    s"""WITH corpus_a AS (${assign(s"SELECT vec_id, embedding FROM $table", "n_id", "n_vec")}),
-       |queries_a AS (${assign(s"SELECT vec_id, embedding FROM $table WHERE vec_id < $nQueries", "q_id", "q_vec", nprobe)}),
+         |           ${d2("v.embedding", "c.c_vec")}, c.c_id) AS rn
+         |  FROM ($src) v, $cents c
+         |) WHERE rn <= $probes""".stripMargin
+    s"""WITH cents0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM $table WHERE vec_id < $nCentroids),
+       |a0 AS (${assign(s"SELECT vec_id, embedding FROM $table", "cents0", "m_id", "m_vec", 1)}),
+       |coords AS (
+       |  SELECT centroid, j,
+       |         list_sum(list(CAST(m_vec[j] AS DOUBLE) ORDER BY m_id)) / count(*) AS coord
+       |  FROM a0 CROSS JOIN range(1, ${dim + 1}) t(j)
+       |  GROUP BY centroid, j
+       |),
+       |cents1 AS (SELECT centroid AS c_id, list(coord ORDER BY j) AS c_vec FROM coords GROUP BY centroid),
+       |corpus_a AS (${assign(s"SELECT vec_id, embedding FROM $table", "cents1", "n_id", "n_vec", 1)}),
+       |queries_a AS (${assign(s"SELECT vec_id, embedding FROM $table WHERE vec_id < $nQueries", "cents1", "q_id", "q_vec", nprobe)}),
        |sims AS (
        |  SELECT q.q_id, c.n_id, ${cosine("q.q_vec", "c.n_vec", dim)} AS sim
        |  FROM queries_a q JOIN corpus_a c ON q.centroid = c.centroid AND q.q_id <> c.n_id
@@ -72,9 +111,10 @@ object SimilaritySql {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
-  def nearDupPairs(minCosine: Double, dim: Int, planeBits: Int = 6,
+  def nearDupPairs(minCosine: Double, dim: Int,
                    table: String = "embeddings"): String =
-    s"""WITH b AS (SELECT vec_id, embedding, ${signBucket("embedding", planeBits)} AS bucket FROM $table),
+    s"""WITH pbt AS (${planeBitsSql(table)}),
+       |b AS (SELECT vec_id, embedding, ${signBucketDynamic("embedding")} AS bucket FROM $table, pbt),
        |pairs AS (
        |  SELECT x.vec_id AS a, y.vec_id AS b,
        |         ${cosine("x.embedding", "y.embedding", dim)} AS cos

@@ -76,6 +76,53 @@ class KernelSpec extends SparkSpec {
     assert(d.filter(col("k") =!= col("h")).count() == 0)
   }
 
+  test("NearestCentroids kernel == relational join+window argmin") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, 8, iters = 0)
+    // reference: d2 argmin via cross join + groupBy-min, same arithmetic
+    val centsDf = spark.createDataFrame(cents.toSeq.map {
+      case (id, v) => (id, v.toSeq)
+    }).toDF("c_id", "c_vec")
+    def dotDD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+    val withD2 = e.crossJoin(centsDf)
+      .withColumn("d2",
+        Similarity.dotHof(col("embedding"), col("embedding"))
+          - dotDD(col("embedding"), col("c_vec")) * 2
+          + dotDD(col("c_vec"), col("c_vec")))
+    val expected = withD2
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("expected"))
+    val got = e.select(col("vec_id"),
+      element_at(Similarity.nearestCentroids(col("embedding"), cents, 1), 1)
+        .as("got"))
+    assert(got.join(expected, Seq("vec_id"))
+      .filter(col("got") =!= col("expected")).count() == 0)
+  }
+
+  test("kmeans refinement is deterministic and preserves centroid count bound") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = Similarity.kmeansCentroids(e, 8, iters = 1)
+    val b = Similarity.kmeansCentroids(e, 8, iters = 1)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+    assert(a.zip(b).forall { case ((_, x), (_, y)) => x.toSeq == y.toSeq })
+    assert(a.length <= 8 && a.nonEmpty)
+  }
+
+  test("planeBitsFor: integer bucket math, no floating log") {
+    import Similarity.planeBitsFor
+    assert(planeBitsFor(500) == 4)     // 16*32=512 >= 500
+    assert(planeBitsFor(512) == 4)     // exactly at the boundary
+    assert(planeBitsFor(513) == 5)
+    assert(planeBitsFor(2000) == 6)    // sf0.1: 64 buckets of ~31
+    assert(planeBitsFor(0) == 4)       // floor
+    assert(planeBitsFor(Long.MaxValue) == 20) // cap
+  }
+
   test("kernels survive both codegen and interpreted eval paths") {
     // Force interpreted path by using the expressions in a filter that
     // Catalyst constant-folds / evaluates eagerly on literals.
