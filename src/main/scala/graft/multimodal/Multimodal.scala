@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * feature-extract / frame-sample operators.
   *
   * The Spark-side plumbing — schema, partition-preserving `mapPartitions`
-  * batching, deterministic output shape — is real and tested. The codec
-  * itself is STUBBED (no image/audio libraries in this container): the
-  * "decode" is a deterministic fake that derives pseudo-dimensions and
-  * pseudo-frames from the payload bytes. Swapping in a real codec changes
-  * only the marked function body, not the plan shape.
+  * batching, deterministic output shape — is real and tested. The IMAGE
+  * codec is real: payloads whose magic bytes say PNG/JPEG/GIF/BMP decode
+  * through `javax.imageio` (in the JDK — no external libraries) to true
+  * width × height. Audio/video payloads remain STUBBED (no codec libs in
+  * this container): a deterministic fake derives pseudo-dimensions and
+  * pseudo-frames from the payload bytes. Swapping in a real A/V codec
+  * changes only the marked function body, not the plan shape.
   *
   * Scale notes: payloads stay in executor memory one partition at a time;
   * `mapPartitions` amortizes per-batch codec setup exactly like a Pandas
@@ -52,22 +54,49 @@ object Multimodal {
   case class DecodedMeta(asset_id: Long, width: Int, height: Int,
                          n_frames: Int, fingerprint: Long)
 
-  /** STUB decode: derives deterministic pseudo-dimensions from the payload
-    * — replace the body with a real codec (e.g. javax.imageio /
-    * jcodec) when available. ??? marker: real decode NOT implemented.
-    */
-  def stubDecode(assetId: Long, payload: Array[Byte]): DecodedMeta = {
-    // STUB — a real implementation would parse the container header here.
+  /** Deterministic payload fingerprint (rolling polynomial hash). */
+  def payloadHash(payload: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+    h
+  }
+
+  /** Magic-byte sniff for the formats `javax.imageio` ships decoders for. */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP):
+    * true pixel dimensions, payload-hash fingerprint. None for payloads
+    * that aren't images or fail to parse — callers fall back to the stub.
+    */
+  def imageDecode(assetId: Long, payload: Array[Byte]): Option[DecodedMeta] =
+    if (!looksLikeImage(payload)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else Some(DecodedMeta(assetId, img.getWidth, img.getHeight, 1, payloadHash(payload)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decode for non-image media: derives deterministic
+    * pseudo-dimensions from the payload — replace the body with a real
+    * A/V codec (e.g. jcodec) when available.
+    */
+  def stubDecode(assetId: Long, payload: Array[Byte]): DecodedMeta = {
+    // STUB — a real implementation would parse the container header here.
+    val h = payloadHash(payload)
     val w = 16 + (h % 1024).toInt
     val ht = 16 + ((h / 1024) % 1024).toInt
     DecodedMeta(assetId, w, ht, 1 + (payload.length / 64), h)
   }
 
   /** Decode operator: batched per partition (codec init once per
-    * partition, like a Pandas UDF batch loop).
+    * partition, like a Pandas UDF batch loop). Images decode for real
+    * ([[imageDecode]]); other payloads take the deterministic stub path.
     */
   def decode(assets: DataFrame): Dataset[DecodedMeta] = {
     val spark = assets.sparkSession
@@ -75,9 +104,11 @@ object Multimodal {
     assets.select(col("asset_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition codec setup would go here (STUB: none needed)
+        // per-partition codec setup goes here (ImageIO is stateless; an
+        // A/V codec would init once per partition)
         it.map { case (id, bytes) =>
-          stubDecode(id, Option(bytes).getOrElse(Array.emptyByteArray))
+          val payload = Option(bytes).getOrElse(Array.emptyByteArray)
+          imageDecode(id, payload).getOrElse(stubDecode(id, payload))
         }
       }
   }

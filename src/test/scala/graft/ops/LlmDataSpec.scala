@@ -77,6 +77,29 @@ class LlmDataSpec extends SparkSpec {
     assert(a.length == Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("image payloads decode to TRUE pixel dimensions via javax.imageio") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val assets = Seq(
+      (1L, "image/png", png(17, 9)),
+      (2L, "image/png", png(3, 251)),
+      (3L, "application/octet-stream", "not an image".getBytes("UTF-8"))
+    ).toDF("asset_id", "media_type", "payload")
+    val out = Multimodal.decode(assets).collect().sortBy(_.asset_id)
+    assert(out(0).width == 17 && out(0).height == 9 && out(0).n_frames == 1)
+    assert(out(1).width == 3 && out(1).height == 251 && out(1).n_frames == 1)
+    // non-image payloads keep the deterministic stub path
+    val stub = Multimodal.stubDecode(3L, "not an image".getBytes("UTF-8"))
+    assert(out(2) == stub)
+  }
+
   test("frame sampling emits stride-spaced frame indices per asset") {
     val frames = Multimodal.sampleFrames(
       Multimodal.assetsFromText(Tables.load(spark, sfDir, "documents"),
