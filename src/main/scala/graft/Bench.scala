@@ -10,18 +10,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    // Shuffle partitions: CPUs give the parallelism ceiling, but at bench
-    // scale (sf<=0.1, ~1e5-row shuffles) 32 partitions is pure fixed cost —
-    // scheduler rounds, 32 tiny files per exchange. AQE's coalescer only
-    // shrinks below `defaultParallelism` when parallelismFirst=false, so we
-    // set that (also the documented recommendation for busy clusters) and
-    // let the advisory size pick the real width at any scale.
+    // AQE coalescing below defaultParallelism (parallelismFirst=false +
+    // advisory size) now lives in GraftSession.builder so Bench, Verify,
+    // and production jobs all run the same conf.
     val spark = GraftSession.builder(master = s"local[$cpus]",
         shufflePartitions = Some(cpus))
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "16m"))
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the write path + codegen stack once so one-time JVM costs
@@ -48,8 +41,12 @@ object Bench {
       s"\"" + k + "\":" + mark
     }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // value = sum over SUCCESSFUL queries only (time-to-failure is not a
+    // meaningful cost; mixing it in makes totals incomparable across runs).
+    // total_all keeps the raw wall-clock sum for completeness.
+    val totalOk = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    val totalAll = if (results.nonEmpty) results.values.sum else 0.0
+    println(s"""{"metric":"total","value":$totalOk,"unit":"sec","total_all":$totalAll,"queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

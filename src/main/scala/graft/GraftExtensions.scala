@@ -110,8 +110,17 @@ object GraftSession {
       .master(master)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", parts.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let AQE coalesce BELOW defaultParallelism: shuffle-partition count
+      // gives the ceiling, the advisory size picks the real width. Without
+      // this, tiny shuffles pay `cpus` partitions of pure fixed cost (the
+      // documented recommendation for busy clusters, and measured 1.5x on
+      // the bench suite).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "16m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

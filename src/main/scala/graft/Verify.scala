@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -8,15 +7,19 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: run only the named queries (dev loop)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Same session factory as Bench/production (GraftSession: extensions,
+    // AQE + coalescing, nanosAsLong) so a conf-sensitive bug can't pass
+    // Verify and fail Bench, or vice versa.
+    val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    val out = new java.io.File(outDir)
+    out.mkdirs()
+    // In subset mode, drop result dirs of queries NOT being re-run: stale
+    // parquet from a previous full run would otherwise be silently
+    // re-verified as if current by tools/verify_local.py.
+    if (only.nonEmpty) out.listFiles().filter(f => f.isDirectory && !only(f.getName))
+      .foreach(d => { def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(d) })
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

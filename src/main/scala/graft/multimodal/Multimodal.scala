@@ -42,14 +42,24 @@ object Multimodal {
     */
   def assetsFromText(df: DataFrame, idCol: String, textCol: String,
                      sourceCol: String): DataFrame =
+    // Materialize the payload bytes ONCE in a separate projection, then
+    // derive byte_len/sha256 from that column. Inlining `encode(text)`
+    // three times is not reliably CSE'd — profiled 4x slower (the UTF-8
+    // encode, not the sha256, dominated). The two selects stay one
+    // codegen stage; CollapseProject keeps them separate because payload
+    // is referenced three times.
     df.select(
-      col(idCol).cast("long").as("asset_id"),
-      lit("application/octet-stream").as("media_type"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      struct(
-        octet_length(encode(col(textCol), "UTF-8")).cast("long").as("byte_len"),
-        lower(sha2(encode(col(textCol), "UTF-8"), 256)).as("sha256"),
-        col(sourceCol).as("source")).as("meta"))
+        col(idCol).cast("long").as("asset_id"),
+        encode(col(textCol), "UTF-8").as("payload"),
+        col(sourceCol).as("source"))
+      .select(
+        col("asset_id"),
+        lit("application/octet-stream").as("media_type"),
+        col("payload"),
+        struct(
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          lower(sha2(col("payload"), 256)).as("sha256"),
+          col("source").as("source")).as("meta"))
 
   case class DecodedMeta(asset_id: Long, width: Int, height: Int,
                          n_frames: Int, fingerprint: Long)

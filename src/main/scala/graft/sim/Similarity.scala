@@ -114,17 +114,26 @@ object Similarity {
 
   /** Deterministic k-means for IVF coarse quantization: seed with the
     * first `nCentroids` corpus vectors (by id — reproducible, no RNG),
-    * then `iters` Lloyd iterations. The per-centroid mean folds members in
-    * vec-id order (sort_array + sequential `aggregate`), so the refined
-    * coordinates are bit-identical to the DuckDB oracle's
-    * `list_sum(list(x ORDER BY vec_id))` — determinism the hash-exact gate
-    * needs. At cluster scale, swap the ordered fold for a plain `avg`
-    * (associative partial aggregation, map-side combine) and accept
-    * last-ulp nondeterminism; the shape is otherwise identical.
-    * Centroids that lose all members drop out (standard Lloyd).
+    * then `iters` Lloyd iterations. Centroids that lose all members drop
+    * out (standard Lloyd). Two refinement modes:
+    *
+    *   - `exactFold = true` (oracle-parity mode): the per-centroid mean
+    *     folds members in vec-id order (sort_array + sequential
+    *     `aggregate`), bit-identical to the DuckDB oracle's
+    *     `list_sum(list(x ORDER BY vec_id))`. ONE exchange per iteration
+    *     (groupBy centroid), but each cluster's members materialize in one
+    *     aggregation buffer — fine at verification scale, an OOM risk for
+    *     a hot cluster at 100 TB.
+    *   - `exactFold = false` (scale mode): plain `avg` per
+    *     (centroid, dim) — associative partial aggregation with map-side
+    *     combine, shuffle volume O(partitions × nlist × dim) regardless of
+    *     corpus size, no cluster materialization. Last-ulp
+    *     nondeterministic (float addition order), which IVF recall does
+    *     not care about; only the hash-exact oracle gate does.
     */
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 1,
-                      idCol: String = "vec_id", vecCol: String = "embedding"
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      exactFold: Boolean = true
                      ): Array[(Long, Array[Double])] = {
     def collectCents(df: DataFrame, id: Column, vec: Column): Array[(Long, Array[Double])] =
       df.select(id.cast("long"), vec).collect()
@@ -134,25 +143,57 @@ object Similarity {
       corpus.filter(col(idCol) < nCentroids),
       col(idCol), transform(col(vecCol), _.cast("double")))
     var it = 0
-    while (it < iters) {
+    while (it < iters && cents.nonEmpty) {
+      val dim = cents(0)._2.length
       val assigned = corpus
         .select(col(idCol).as("id"), col(vecCol).as("vec"))
         .withColumn("centroid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
-      val coords = assigned
-        .select(col("centroid"), col("id"), posexplode(col("vec")))
-        .groupBy(col("centroid"), col("pos"))
-        .agg(sort_array(collect_list(struct(col("id"), col("col")))).as("xs"))
-        .select(col("centroid"), col("pos"),
-          (aggregate(col("xs"), lit(0.0), (acc, s) =>
-            acc + s.getField("col").cast("double")) / size(col("xs"))).as("coord"))
-      cents = collectCents(
-        coords.groupBy(col("centroid"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("coord")))).as("cs")),
-        col("centroid"), transform(col("cs"), _.getField("coord")))
+      val coords =
+        if (exactFold)
+          // Members sorted by (unique) id, then an ordered elementwise
+          // fold per dimension — the same double additions in the same
+          // order as the oracle, in a single exchange.
+          assigned.groupBy(col("centroid"))
+            .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("ms"))
+            .select(col("centroid"),
+              transform(sequence(lit(0), lit(dim - 1)), p =>
+                aggregate(col("ms"), lit(0.0), (acc, m) =>
+                  acc + element_at(m.getField("vec"), p + 1).cast("double"))
+                  / size(col("ms"))).as("cvec"))
+        else
+          assigned.select(col("centroid"), posexplode(col("vec")))
+            .groupBy(col("centroid"), col("pos"))
+            .agg(avg(col("col").cast("double")).as("coord"))
+            .groupBy(col("centroid"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("coord")))).as("cs"))
+            .select(col("centroid"),
+              transform(col("cs"), _.getField("coord")).as("cvec"))
+      cents = collectCents(coords, col("centroid"), col("cvec"))
       it += 1
     }
     cents
   }
+
+  /** Centroid memo: k-means is a property of (corpus, params), not of the
+    * query batch — recomputing it per [[ivfTopK]] call costs two corpus
+    * passes and two driver collects each time. Keyed on the ANALYZED plan's
+    * semantic hash (same source + params → same centroids within a
+    * session); callers with data changing under a fixed path should pass
+    * precomputed centroids to [[ivfTopK]] instead.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, String, String, Boolean),
+      Array[(Long, Array[Double])]]()
+
+  def clearCentroidCache(): Unit = centroidCache.clear()
+
+  def kmeansCentroidsCached(corpus: DataFrame, nCentroids: Int, iters: Int,
+                            idCol: String, vecCol: String,
+                            exactFold: Boolean): Array[(Long, Array[Double])] =
+    centroidCache.computeIfAbsent(
+      (corpus.queryExecution.analyzed.semanticHash(), nCentroids, iters, idCol,
+        vecCol, exactFold),
+      _ => kmeansCentroids(corpus, nCentroids, iters, idCol, vecCol, exactFold))
 
   /** IVF ANN: k-means coarse centroids (deterministic seed + `refineIters`
     * Lloyd steps), every corpus vector assigned to exactly ONE inverted
@@ -161,11 +202,20 @@ object Similarity {
     * join on centroid id — the corpus is never shuffled; at scale the
     * corpus would be WRITTEN bucketed by centroid so repeated query
     * batches skip even the scan of non-probed lists.
+    *
+    * `centroids`: pass a precomputed coarse quantizer to skip k-means
+    * entirely (the scale deployment: train once, reuse across query
+    * batches). When absent, centroids are computed via
+    * [[kmeansCentroidsCached]] — memoized per (corpus plan, params) so
+    * repeated calls in a session pay for training once.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
               nprobe: Int = 1, refineIters: Int = 1,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = kmeansCentroids(corpus, nCentroids, refineIters, idCol, vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              exactFold: Boolean = true,
+              centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      kmeansCentroidsCached(corpus, nCentroids, refineIters, idCol, vecCol, exactFold))
     val corpusAssigned = corpus
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("centroid", element_at(nearestCentroids(col("n_vec"), cents, 1), 1))
