@@ -8,6 +8,13 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // The Kafka connector for graft.sinks.KafkaSink.write's default
+  // format("kafka") path. NOT resolvable in this offline build (no jar in
+  // /opt/spark/jars, none in the coursier cache) — uncomment on a cluster
+  // with egress. Until then the connector contract is enforced by
+  // KafkaLogSink.validateMessageSchema and exercised end-to-end by the
+  // graft-kafka-log stand-in sink (KafkaSinkSpec).
+  // "org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2",
 )
 Test / fork := true
 run / fork := true
@@ -26,5 +33,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: 32 local executor threads + per-query broadcasts put
+  // multi-second GC pauses into whichever bench query lands on them at 8g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

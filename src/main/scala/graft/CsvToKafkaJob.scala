@@ -20,18 +20,23 @@ import graft.sources.Sources
   * stages; the CSV scan prunes to the filter columns + payload, and the
   * Kafka write shuffles nothing (narrow pipeline end to end).
   *
-  * Usage: CsvToKafkaJob <products.csv> [asOfDate=2026-07-13] [daysBack=30]
-  *        [status=created] [topic=products] [bootstrap=localhost:9092]
+  * Usage: CsvToKafkaJob [products.csv] [asOfDate=2026-07-13] [daysBack]
+  *        [status] [topic] [bootstrap]
+  *
+  * Defaults come from [[GraftConfig]] (S5): the reference's env keys
+  * (CSV_FILE_PATH, DEFAULT_DAYS_BACK, ARTICLE_STATUS, KAFKA_TOPIC,
+  * KAFKA_BOOTSTRAP_SERVERS, producer tuning) with its defaults;
+  * positional args override env.
   */
 object CsvToKafkaJob {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CsvToKafkaJob <products.csv> [asOf] [daysBack] [status] [topic] [bootstrap]")
-    val csv = args(0)
+    val conf = GraftConfig.fromEnv()
+    val csv = args.lift(0).getOrElse(conf.csvFilePath)
     val asOf = args.lift(1).getOrElse("2026-07-13")
-    val daysBack = args.lift(2).map(_.toInt).getOrElse(30)
-    val status = args.lift(3).getOrElse("created")
-    val topic = args.lift(4).getOrElse("products")
-    val bootstrap = args.lift(5).getOrElse("localhost:9092")
+    val daysBack = args.lift(2).map(_.toInt).getOrElse(conf.defaultDaysBack)
+    val status = args.lift(3).getOrElse(conf.articleStatus)
+    val topic = args.lift(4).getOrElse(conf.kafkaTopic)
+    val bootstrap = args.lift(5).getOrElse(conf.kafkaBootstrapServers)
 
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -69,6 +69,13 @@ object GraftExtensions {
     if (!e.foldable) fail()
     e.eval(null) match {
       case n: java.lang.Number => n.intValue()
+      case null =>
+        // A foldable NULL (e.g. graft_winnow(g, NULL)) is a type error,
+        // not a foldability error — report it as such.
+        throw new org.apache.spark.sql.AnalysisException(
+          "DATATYPE_MISMATCH.UNEXPECTED_NULL",
+          Map("sqlExpr" -> s"\"$fn(..., k)\"", "exprName" -> "`k`"),
+          None)
       case _ => fail()
     }
   }

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 import graft.schemas.ProductSchemas
 import graft.sources.Sources
 import graft.xml.{XmlDocument, XmlRules}
@@ -17,18 +15,22 @@ import graft.xml.{XmlDocument, XmlRules}
   * ordered X2 fold → single-object write. No temp-file stage; the
   * source/sink URIs replace the reference's boto3 download/upload plumbing.
   *
-  * Usage: JsonToXmlJob <input.json> <output.xml> [--escape]
+  * Usage: JsonToXmlJob [input.json] [output.xml] [--escape]
+  *
+  * Defaults come from [[GraftConfig]] (S5): input = the reference's
+  * `s3://S3_BUCKET/S3_JSON_KEY` object, output = `OUTPUT_XML_PATH` —
+  * positional args override env (and any Hadoop FS URI works for either).
   */
 object JsonToXmlJob {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: JsonToXmlJob <input.json> <output.xml> [--escape]")
-    val Array(in, out) = args.take(2)
+    val conf = GraftConfig.fromEnv()
+    val positional = args.filterNot(_.startsWith("--"))
+    val in = positional.lift(0).getOrElse(s"s3a://${conf.s3Bucket}/${conf.s3JsonKey}")
+    val out = positional.lift(1).getOrElse(conf.outputXmlPath)
     val rules = XmlRules.reference.copy(escape = args.contains("--escape"))
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder(
+        master = sys.env.getOrElse("SPARK_MASTER",
+          s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

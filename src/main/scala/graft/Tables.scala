@@ -23,6 +23,29 @@ object Tables {
     * it. Loading via this helper normalizes `ts` to a TimestampType column
     * (microsecond precision) regardless of which mode the session is in.
     */
+  /** Exact row count from parquet FOOTER metadata — driver-side file-status
+    * + footer reads, NO Spark job. The cheap way to size algorithm
+    * parameters (LSH bucket counts, sample rates) at plan-construction
+    * time: row-group counts are exact in every parquet footer. At lake
+    * scale prefer catalog statistics or an explicitly supplied N; this
+    * helper covers path-addressed tables without a catalog.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(p))
+    files.map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -91,7 +91,9 @@ object LlmData {
 
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.lshBucketTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK)
+      // corpus size from parquet footers — no plan-time count() job
+      Similarity.lshBucketTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+        corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
         .orderBy("q_id", "rank")
     }),
 
@@ -103,7 +105,8 @@ object LlmData {
     }),
 
     "emb_neardup_pairs" -> ((s, dir) =>
-      Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), NearDupCos)
+      Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), NearDupCos,
+        corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
         .orderBy("a", "b")),
 
     // ---- approximate sketches (engine-specific implementations: HLL++ /

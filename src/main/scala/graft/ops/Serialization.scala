@@ -9,10 +9,10 @@ import graft.xml.{XmlDocument, XmlRender, XmlRules}
 
 /** Serialization operators over the test tables: P3/K2 Kafka message
   * shaping and the X1/X2 XML subsystem (SURVEY §2.2, §2.5), exercised on
-  * driver data. Not SQL-expressible in DuckDB (custom wrapper-rule XML;
-  * engine-specific JSON float formatting), so these register without
-  * oracles — the byte-exact golden tests in XmlRenderSpec/KafkaSinkSpec
-  * carry their correctness.
+  * driver data. `xml_render_orders` (full wrapper-rule XML) is not
+  * SQL-expressible and stays rows-only, carried by the byte-exact golden
+  * tests in XmlRenderSpec; the Kafka message bodies and the per-key
+  * document lengths ARE expressible — see [[oracle]].
   */
 object Serialization {
 
@@ -72,4 +72,48 @@ object Serialization {
       KafkaSink.toMessages(recent)
     })
   )
+
+  /** DuckDB oracles. `xml_render_orders` stays rows-only (the full
+    * wrapper-rule fragment is carried by the byte-exact golden test); the
+    * other two ARE SQL-expressible:
+    *   - `kafka_messages_orders`: same `to_json(struct_pack(...))` recipe
+    *     as json_encode_events — all fields are strings/bigints, so no
+    *     float-formatting divergence.
+    *   - `xml_documents_per_priority`: the per-key document is a
+    *     length-additive fold — declaration + `<products>` wrapper plus
+    *     the sum of per-row fragment lengths, with each flat-scalar
+    *     fragment reconstructed literally in SQL.
+    */
+  def oracle: Map[String, String] = Map(
+    "kafka_messages_orders" ->
+      """SELECT CAST(to_json(struct_pack(
+        |         ready_date := strftime(o_orderdate, '%Y-%m-%d'),
+        |         o_orderkey := o_orderkey,
+        |         o_custkey := o_custkey,
+        |         o_orderstatus := o_orderstatus)) AS VARCHAR) AS "value"
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND strftime(o_orderdate, '%Y-%m-%d') >= '1998-01-01'
+        |ORDER BY strftime(o_orderdate, '%Y-%m-%d') DESC, o_orderkey, o_custkey""".stripMargin,
+    "xml_documents_per_priority" ->
+      """WITH sel AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS ean, o_orderpriority AS prio,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS rdate
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  ORDER BY o_orderkey LIMIT 2000
+        |), frags AS (
+        |  SELECT prio,
+        |    '  <product>' || chr(10) ||
+        |    '    <ean>' || ean || '</ean>' || chr(10) ||
+        |    '    <styleOption>' || prio || '</styleOption>' || chr(10) ||
+        |    '    <b2bReadinessDate>' || rdate || '</b2bReadinessDate>' || chr(10) ||
+        |    '    <o_orderpriority>' || prio || '</o_orderpriority>' || chr(10) ||
+        |    '  </product>' || chr(10) AS frag
+        |  FROM sel
+        |)
+        |SELECT prio AS key,
+        |  CAST(length('<?xml version="1.0" encoding="UTF-8"?>') + 1
+        |       + length('<products>') + 1
+        |       + sum(length(frag))
+        |       + length('</products>') + 1 AS BIGINT) AS doc_len
+        |FROM frags GROUP BY prio ORDER BY key""".stripMargin)
 }

@@ -36,4 +36,44 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Registered queries: salting is TRANSPARENT — each has a plain
+    * GROUP-BY / join oracle. The aggregated measure is decimal-cast before
+    * summing (exact, associative), so the salted two-phase sum is
+    * bit-identical to the oracle's single-phase sum regardless of how the
+    * partials interleave.
+    */
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "skew_salted_agg" -> ((s, dir) =>
+      saltedSumCount(graft.Tables.events(s, dir), "event_type",
+        col("value").cast("decimal(18,2)"))
+        .select(col("event_type"),
+          col("sum_value").cast("double").as("sum_value"), col("n"))
+        .orderBy("event_type")),
+
+    "skew_salted_join" -> ((s, dir) => {
+      val fact = graft.Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val dim = graft.Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      saltedJoin(fact, dim, "suppkey")
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("price")).cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("s_nationkey")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT s_nationkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
 }

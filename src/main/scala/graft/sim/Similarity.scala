@@ -79,13 +79,16 @@ object Similarity {
   }
 
   /** Approximate top-k: probe only the query's sign-LSH bucket.
-    * `planeBits = None` (default) derives the bucket count from the corpus
-    * size via [[planeBitsFor]] — one count() pass at plan time.
+    * Bucket-count resolution: explicit `planeBits` > explicit `corpusSize`
+    * (e.g. from catalog stats or [[graft.Tables.parquetRowCount]] footer
+    * metadata — no Spark job) > a `corpus.count()` fallback (one plan-time
+    * action; convenient, but at scale supply the size).
     */
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     planeBits: Option[Int] = None,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bits = planeBits.getOrElse(planeBitsFor(corpus.count()))
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    corpusSize: Option[Long] = None): DataFrame = {
+    val bits = planeBits.getOrElse(planeBitsFor(corpusSize.getOrElse(corpus.count())))
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       signBucket(col(vecCol), bits).as("bucket")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
@@ -234,12 +237,15 @@ object Similarity {
   /** Embedding near-duplicate pairs: sign-LSH blocking, then exact cosine
     * threshold inside each bucket (a < b). `planeBits = None` derives the
     * bucket count from the corpus size ([[planeBitsFor]]) so the
-    * within-bucket quadratic term stays bounded at any scale.
+    * within-bucket quadratic term stays bounded at any scale; size
+    * resolution as in [[lshBucketTopK]] (stats/footers beat a plan-time
+    * count()).
     */
   def nearDupPairs(corpus: DataFrame, minCosine: Double,
                    planeBits: Option[Int] = None,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bits = planeBits.getOrElse(planeBitsFor(corpus.count()))
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   corpusSize: Option[Long] = None): DataFrame = {
+    val bits = planeBits.getOrElse(planeBitsFor(corpusSize.getOrElse(corpus.count())))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       signBucket(col(vecCol), bits).as("bucket"))
     val x = c.select(col("bucket"), col("id").as("a"), col("vec").as("va"))

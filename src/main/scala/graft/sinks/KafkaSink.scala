@@ -47,14 +47,30 @@ object KafkaSink {
     "kafka.buffer.memory" -> "33554432",
     "kafka.enable.idempotence" -> "false")
 
-  /** Batch publish (needs spark-sql-kafka + broker at runtime). */
+  /** Batch publish. With the default `format = "kafka"` this is the real
+    * connector path (needs spark-sql-kafka on the classpath + a broker —
+    * see build.sbt); pass `format = "graft-kafka-log"` to execute the
+    * identical pipeline against the [[KafkaLogSink]] stand-in (same schema
+    * contract, same required options, local log-file delivery), plus its
+    * extra `path` option via `extraOptions`. The message schema is
+    * validated up front with the connector's own rules either way, so a
+    * shape bug fails here and not at cluster submit time.
+    */
   def write(df: DataFrame, topic: String, bootstrap: String,
-            keyCol: Option[String] = None): Unit =
-    toMessages(df, keyCol).write
-      .format("kafka")
+            keyCol: Option[String] = None, format: String = "kafka",
+            extraOptions: Map[String, String] = Map.empty): Unit = {
+    val msgs = toMessages(df, keyCol)
+    KafkaLogSink.validateMessageSchema(msgs.schema, topicOption = true)
+    msgs.write
+      .format(format)
+      // Append is the producer semantic (publish is append-only); also the
+      // only mode a V2 sink without catalog support accepts.
+      .mode("append")
       .options(referenceProducerOptions(bootstrap))
       .option("topic", topic)
+      .options(extraOptions)
       .save()
+  }
 
   /** O4: pre-flight TCP reachability probe (reference
     * `src/sql_to_kafka.py:228-250`): plain socket connect per bootstrap

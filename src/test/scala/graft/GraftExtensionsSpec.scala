@@ -20,6 +20,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(d == 11.0)
   }
 
+  test("parameter analysis errors: non-foldable vs NULL get distinct classes") {
+    GraftExtensions.register(spark)
+    spark.range(1).selectExpr("cast(id as int) AS k", "array('a','b','c') AS g")
+      .createOrReplaceTempView("fold_err")
+    val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_winnow(g, k) FROM fold_err").collect()
+    }
+    assert(nonFoldable.getCondition == "NON_FOLDABLE_ARGUMENT")
+    val nullArg = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_winnow(g, NULL) FROM fold_err").collect()
+    }
+    assert(nullArg.getCondition == "DATATYPE_MISMATCH.UNEXPECTED_NULL")
+  }
+
   test("SQL function results match the Column API kernels") {
     GraftExtensions.register(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)

@@ -113,6 +113,34 @@ class KernelSpec extends SparkSpec {
     assert(a.length <= 8 && a.nonEmpty)
   }
 
+  test("kmeans scale mode (avg partial agg) matches the exact fold to float tolerance") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Similarity.kmeansCentroids(e, 8, iters = 1, exactFold = true)
+    val scale = Similarity.kmeansCentroids(e, 8, iters = 1, exactFold = false)
+    assert(exact.map(_._1).toSeq == scale.map(_._1).toSeq)
+    exact.zip(scale).foreach { case ((_, x), (_, y)) =>
+      x.zip(y).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("centroid memo returns the identical array without recomputation") {
+    Similarity.clearCentroidCache()
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = Similarity.kmeansCentroidsCached(e, 8, 1, "vec_id", "embedding", true)
+    val b = Similarity.kmeansCentroidsCached(e, 8, 1, "vec_id", "embedding", true)
+    assert(a eq b) // same cached instance, not just equal values
+    // a DIFFERENT corpus plan must not hit the same entry
+    val c = Similarity.kmeansCentroidsCached(
+      e.filter(col("vec_id") < 400), 8, 1, "vec_id", "embedding", true)
+    assert(!(c eq a))
+  }
+
+  test("parquetRowCount reads footers only and matches count()") {
+    val path = s"$sfDir/embeddings.parquet"
+    assert(graft.Tables.parquetRowCount(spark, path) ==
+      spark.read.parquet(path).count())
+  }
+
   test("planeBitsFor: integer bucket math, no floating log") {
     import Similarity.planeBitsFor
     assert(planeBitsFor(500) == 4)     // 16*32=512 >= 500
