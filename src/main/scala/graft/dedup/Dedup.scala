@@ -27,6 +27,18 @@ object Dedup {
   val K = 32
   val BANDS = 16
   val R = 2
+  /** Char-n-gram banding: same K, split 8×4 (S-curve threshold ~0.59) —
+    * see [[bandHashes]] for why n-grams need a higher blocking threshold.
+    */
+  val NGRAM_BANDS = 8
+  val NGRAM_R = 4
+  /** Char-gram width. Measured on the test corpus: k=5 leaves a
+    * same-language noise floor of J≈0.17 median / 0.26 p99 (common words
+    * are ≤5 chars), k=7 drops it to 0.06/0.13 — two orders of magnitude
+    * fewer LSH candidates at the same banding, with true near-dups
+    * (substring-sharing rewrites) unaffected.
+    */
+  val NGRAM_K = 7
   /** SimHash width in bits (int64-safe). */
   val SIMBITS = 48
 
@@ -53,53 +65,78 @@ object Dedup {
       array_min(transform(shingleHashes, h =>
         (((i * 2 + 1) * (MIX % P) % P) * h + (i * 2 + 2) * (MIX % P) % P) % P)))
 
-  /** LSH band hashes: band j folds its R signature slots into one bucket
-    * key. Docs sharing ANY band bucket become candidate pairs.
+  /** LSH band hashes: band j folds its `r` signature slots into one bucket
+    * key. Docs sharing ANY band bucket become candidate pairs. The (b, r)
+    * split of the K-slot signature sets the S-curve threshold
+    * `t ≈ (1/b)^(1/r)`: 16×2 centers at ~0.25 (right for word shingles,
+    * where random-pair J ≈ 0), 8×4 at ~0.59 (required for char n-grams,
+    * where same-language documents share enough common-word grams that
+    * J ≈ 0.3 is the NOISE floor — 16×2 there fires on ~90% of all pairs
+    * and the candidate set goes quadratic; measured 215 s vs 2 s at sf0.1).
     */
-  def bandHashes(sig: Column): Column =
-    transform(sequence(lit(0), lit(BANDS - 1)), j =>
-      (element_at(sig, j * R + 1) * 31L + element_at(sig, j * R + 2)) % P)
+  def bandHashes(sig: Column, bands: Int = BANDS, r: Int = R): Column =
+    transform(sequence(lit(0), lit(bands - 1)), j =>
+      aggregate(sequence(lit(1), lit(r)), lit(0L), (acc, i) =>
+        (acc * 31L + element_at(sig, j * r + i)) % P))
 
-  /** Near-dup pairs by MinHash-LSH with exact-Jaccard verification:
-    * shingle → sign → band → bucket self-join → verify `J(A,B) >= minJaccard`
-    * on the true shingle sets. Returns (a, b, jaccard), a < b.
+  /** Shared LSH+verify plan: candidate pairs by minhash banding over a
+    * distinct-hash-SET column (`sets` = (id, s)), verified with exact
+    * Jaccard. The featurization (word shingles, char n-grams, …) is the
+    * caller's; the blocking/verify machinery is identical.
+    *
+    * Scale notes (all measured, see PLANS.md):
+    *   - Signature table materialized via `localCheckpoint` so the band
+    *     self-join's two branches don't recompute hashing and
+    *     CollapseProject can't re-inline the HOF chains; RDD-level blocks
+    *     are ContextCleaner-reclaimed, unlike a session-pinned persist().
+    *   - Distinct candidate ids FIRST (cheap fixed-width shuffle), then
+    *     the sets re-join by id — never shuffle arrays at candidate
+    *     cardinality (measured 2×).
     */
-  def minhashPairs(docs: DataFrame, minJaccard: Double,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // Signature table is tiny relative to the corpus — materialize it so the
-    // band self-join's two branches don't recompute shingling, and so
-    // CollapseProject can't re-inline the HOF chains (which would turn the
-    // signature into a per-branch recompute). localCheckpoint (not persist):
-    // the blocks are RDD-level, so the ContextCleaner reclaims them when the
-    // returned DataFrame is GC'd — persist() pins a CacheManager entry for
-    // the session's lifetime, which accumulates across a long query sweep.
-    // At cluster scale, swap for reliable checkpoint() or persist+unpersist
-    // if executor loss must be recoverable mid-query.
-    val sh = docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), TextOps.shingleHashes(col("toks")).as("sh"))
-      .filter(size(col("sh")) > 0)
+  private def jaccardPairsFromSets(sets: DataFrame, minJaccard: Double,
+                                   nBands: Int = BANDS, r: Int = R): DataFrame = {
+    val sh = sets.filter(size(col("s")) > 0)
       .localCheckpoint(eager = false)
     val bands = sh
-      .select(col("id"), posexplode(bandHashes(minhashSignature(col("sh")))))
+      .select(col("id"), posexplode(bandHashes(minhashSignature(col("s")), nBands, r)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
       .localCheckpoint(eager = false)
-    // Distinct candidate ids FIRST (cheap fixed-width shuffle), then join
-    // the shingle sets back by id — never shuffle arrays at candidate
-    // cardinality.
     val cand = bands.select(col("band"), col("bh"), col("id").as("a"))
       .join(bands.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     cand
-      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .join(sh.select(col("id").as("a"), col("s").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("s").as("shb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("uni", (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** Near-dup pairs by MinHash-LSH with exact-Jaccard verification:
+    * shingle → sign → band → bucket self-join → verify `J(A,B) >= minJaccard`
+    * on the true shingle sets. Returns (a, b, jaccard), a < b.
+    */
+  def minhashPairs(docs: DataFrame, minJaccard: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardPairsFromSets(
+      docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+        .select(col("id"), TextOps.shingleHashes(col("toks")).as("s")),
+      minJaccard)
+
+  /** Near-dup pairs by character n-gram Jaccard: the tokenization-free
+    * variant (robust to whitespace/punctuation differences that change
+    * word shingles). Distinct char k-gram hash sets, same LSH blocking,
+    * exact Jaccard verify. Returns (a, b, jaccard), a < b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, k: Int = NGRAM_K,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardPairsFromSets(
+      docs.select(col(idCol).as("id"),
+        array_distinct(TextOps.charGramHashes(col(textCol), k)).as("s")),
+      minJaccard, NGRAM_BANDS, NGRAM_R)
 
   /** SimHash over whitespace tokens: per-token polynomial hash, per-bit
     * signed vote via `(a_j*h + b_j) mod P mod 2`, fold bits high→low into

@@ -16,21 +16,30 @@ object DedupSql {
       s"list_min(list_transform($sh, h -> " +
       s"(((i*2+1) * $MP % $P) * h + (i*2+2) * $MP % $P) % $P)))"
 
-  def bandHashes(sig: String): String =
-    s"list_transform(range(0, ${Dedup.BANDS}), j -> " +
-      s"struct_pack(band := j, bh := (($sig)[j*${Dedup.R}+1] * 31 + ($sig)[j*${Dedup.R}+2]) % $P))"
+  /** Generic (b, r) band fold — mirrors [[Dedup.bandHashes]]'s
+    * `acc*31 + slot (mod P)` accumulation (signature slots are < P, so for
+    * r=2 this equals the round-1 two-term formula bit for bit).
+    */
+  def bandHashes(sig: String, bands: Int = Dedup.BANDS, r: Int = Dedup.R): String =
+    s"list_transform(range(0, $bands), j -> " +
+      s"struct_pack(band := j, bh := list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, ${r + 1}), i -> ($sig)[j*$r+i])), " +
+      s"(acc, v) -> (acc * 31 + v) % $P)))"
 
   /** Full MinHash-LSH near-dup pair query with exact-Jaccard verification —
-    * the same shingle → signature → band-bucket self-join → verify plan as
-    * [[Dedup.minhashPairs]], in SQL.
+    * the same set → signature → band-bucket self-join → verify plan as
+    * [[Dedup.jaccardPairsFromSets]], in SQL, parameterized by the
+    * featurization expression (word shingles / char n-grams).
     */
-  def minhashPairs(minJaccard: Double, table: String = "documents"): String =
+  def jaccardPairs(setExpr: String, minJaccard: Double,
+                   table: String = "documents",
+                   bands: Int = Dedup.BANDS, r: Int = Dedup.R): String =
     s"""WITH sh AS (
-       |  SELECT doc_id AS id, ${TextSql.shingleHashes("text")} AS sh
+       |  SELECT doc_id AS id, $setExpr AS sh
        |  FROM $table
-       |  WHERE len(${TextSql.shingleHashes("text")}) > 0
+       |  WHERE len($setExpr) > 0
        |), bands AS (
-       |  SELECT id, sh, UNNEST(${bandHashes(minhashSignature("sh"))}) AS b FROM sh
+       |  SELECT id, sh, UNNEST(${bandHashes(minhashSignature("sh"), bands, r)}) AS b FROM sh
        |), flat AS (
        |  SELECT id, sh, b.band AS band, b.bh AS bh FROM bands
        |), cand AS (
@@ -44,6 +53,14 @@ object DedupSql {
        |)
        |SELECT a, b, jaccard FROM verified WHERE jaccard >= $minJaccard
        |ORDER BY a, b""".stripMargin
+
+  def minhashPairs(minJaccard: Double, table: String = "documents"): String =
+    jaccardPairs(TextSql.shingleHashes("text"), minJaccard, table)
+
+  def ngramJaccardPairs(minJaccard: Double, k: Int = Dedup.NGRAM_K,
+                        table: String = "documents"): String =
+    jaccardPairs(s"list_distinct(${TextSql.charGramHashes("text", k)})",
+      minJaccard, table, Dedup.NGRAM_BANDS, Dedup.NGRAM_R)
 
   def simhash(text: String): String = {
     val th = TextSql.polyHashAll(TextSql.tokens(text))

@@ -82,6 +82,10 @@ object LlmData {
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), MaxHamming)
         .orderBy("a", "b")),
 
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), MinJaccard)
+        .orderBy("a", "b")),
+
     // ---- similarity search -------------------------------------------------
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -182,6 +186,7 @@ object LlmData {
     "dedup_exact" -> DedupSql.exact(),
     "dedup_minhash_pairs" -> DedupSql.minhashPairs(MinJaccard),
     "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
+    "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
     "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
     "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim, IvfProbes),

@@ -280,6 +280,20 @@ object Relational {
           col("n"), col("total"))
         .orderBy("o_orderstatus", "o_orderpriority")),
 
+    // ---- explicit grouping sets: independent marginals in one pass ---------
+    // (the generalization rollup/cube compile to — one Expand + one
+    // aggregation instead of a UNION of three scans)
+    "agg_grouping_sets" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
     // ---- pivot: status categories to columns (static schema, exact) --------
     "pivot_status_by_priority" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -431,6 +445,14 @@ object Relational {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY coalesce(o_orderstatus, 'ALL'), coalesce(o_orderpriority, 'ALL')""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY coalesce(o_orderstatus, 'ALL'), coalesce(o_orderpriority, 'ALL')""".stripMargin,
     "pivot_status_by_priority" ->
       """SELECT o_orderpriority,

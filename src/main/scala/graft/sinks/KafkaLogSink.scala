@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -103,7 +104,7 @@ private[sinks] class KafkaLogTable(schema: StructType) extends Table with Suppor
   override def name(): String = "graft-kafka-log"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val opts = info.options()
@@ -122,6 +123,12 @@ private[sinks] class KafkaLogTable(schema: StructType) extends Table with Suppor
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new KafkaLogBatchWrite(path, topicOpt, writeSchema)
+        // Streaming parity with the connector: writeStream.format(...)
+        // works with the same contract; each epoch appends its own part
+        // files (at-least-once on retry, like the connector's streaming
+        // sink — Kafka publish is not idempotent across epoch replays).
+        override def toStreaming: StreamingWrite =
+          new KafkaLogStreamingWrite(path, topicOpt, writeSchema)
       }
     }
   }
@@ -135,11 +142,28 @@ private class KafkaLogBatchWrite(path: String, topicOpt: Option[String],
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+private class KafkaLogStreamingWrite(path: String, topicOpt: Option[String],
+                                     schema: StructType) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new KafkaLogStreamingWriterFactory(path, topicOpt, schema)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
 private class KafkaLogWriterFactory(path: String, topicOpt: Option[String],
                                     schema: StructType)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KafkaLogDataWriter(path, topicOpt, schema, partitionId, taskId)
+    new KafkaLogDataWriter(path, topicOpt, schema, f"$partitionId%05d-$taskId")
+}
+
+private class KafkaLogStreamingWriterFactory(path: String, topicOpt: Option[String],
+                                             schema: StructType)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new KafkaLogDataWriter(path, topicOpt, schema,
+      s"epoch-$epochId-$partitionId-$taskId")
 }
 
 /** One appender per task, like one producer per task in the connector.
@@ -147,8 +171,7 @@ private class KafkaLogWriterFactory(path: String, topicOpt: Option[String],
   * shape [[KafkaSink.toMessages]] produces).
   */
 private class KafkaLogDataWriter(path: String, topicOpt: Option[String],
-                                 schema: StructType, partitionId: Int,
-                                 taskId: Long)
+                                 schema: StructType, fileTag: String)
   extends DataWriter[InternalRow] {
 
   private val idx: Map[String, Int] =
@@ -156,8 +179,7 @@ private class KafkaLogDataWriter(path: String, topicOpt: Option[String],
   private val dir = new java.io.File(path)
   dir.mkdirs()
   private val out = new java.io.PrintWriter(new java.io.BufferedWriter(
-    new java.io.FileWriter(
-      new java.io.File(dir, f"part-$partitionId%05d-$taskId.jsonl"))))
+    new java.io.FileWriter(new java.io.File(dir, s"part-$fileTag.jsonl"))))
 
   private def str(row: InternalRow, field: String): Option[String] =
     idx.get(field).filterNot(row.isNullAt).map { i =>

@@ -65,4 +65,16 @@ class TableSinkSpec extends SparkSpec {
     val salted = Skew.saltedJoin(ev, users, "user_id").count()
     assert(plain == salted)
   }
+
+  test("K5: create-if-not-exists is idempotent and keeps the typed schema") {
+    val table = "products_ddl_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    assert(TableSink.createIfNotExists(spark, table,
+      graft.schemas.ProductSchemas.flat))          // created
+    assert(!TableSink.createIfNotExists(spark, table,
+      graft.schemas.ProductSchemas.flat))          // second call: no-op
+    assert(spark.table(table).schema == graft.schemas.ProductSchemas.flat)
+    assert(spark.table(table).count() == 0)        // empty, K1 load supersedes
+    spark.sql(s"DROP TABLE $table")
+  }
 }

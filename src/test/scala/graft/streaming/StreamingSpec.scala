@@ -101,6 +101,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming pipeline executes into the kafka stand-in sink (K2 streaming)") {
+    // The full streaming publish path: file stream (kafka-source stand-in)
+    // -> transform -> toMessages -> writeStream.format(kafka stand-in).
+    // With the connector jar this is writeStream.format("kafka") verbatim.
+    val out = java.nio.file.Files.createTempDirectory("graft_kafka_stream")
+    val msgs = graft.sinks.KafkaSink.toMessages(
+      streamEvents.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value")),
+      keyCol = Some("event_id"))
+    val q = msgs.writeStream
+      .format("graft-kafka-log")
+      .option("kafka.bootstrap.servers", "localhost:9092")
+      .option("topic", "purchases")
+      .option("path", s"$out/log")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val lines = new java.io.File(s"$out/log").listFiles()
+      .filter(_.getName.endsWith(".jsonl"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    val expected = eventsBatch.filter(col("event_type") === "purchase").count()
+    assert(lines.size == expected && expected > 0)
+    assert(lines.forall(_.startsWith("""{"topic":"purchases","key":""")))
+  }
+
   test("kafka message shaping round-trips through streaming JSON parse") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
