@@ -138,6 +138,96 @@ object Dedup {
         array_distinct(TextOps.charGramHashes(col(textCol), k)).as("s")),
       minJaccard, NGRAM_BANDS, NGRAM_R)
 
+  // --------------------------------------------------------------------------
+  // Connected components over the near-dup pair graph: the stage that turns
+  // PAIRS into CLUSTERS so exactly one canonical document survives per
+  // near-dup group (pairs alone under-delete: a~b, b~c must collapse to one
+  // doc even when a~c was never emitted). Implemented as the alternating
+  // large-star / small-star edge contraction of Kiveris et al.,
+  // "Connected Components in MapReduce and Beyond" (SoCC'14) — a public
+  // algorithm that converges in O(log^2 n) rounds, vs O(diameter) for naive
+  // label propagation. Each round is two shuffles on node id; edge lists
+  // only ever shrink toward the star forest, so peak shuffle volume is the
+  // input pair count. This is the shape that survives 100 TB; a GraphX-style
+  // Pregel loop would carry vertex state through every round instead.
+  // --------------------------------------------------------------------------
+
+  /** Large-star: connect every strictly-larger neighbor of u to u's minimum
+    * neighborhood label. Input/output edges are directed (u, v) with v < u.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: connect every smaller neighbor of u — and u itself — to the
+    * minimum of u's smaller neighborhood. Preserves the v < u orientation.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    e.join(mins, "u").select(col("v").as("w"), col("m"))
+      .union(mins.select(col("u").as("w"), col("m")))
+      .filter(col("w") =!= col("m"))
+      .select(col("w").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Connected components of an undirected pair graph. Input: (a, b) pairs
+    * (any orientation, duplicates fine). Output: (u, root) — one row per
+    * NON-ROOT node, root = minimum node id of its component.
+    *
+    * Convergence test: both sides distinct, so `|E'| == |E|` plus an inner
+    * join of the same size proves set equality — two cheap counts and one
+    * key-key join per round, no EXCEPT. Each round's frontier is
+    * `localCheckpoint`ed: the loop is driver-coordinated (as every
+    * iterative graph algorithm is), but per-round lineage is cut so round
+    * k never recomputes rounds 0..k-1.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = pairs.select(
+        greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val nNext = next.count()
+      converged = nNext == e.count() &&
+        next.join(e, Seq("u", "v")).count() == nNext
+      e = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    e.select(col("u"), col("v").as("root"))
+  }
+
+  /** Canonical-document selection: map EVERY doc to the minimum doc id of
+    * its near-dup component (itself when unpaired), with the component size
+    * and a keep flag. `docs LEFT JOIN components` — components is at most
+    * pair-graph-node sized, so at 100 TB this is a broadcast against the
+    * corpus scan unless near-dup density is pathological.
+    */
+  def canonicalDocs(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val roots = connectedComponents(pairs)
+      .select(col("u").as(idCol), col("root"))
+    val mapping = docs.select(col(idCol))
+      .join(roots, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("root"), col(idCol)).as("canonical_id"))
+    val sizes = mapping.groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    mapping.join(sizes, Seq("canonical_id"))
+      .select(col(idCol), col("canonical_id"), col("cluster_size"),
+        (col(idCol) === col("canonical_id")).cast("int").as("keep"))
+  }
+
   /** SimHash over whitespace tokens: per-token polynomial hash, per-bit
     * signed vote via `(a_j*h + b_j) mod P mod 2`, fold bits high→low into
     * one int64 (`acc*2 + bit`). Same arithmetic in [[DedupSql.simhash]].

@@ -62,6 +62,35 @@ object DedupSql {
     jaccardPairs(s"list_distinct(${TextSql.charGramHashes("text", k)})",
       minJaccard, table, Dedup.NGRAM_BANDS, Dedup.NGRAM_R)
 
+  /** Oracle for [[Dedup.canonicalDocs]] over minhash near-dup pairs: the
+    * pair query embedded as a derived table, transitive closure by
+    * recursive CTE (UNION-dedup guarantees termination on cycles), then
+    * component root = min reachable node. Same output contract as the
+    * Spark side: every doc mapped, singletons map to themselves.
+    */
+  def canonicalDocs(minJaccard: Double, table: String = "documents"): String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  SELECT a, b FROM (${minhashPairs(minJaccard, table)}) q
+       |), edges AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+       |), reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS id, least(u, min(v)) AS root FROM reach GROUP BY u
+       |), mapping AS (
+       |  SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS canonical_id
+       |  FROM $table d LEFT JOIN comp c ON d.doc_id = c.id
+       |), sizes AS (
+       |  SELECT canonical_id, count(*) AS cluster_size
+       |  FROM mapping GROUP BY canonical_id
+       |)
+       |SELECT m.doc_id, m.canonical_id, s.cluster_size,
+       |       CAST(m.doc_id = m.canonical_id AS INT) AS keep
+       |FROM mapping m JOIN sizes s USING (canonical_id)
+       |ORDER BY m.doc_id""".stripMargin
+
   def simhash(text: String): String = {
     val th = TextSql.polyHashAll(TextSql.tokens(text))
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), range(${Dedup.SIMBITS - 1}, -1, -1)), " +

@@ -86,6 +86,14 @@ object LlmData {
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), MinJaccard)
         .orderBy("a", "b")),
 
+    // pairs -> clusters -> one canonical doc per near-dup component
+    // (large-star/small-star; see Dedup.connectedComponents)
+    "dedup_components" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, MinJaccard).select(col("a"), col("b"))
+      Dedup.canonicalDocs(docs, pairs).orderBy("doc_id")
+    }),
+
     // ---- similarity search -------------------------------------------------
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -187,6 +195,7 @@ object LlmData {
     "dedup_minhash_pairs" -> DedupSql.minhashPairs(MinJaccard),
     "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
+    "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),
     "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
     "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim, IvfProbes),

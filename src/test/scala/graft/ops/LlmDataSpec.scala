@@ -41,6 +41,41 @@ class LlmDataSpec extends SparkSpec {
     assert(lsh.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("connected components: chains, cycles, and multiple components") {
+    import spark.implicits._
+    // chain 1..10 (needs >1 contraction round), a 3-cycle, and a pair;
+    // edges deliberately in mixed orientation with a duplicate
+    val pairs = (1L to 9L).map(i => (i + 1, i)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L), (31L, 30L))
+    val roots = graft.dedup.Dedup.connectedComponents(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((2L to 10L).forall(roots(_) == 1L))
+    assert(Seq(21L, 22L).forall(roots(_) == 20L))
+    assert(roots(31L) == 30L)
+    assert(!roots.contains(1L) && !roots.contains(20L) && !roots.contains(30L))
+  }
+
+  test("dedup components: canonical mapping is a consistent cluster closure") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = SparkEntry.queries("dedup_components")(spark, sfDir).collect()
+    assert(out.length == docs.count())
+    val canon = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup pair's endpoints collapse to the same canonical doc
+    val pairs = graft.dedup.Dedup
+      .minhashPairs(docs, LlmData.MinJaccard).select("a", "b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(p => assert(canon(p.getLong(0)) == canon(p.getLong(1))))
+    // canonical id is the component minimum and is kept; sizes add up
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert((r.getInt(3) == 1) == (r.getLong(0) == r.getLong(1)))
+    }
+    val bySize = out.groupBy(_.getLong(1)).map { case (c, rs) =>
+      assert(rs.forall(_.getLong(2) == rs.length), s"size mismatch for $c"); rs.length
+    }
+    assert(bySize.sum == out.length)
+  }
+
   test("language id predicts a known language label for every doc") {
     val langs = graft.text.TextOps.langMarkers.map(_._1).toSet
     val out = SparkEntry.queries("text_lang_id")(spark, sfDir).collect()
