@@ -63,6 +63,44 @@ object LlmData {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition features (Rae et al. 2021, public paper):
+    // most-frequent-bigram coverage and duplicated-bigram mass per doc.
+    // Distributed shape: explode bigrams -> two-level groupBy — the mode
+    // of a group is NOT computed by collecting arrays per doc, so a
+    // pathological 1 GB document costs its bigram count, not its square.
+    "text_repetition" -> ((s, dir) => {
+      val bg = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 2)).as("bg"))
+      val counts = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val m = counts.groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"), max("c").as("maxc"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dupc"))
+      val top = counts.join(m.select(col("doc_id"), col("maxc")), Seq("doc_id"))
+        .filter(col("c") === col("maxc"))
+        .groupBy("doc_id").agg(max("bg").as("top_bigram"))
+      m.join(top, Seq("doc_id"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_bigram"),
+          (col("maxc").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+          (col("dupc").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: the corpus has no PII, so inject a deterministic
+    // email + phone per doc (from doc_id) and prove the redaction +
+    // counting pipeline end to end against the oracle.
+    "text_pii_redact" -> ((s, dir) => {
+      val pii = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1 (555) 010-"),
+            lpad(col("doc_id").cast("string"), 4, "0")).as("pii_text"))
+      val cnts = TextOps.piiCounts(col("pii_text")).map { case (n, c) => c.as(n) }
+      pii.select((col("doc_id") +: cnts :+
+          TextOps.redactPii(col("pii_text")).as("redacted")): _*)
+        .orderBy("doc_id")
+    }),
+
     "text_fingerprints" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextOps.charGramHashes(col("text"), 5).as("grams"))
@@ -162,6 +200,40 @@ object LlmData {
     "text_simhash" ->
       s"""SELECT doc_id, ${DedupSql.simhash("text")} AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, UNNEST(${TextSql.shingles(TextSql.tokens("text"), 2)}) AS bg
+         |  FROM documents
+         |), counts AS (
+         |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+         |), m AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |         CAST(max(c) AS BIGINT) AS maxc,
+         |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupc
+         |  FROM counts GROUP BY doc_id
+         |), top AS (
+         |  SELECT counts.doc_id, max(bg) AS top_bigram
+         |  FROM counts JOIN m ON counts.doc_id = m.doc_id AND counts.c = m.maxc
+         |  GROUP BY counts.doc_id
+         |)
+         |SELECT m.doc_id, m.n_bigrams, top.top_bigram,
+         |       CAST(m.maxc AS DOUBLE) / m.n_bigrams AS top_bigram_frac,
+         |       CAST(m.dupc AS DOUBLE) / m.n_bigrams AS dup_bigram_frac
+         |FROM m JOIN top ON m.doc_id = top.doc_id
+         |ORDER BY m.doc_id""".stripMargin,
+    "text_pii_redact" -> {
+      val cnts = TextSql.piiCounts("pii_text")
+        .map { case (n, e) => s"  $e AS $n" }.mkString(",\n")
+      s"""WITH pii AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or +1 (555) 010-'
+         |    || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS pii_text
+         |  FROM documents
+         |)
+         |SELECT doc_id,\n$cnts,
+         |  ${TextSql.redactPii("pii_text")} AS redacted
+         |FROM pii ORDER BY doc_id""".stripMargin
+    },
     "text_lang_id" ->
       s"""SELECT doc_id, lang, ${TextSql.langIdExpr("text")} AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,

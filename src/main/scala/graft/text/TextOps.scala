@@ -131,6 +131,29 @@ object TextOps {
       least(f("mean_token_len") / 10.0, lit(1.0)) * 0.2
   }
 
+  // ---- PII redaction -----------------------------------------------------
+
+  /** PII patterns kept to the Java-regex ∩ RE2 common subset (character
+    * classes + bounded quantifiers, no lookarounds) so the DuckDB oracle
+    * ([[TextSql.redactPii]]) applies the IDENTICAL pattern.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+
+  /** Replace every email then phone match with a typed placeholder.
+    * Emails first: the phone pattern can't match inside `<EMAIL>`, so the
+    * two passes commute on disjoint matches and compose deterministically
+    * otherwise. Codegen'd `regexp_replace` — linear in document bytes.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)).cast("long"),
+    "n_phones" -> regexp_count(text, lit(PhoneRe)).cast("long"))
+
   // ---- winnowing fingerprints -------------------------------------------
 
   /** Character k-gram rolling hashes (position i → hash of chars i..i+k-1).

@@ -71,6 +71,17 @@ object TextSql {
       s"least((${f("mean_token_len")}) / 10.0, 1.0) * 0.2"
   }
 
+  /** Identical PII patterns to [[TextOps.redactPii]]; DuckDB needs the
+    * explicit 'g' flag for replace-all (Spark's regexp_replace default).
+    */
+  def redactPii(text: String): String =
+    s"regexp_replace(regexp_replace($text, '${TextOps.EmailRe}', '<EMAIL>', 'g'), " +
+      s"'${TextOps.PhoneRe}', '<PHONE>', 'g')"
+
+  def piiCounts(text: String): Seq[(String, String)] = Seq(
+    "n_emails" -> s"CAST(len(regexp_extract_all($text, '${TextOps.EmailRe}')) AS BIGINT)",
+    "n_phones" -> s"CAST(len(regexp_extract_all($text, '${TextOps.PhoneRe}')) AS BIGINT)")
+
   def charGramHashes(text: String, k: Int): String = {
     val chars = s"string_split($text, '')"
     s"list_transform(range(1, greatest(len($chars) - ${k - 2}, 1)), i -> " +

@@ -76,6 +76,29 @@ class LlmDataSpec extends SparkSpec {
     assert(bySize.sum == out.length)
   }
 
+  test("repetition features: fractions in (0,1], top bigram covers maxc") {
+    val out = SparkEntry.queries("text_repetition")(spark, sfDir).collect()
+    assert(out.length == Tables.load(spark, sfDir, "documents").count())
+    out.foreach { r =>
+      val (top, dup) = (r.getDouble(3), r.getDouble(4))
+      assert(top > 0.0 && top <= 1.0 && dup >= 0.0 && dup <= 1.0)
+      // the modal bigram's mass is part of the duplicated mass (unless unique)
+      assert(dup >= top || top == 1.0 / r.getLong(1))
+      assert(r.getString(2).split(" ").length == 2)
+    }
+  }
+
+  test("pii redaction removes every injected email and phone") {
+    val out = SparkEntry.queries("text_pii_redact")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1) // n_emails, n_phones
+      val red = r.getString(3)
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+      assert(!red.contains("@") && !red.matches(".*\\(\\d{3}\\).*"))
+    }
+  }
+
   test("language id predicts a known language label for every doc") {
     val langs = graft.text.TextOps.langMarkers.map(_._1).toSet
     val out = SparkEntry.queries("text_lang_id")(spark, sfDir).collect()
