@@ -309,7 +309,154 @@ object Relational {
       Tables.load(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice"))
-        .limit(10))
+        .limit(10)),
+
+    // ---- interval (range) join: clicks within 30 min before each error ----
+    // The funnel/attribution shape. The EQUI key (user_id) carries the
+    // join — Catalyst plans a hash/sort-merge join on user and evaluates
+    // the time-range predicate as a residual — so there is no range-join
+    // row explosion; cost is bounded by per-user event counts, and a hot
+    // user is AQE skew-split. (A pure range join with no equi key would be
+    // a broadcast-nested-loop — avoid that shape at scale.)
+    "range_join_click_error" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("t"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("t").as("t_err"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t").as("t_clk"))
+      err.join(clk,
+          err("user_id") === clk("user_id") &&
+            col("t_clk") >= col("t_err") - lit(30L * 60 * 1000000) &&
+            col("t_clk") < col("t_err"), "left")
+        .groupBy(col("err_id"))
+        .agg(count(col("t_clk")).as("n_clicks_before"))
+        .orderBy("err_id")
+    }),
+
+    // ---- full outer join: daily order activity vs daily event activity ----
+    // (the ranges don't overlap, so both null sides are exercised)
+    "full_outer_daily_activity" -> ((s, dir) => {
+      val od = Tables.load(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val ed = Tables.events(s, dir)
+        .groupBy(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("n_events"))
+      od.join(ed, Seq("d"), "full_outer")
+        .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("d")
+    }),
+
+    // ---- exact percentiles per group (linear-interpolation definition) ----
+    // Exact `percentile` needs per-group sorted values — right for grouped
+    // analytics; for a single global quantile at 100 TB use the KLL sketch
+    // (approx_sketches) instead of a one-partition sort.
+    "agg_percentiles" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // ---- distributed exact moments: stddev + corr without stddev()/corr() -
+    // Double-summation aggregates are ORDER-DEPENDENT (floating addition
+    // does not associate), so built-in stddev/corr are not reproducible
+    // across partitionings. Summing the moments as decimals is exact and
+    // associative — any partitioning, any engine, the same bits — and the
+    // final double formula is one deterministic row-wise expression.
+    "agg_stats_moments" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val n = col("n").cast("double")
+      val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"), col("sy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum((x * x).cast("decimal(30,4)")).as("sxx"),
+          sum((y * y).cast("decimal(30,4)")).as("syy"),
+          sum((x * y).cast("decimal(30,4)")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          (sx / n).as("mean_qty"),
+          sqrt((sxx - sx * sx / n) / (n - 1)).as("stddev_qty"),
+          ((sxy - sx * sy / n) /
+            sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- window variants: lag delta, lead, ntile quartiles per customer ----
+    "window_lag_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice").cast("decimal(18,2)") -
+            coalesce(lag(col("o_totalprice"), 1).over(seq).cast("decimal(18,2)"),
+              lit(0).cast("decimal(18,2)"))).cast("double").as("delta_prev"),
+          lead(col("o_orderkey"), 1).over(seq).as("next_orderkey"),
+          ntile(4).over(byPrice).cast("long").as("price_quartile"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- deterministic hash sampling (reproducible; engine-portable) -------
+    // TABLESAMPLE/rand() draws differ per run and per engine; hashing the
+    // key gives the same sample on any cluster size, any engine, forever —
+    // the only sampling that belongs in a training-data pipeline. The
+    // stratified variant keys the rate on a column (per-language quotas).
+    "sample_hash_docs" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(pmod(graft.text.TextOps.polyHash(col("doc_id").cast("string")),
+          lit(20)) === 7)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
+    "sample_stratified_docs" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("bucket",
+          pmod(graft.text.TextOps.polyHash(col("doc_id").cast("string")), lit(100)))
+        .filter(col("bucket") <
+          when(col("lang") === "en", 50).when(col("lang") === "de", 25).otherwise(10))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")),
+
+    // ---- column profiler: one pass, one row per column ---------------------
+    // All stats in a single agg (count-distincts expand map-side); exact
+    // NDV here because the oracle demands it — at 100 TB swap in
+    // approx_count_distinct (see approx_sketches for the HLL path).
+    "profile_orders" -> ((s, dir) => {
+      val spec = Seq( // (column, is numeric)
+        ("o_orderkey", true), ("o_custkey", true), ("o_totalprice", true),
+        ("o_orderstatus", false), ("o_orderpriority", false))
+      val aggs = spec.flatMap { case (c, num) =>
+        Seq(count(col(c)).as(s"${c}__cnt"), countDistinct(col(c)).as(s"${c}__ndv")) ++
+          (if (num) Seq(min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max"))
+          else Seq(min(col(c)).as(s"${c}__mins"), max(col(c)).as(s"${c}__maxs")))
+      }
+      val g = Tables.load(s, dir, "orders")
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val rows = spec.map { case (c, num) =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"${c}__cnt")).as("n_nulls"),
+          col(s"${c}__ndv").as("n_distinct"),
+          (if (num) col(s"${c}__min") else lit(null).cast("double")).as("min_num"),
+          (if (num) col(s"${c}__max") else lit(null).cast("double")).as("max_num"),
+          (if (num) lit(null).cast("string") else col(s"${c}__mins")).as("min_str"),
+          (if (num) lit(null).cast("string") else col(s"${c}__maxs")).as("max_str"))
+      }
+      g.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+        .orderBy("col_name")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -429,6 +576,91 @@ object Relational {
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "range_join_click_error" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events
+        |), err AS (
+        |  SELECT event_id AS err_id, user_id, t AS t_err FROM ev WHERE event_type = 'error'
+        |), clk AS (
+        |  SELECT user_id, t AS t_clk FROM ev WHERE event_type = 'click'
+        |)
+        |SELECT err_id, count(t_clk) AS n_clicks_before
+        |FROM err LEFT JOIN clk ON err.user_id = clk.user_id
+        |  AND clk.t_clk >= err.t_err - 30 * 60 * 1000000
+        |  AND clk.t_clk < err.t_err
+        |GROUP BY err_id ORDER BY err_id""".stripMargin,
+    "full_outer_daily_activity" ->
+      """WITH od AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |), ed AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS n_events
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT COALESCE(od.d, ed.d) AS d,
+        |       COALESCE(n_orders, 0) AS n_orders,
+        |       COALESCE(n_events, 0) AS n_events
+        |FROM od FULL OUTER JOIN ed ON od.d = ed.d ORDER BY d""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |       sx / CAST(n AS DOUBLE) AS mean_qty,
+        |       sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_qty,
+        |       (sxy - sx * sy / CAST(n AS DOUBLE)) /
+        |         sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) * (syy - sy * sy / CAST(n AS DOUBLE))) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "window_lag_ntile" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) -
+        |       COALESCE(CAST(lag(o_totalprice, 1) OVER seq AS DECIMAL(18,2)),
+        |                CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS delta_prev,
+        |  lead(o_orderkey, 1) OVER seq AS next_orderkey,
+        |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+        |FROM orders
+        |WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sample_hash_docs" -> {
+      val h = graft.text.TextSql.polyHash("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ($h) % 20 = 7 ORDER BY doc_id""".stripMargin
+    },
+    "sample_stratified_docs" -> {
+      val h = graft.text.TextSql.polyHash("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, ($h) % 100 AS bucket FROM documents
+         |WHERE ($h) % 100 <
+         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "profile_orders" -> {
+      def block(c: String, num: Boolean): String = {
+        val minmax =
+          if (num) s"CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num, " +
+            "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+          else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+            s"min($c) AS min_str, max($c) AS max_str"
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, $minmax FROM orders"
+      }
+      Seq(("o_orderkey", true), ("o_custkey", true), ("o_totalprice", true),
+        ("o_orderstatus", false), ("o_orderpriority", false))
+        .map { case (c, n) => block(c, n) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "agg_rollup_region_nation" ->
       """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
         |       count(*) AS n_cust,

@@ -58,4 +58,60 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
     assert(!plan.contains("SortMergeJoin"), "dimension join fell back to SMJ")
   }
+
+  test("interval join keeps every error event and plans an equi join") {
+    val df = SparkEntry.queries("range_join_click_error")(spark, sfDir)
+    val nErrors = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error").count()
+    assert(df.count() == nErrors)
+    // the user_id equi key must carry the join — no nested-loop fallback
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to nested loop:\n$plan")
+  }
+
+  test("full outer daily activity exercises both null sides") {
+    val rows = SparkEntry.queries("full_outer_daily_activity")(spark, sfDir).collect()
+    assert(rows.exists(r => r.getLong(1) > 0 && r.getLong(2) == 0))
+    assert(rows.exists(r => r.getLong(1) == 0 && r.getLong(2) > 0))
+  }
+
+  test("decimal-moment stddev/corr agree with the builtin estimators") {
+    val m = SparkEntry.queries("agg_stats_moments")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val b = graft.Tables.load(spark, sfDir, "lineitem").groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("s"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    m.foreach { case (k, (s, c)) =>
+      assert(math.abs(s - b(k)._1) < 1e-6, s"stddev $k: $s vs ${b(k)._1}")
+      assert(math.abs(c - b(k)._2) < 1e-6, s"corr $k: $c vs ${b(k)._2}")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("ntile quartiles are 1..4 and stratified sampling respects quotas") {
+    val q = SparkEntry.queries("window_lag_ntile")(spark, sfDir)
+      .select("price_quartile").distinct().collect().map(_.getLong(0)).toSet
+    assert(q.subsetOf(Set(1L, 2L, 3L, 4L)) && q.contains(1L))
+    val strat = SparkEntry.queries("sample_stratified_docs")(spark, sfDir).collect()
+    assert(strat.nonEmpty)
+    strat.foreach { r =>
+      val cap = r.getString(1) match { case "en" => 50; case "de" => 25; case _ => 10 }
+      assert(r.getLong(2) < cap)
+    }
+    // determinism: identical sample on a re-run
+    val again = SparkEntry.queries("sample_stratified_docs")(spark, sfDir).collect()
+    assert(strat.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("profiler emits one consistent row per column in a single pass") {
+    val p = SparkEntry.queries("profile_orders")(spark, sfDir).collect()
+    assert(p.length == 5)
+    assert(p.map(_.getLong(1)).toSet.size == 1) // same n_rows everywhere
+    p.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) - r.getLong(2)) // ndv <= non-null count
+      assert(r.isNullAt(4) != r.isNullAt(6)) // numeric XOR string min
+    }
+  }
 }
