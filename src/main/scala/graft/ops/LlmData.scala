@@ -132,6 +132,11 @@ object LlmData {
       Dedup.canonicalDocs(docs, pairs).orderBy("doc_id")
     }),
 
+    // ---- embedding compression ---------------------------------------------
+    "emb_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"), EmbDim)
+        .orderBy("vec_id")),
+
     // ---- similarity search -------------------------------------------------
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -268,6 +273,7 @@ object LlmData {
     "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),
+    "emb_quantize_int8" -> SimilaritySql.quantizeInt8(EmbDim),
     "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
     "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim, IvfProbes),

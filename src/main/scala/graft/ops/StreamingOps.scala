@@ -56,7 +56,10 @@ object StreamingOps {
       StreamPipelines.sessionize(Tables.events(s, dir))
         .orderBy("user_id", "s_start")),
     "asof_join_events_orders" -> ((s, dir) =>
-      asOfJoin(Tables.events(s, dir), Tables.load(s, dir, "orders")))
+      asOfJoin(Tables.events(s, dir), Tables.load(s, dir, "orders"))),
+    "stream_join_click_pairs" -> ((s, dir) =>
+      StreamPipelines.clickErrorJoin(Tables.events(s, dir))
+        .orderBy("err_id", "clk_id"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -98,6 +101,19 @@ object StreamingOps {
         |  (SELECT o_orderkey FROM orders o
         |   WHERE o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
-        |FROM events e ORDER BY event_id""".stripMargin
+        |FROM events e ORDER BY event_id""".stripMargin,
+    "stream_join_click_pairs" ->
+      """WITH err AS (
+        |  SELECT event_id AS err_id, user_id, epoch_us(ts) AS t_err
+        |  FROM events WHERE event_type = 'error'
+        |), clk AS (
+        |  SELECT event_id AS clk_id, user_id, epoch_us(ts) AS t_clk
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT err_id, clk_id, err.user_id
+        |FROM err JOIN clk ON err.user_id = clk.user_id
+        |  AND clk.t_clk >= err.t_err - 30 * 60 * 1000000
+        |  AND clk.t_clk < err.t_err
+        |ORDER BY err_id, clk_id""".stripMargin
   )
 }

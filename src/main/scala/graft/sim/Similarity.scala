@@ -61,6 +61,41 @@ object Similarity {
                    minBits: Int = 4, maxBits: Int = 20): Int =
     (minBits to maxBits).find(b => (1L << b) * targetBucket >= n).getOrElse(maxBits)
 
+  /** Symmetric int8 quantization of an embedding column with
+    * reconstruction metrics — the storage/bandwidth lever for vector
+    * corpora (4x smaller than float32, 8x than float64; at 100 TB the
+    * scan time drops proportionally and the codes stay SIMD-friendly).
+    * Per vector: `scale = 127 / max|x|`, `q_i = floor(x_i*scale + 0.5)`
+    * (explicit round-half-up: `round()` half-even vs half-up differs
+    * between engines; floor(+0.5) is identical everywhere).
+    *
+    * Emits per-vector scalars (scale, max abs reconstruction error,
+    * cosine(original, reconstruction), and a mod-P checksum of the codes)
+    * rather than the code array itself so the result is oracle-hashable;
+    * the checksum pins every code byte.
+    */
+  def quantizeInt8(emb: DataFrame, dim: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val P = graft.text.TextOps.P
+    val sdot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    emb.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("x"))
+      .withColumn("maxabs", array_max(transform(col("x"), e => abs(e))))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("q", transform(col("x"),
+        e => floor(e * col("scale") + lit(0.5)).cast("long")))
+      .withColumn("r", transform(col("q"), e => e.cast("double") / col("scale")))
+      .select(col(idCol), col("scale"),
+        array_max(zip_with(col("x"), col("r"), (a, b) => abs(a - b))).as("max_abs_err"),
+        (sdot(col("x"), col("r")) /
+          (sqrt(sdot(col("x"), col("x"))) * sqrt(sdot(col("r"), col("r")))))
+          .as("cos_recon"),
+        aggregate(zip_with(col("q"), sequence(lit(1), lit(dim)),
+            (qi, i) => ((qi * i) % lit(P) + lit(P)) % lit(P)),
+          lit(0L), (acc, e) => (acc + e) % lit(P)).as("q_checksum"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (`queries` is a
     * small DataFrame broadcast against the corpus). Deterministic rank:
     * (sim DESC, neighbor id ASC).

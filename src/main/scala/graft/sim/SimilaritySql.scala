@@ -34,6 +34,38 @@ object SimilaritySql {
       s"CASE WHEN $i < $pbCol AND ($v)[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
 
+  /** Oracle for [[Similarity.quantizeInt8]] — same staged arithmetic,
+    * same sequential double folds, same mod-P code checksum.
+    */
+  def quantizeInt8(dim: Int, table: String = "embeddings"): String = {
+    val P = graft.text.TextOps.P
+    def sdot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($a)[i] * ($b)[i]))"
+    s"""WITH xs AS (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+       |  FROM $table
+       |), sc AS (
+       |  SELECT vec_id, x,
+       |         127.0 / list_max(list_transform(x, e -> abs(e))) AS scale
+       |  FROM xs WHERE list_max(list_transform(x, e -> abs(e))) > 0
+       |), qs AS (
+       |  SELECT vec_id, x, scale,
+       |         list_transform(x, e -> CAST(floor(e * scale + 0.5) AS BIGINT)) AS q
+       |  FROM sc
+       |), rs AS (
+       |  SELECT vec_id, x, scale, q,
+       |         list_transform(q, e -> CAST(e AS DOUBLE) / scale) AS r
+       |  FROM qs
+       |)
+       |SELECT vec_id, scale,
+       |  list_max(list_transform(range(1, ${dim + 1}), i -> abs(x[i] - r[i]))) AS max_abs_err,
+       |  ${sdot("x", "r")} / (sqrt(${sdot("x", "x")}) * sqrt(${sdot("r", "r")})) AS cos_recon,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, ${dim + 1}), i -> ((q[i] * i) % $P + $P) % $P)),
+       |    (a, b) -> (a + b) % $P) AS q_checksum
+       |FROM rs ORDER BY vec_id""".stripMargin
+  }
+
   def cosineTopK(k: Int, nQueries: Int, dim: Int, table: String = "embeddings"): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM $table WHERE vec_id < $nQueries),
        |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM $table),

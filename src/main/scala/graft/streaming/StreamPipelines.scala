@@ -77,6 +77,33 @@ object StreamPipelines {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
         col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: the clicks within `lookback` BEFORE each
+    * error of the same user (the funnel/attribution join, streaming form).
+    * Watermarks on BOTH sides plus the two-sided time-range condition are
+    * what let Structured Streaming bound the join state: a click row can
+    * be dropped from state once the error-side watermark passes
+    * `ts_clk + lookback`. Without the range condition the state grows
+    * forever — the condition is a correctness requirement at scale, not
+    * an optimization. Same body runs on batch frames (watermark is a
+    * no-op there), which is how the oracle checks it.
+    */
+  def clickErrorJoin(events: DataFrame, lookbackMinutes: Int = 30,
+                     watermark: String = "1 hour"): DataFrame = {
+    val err = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("u_err"),
+        col("ts").as("ts_err"))
+      .withWatermark("ts_err", watermark)
+    val clk = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("clk_id"), col("user_id").as("u_clk"),
+        col("ts").as("ts_clk"))
+      .withWatermark("ts_clk", watermark)
+    err.join(clk, expr(
+        s"""u_err = u_clk AND
+           |ts_clk >= ts_err - INTERVAL $lookbackMinutes MINUTES AND
+           |ts_clk < ts_err""".stripMargin))
+      .select(col("err_id"), col("clk_id"), col("u_err").as("user_id"))
+  }
+
   /** Streaming dedup within the watermark — the exactly-once-ish upgrade
     * the reference lacks (at-least-once producer ⇒ duplicates possible;
     * SURVEY §7.4.5).

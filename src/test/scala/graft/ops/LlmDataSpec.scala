@@ -76,6 +76,17 @@ class LlmDataSpec extends SparkSpec {
     assert(bySize.sum == out.length)
   }
 
+  test("int8 quantization: error bounded by half a step, cosine near 1") {
+    val out = SparkEntry.queries("emb_quantize_int8")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (scale, err, cos) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(err <= 0.5 / scale + 1e-12, s"err $err > half-step ${0.5 / scale}")
+      assert(cos > 0.999 && cos <= 1.0 + 1e-12)
+      assert(r.getLong(4) >= 0) // mod-P checksum
+    }
+  }
+
   test("repetition features: fractions in (0,1], top bigram covers maxc") {
     val out = SparkEntry.queries("text_repetition")(spark, sfDir).collect()
     assert(out.length == Tables.load(spark, sfDir, "documents").count())

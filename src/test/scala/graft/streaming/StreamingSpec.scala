@@ -58,6 +58,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val q = StreamPipelines.clickErrorJoin(streamEvents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssjoin_out")
+      .orderBy("err_id", "clk_id").collect()
+    val batch = StreamPipelines.clickErrorJoin(eventsBatch)
+      .orderBy("err_id", "clk_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
   test("dedupWithinWatermark drops replayed duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dupes")
