@@ -194,14 +194,17 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = false)
+    var nE = e.count()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val nNext = next.count()
-      converged = nNext == e.count() &&
-        next.join(e, Seq("u", "v")).count() == nNext
+      // set equality of two distinct frames: same size + inner join same
+      // size (the size comes free from the materializing count above)
+      converged = nNext == nE && next.join(e, Seq("u", "v")).count() == nNext
       e = next
+      nE = nNext
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
