@@ -429,6 +429,40 @@ object Relational {
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy("doc_id")),
 
+    // ---- map scalar functions: JSON props -> MapType -> aggregate ----------
+    // from_json to a map, element_at/map_keys on it — the semi-structured
+    // column path (SURVEY §2.9 "map scalar functions"), mirrored by
+    // DuckDB's json_extract/json_keys.
+    "map_props_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)))
+        .select(col("event_type"), element_at(col("m"), "k").as("k"),
+          size(map_keys(col("m"))).as("nk"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), max(col("nk")).cast("long").as("max_keys"))
+        .orderBy("event_type")),
+
+    // ---- raw SQL: scalar subquery + IN subquery ----------------------------
+    // Catalyst decorrelates/rewrites both into joins — registered to prove
+    // the subquery surface, with the average computed through exact
+    // decimal sums so the threshold is engine-identical.
+    "sql_subquery_spenders" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("v_customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM v_customer
+          |WHERE c_custkey IN (
+          |  SELECT o_custkey FROM v_orders
+          |  WHERE o_totalprice > (
+          |    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          |    FROM v_orders))
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- column profiler: one row per column, two narrow passes ------------
     // Exact NDV here because the oracle demands it — at 100 TB swap in
     // approx_count_distinct (see approx_sketches for the HLL path).
@@ -643,6 +677,21 @@ object Relational {
         |FROM orders
         |WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "map_props_agg" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |       CAST(max(len(json_keys(props))) AS BIGINT) AS max_keys
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sql_subquery_spenders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_totalprice > (
+        |    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM orders))
+        |ORDER BY c_custkey""".stripMargin,
     "sample_hash_docs" -> {
       val h = graft.text.TextSql.polyHash("CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, lang, source FROM documents

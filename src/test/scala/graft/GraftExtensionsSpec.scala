@@ -34,6 +34,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(nullArg.getCondition == "DATATYPE_MISMATCH.UNEXPECTED_NULL")
   }
 
+  test("UDAF surface: graft_dsum equals the builtin decimal-cast sum") {
+    graft.functions.DecimalSum.register(spark)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("orders_udaf")
+    val viaUdaf = spark.sql(
+      """SELECT o_orderpriority, graft_dsum(o_totalprice) AS s
+        |FROM orders_udaf GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .collect()
+    val viaBuiltin = spark.sql(
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM orders_udaf GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .collect()
+    assert(viaUdaf.nonEmpty)
+    assert(viaUdaf.map(_.toString).toSeq == viaBuiltin.map(_.toString).toSeq)
+    // empty input finishes to null like builtin sum
+    val empty = spark.sql(
+      "SELECT graft_dsum(o_totalprice) FROM orders_udaf WHERE o_orderkey < 0").head
+    assert(empty.isNullAt(0))
+  }
+
   test("SQL function results match the Column API kernels") {
     GraftExtensions.register(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)

@@ -72,6 +72,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
 
+  test("append-mode windowed agg drops events later than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamPipelines.tumblingCounts(
+      mem.toDF.toDF("ts", "event_type", "value").withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:05:00"), "click", 1.0))
+    q.processAllAvailable()
+    // advances the watermark to 12:50 — the 10:00 window is now closed
+    mem.addData((t("2024-01-01 13:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // 10:30 is far behind the watermark: state is gone, the row is dropped
+    mem.addData((t("2024-01-01 10:30:00"), "late", 99.0))
+    mem.addData((t("2024-01-01 14:00:00"), "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("late_out").collect()
+    assert(out.exists(r => r.getString(0) == "2024-01-01 10:00:00" &&
+      r.getString(1) == "click" && r.getLong(2) == 1))
+    assert(!out.exists(r => r.getString(1) == "late"))
+  }
+
   test("dedupWithinWatermark drops replayed duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dupes")
