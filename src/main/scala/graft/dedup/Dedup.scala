@@ -105,6 +105,14 @@ object Dedup {
       .join(bands.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+    verifyJaccard(cand, sh, minJaccard)
+  }
+
+  /** Exact-Jaccard verification of candidate (a, b) id pairs against the
+    * true hash sets `sh` = (id, s).
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            minJaccard: Double): DataFrame =
     cand
       .join(sh.select(col("id").as("a"), col("s").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("s").as("shb")), Seq("b"))
@@ -113,6 +121,34 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
+
+  /** Incremental near-dup: pairs involving a NEW document (id >= splitId)
+    * — the batch-ingestion shape: dedup each arriving batch against the
+    * already-ingested corpus without re-running the full self-join. The
+    * corpus side is banded once (at scale: a persisted signature index,
+    * appended per batch); the band join probes only new-side buckets, so
+    * candidate work is proportional to the NEW batch, not the corpus.
+    * Output == the subset of [[minhashPairs]] with b in the new batch
+    * (new ids sort above old ids), which is exactly what the oracle
+    * asserts.
+    */
+  def incrementalMinhashPairs(docs: DataFrame, splitId: Long, minJaccard: Double,
+                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextOps.shingleHashes(col("toks")).as("s"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint(eager = false)
+    val bands = sh
+      .select(col("id"), posexplode(bandHashes(minhashSignature(col("s")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+      .localCheckpoint(eager = false)
+    val cand = bands.select(col("band"), col("bh"), col("id").as("a"))
+      .join(bands.filter(col("id") >= splitId)
+        .select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    verifyJaccard(cand, sh, minJaccard)
   }
 
   /** Near-dup pairs by MinHash-LSH with exact-Jaccard verification:

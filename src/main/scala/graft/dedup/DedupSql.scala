@@ -62,6 +62,17 @@ object DedupSql {
     jaccardPairs(s"list_distinct(${TextSql.charGramHashes("text", k)})",
       minJaccard, table, Dedup.NGRAM_BANDS, Dedup.NGRAM_R)
 
+  /** Oracle for [[Dedup.incrementalMinhashPairs]]: the FULL self-join pair
+    * query restricted to pairs whose b side is in the new batch (top 20%
+    * of ids) — asserting the incremental path finds exactly the pairs the
+    * batch path would.
+    */
+  def incrementalMinhashPairs(minJaccard: Double,
+                              table: String = "documents"): String =
+    s"""SELECT a, b, jaccard FROM (${minhashPairs(minJaccard, table)}) q
+       |WHERE b >= (SELECT count(*) * 8 // 10 FROM $table)
+       |ORDER BY a, b""".stripMargin
+
   /** Oracle for [[Dedup.canonicalDocs]] over minhash near-dup pairs: the
     * pair query embedded as a derived table, transitive closure by
     * recursive CTE (UNION-dedup guarantees termination on cycles), then

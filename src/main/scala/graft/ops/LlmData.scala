@@ -28,6 +28,10 @@ object LlmData {
     */
   val MaxHamming = 3
   val NearDupCos = 0.4
+  /** Chunking: 40-token windows, stride 32 (8-token overlap). */
+  val ChunkTokens = 40
+  val ChunkStride = 32
+  val VocabTopN = 100
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -----------------------------------------------------
@@ -62,6 +66,38 @@ object LlmData {
         TextOps.qualityScore(col("text"), col("toks")).as("quality")): _*)
         .orderBy("doc_id")
     }),
+
+    // Fixed-size token chunking with overlap — the training-window prep
+    // step (documents -> model-sized sequences). Chunk starts stride
+    // through the token array; `slice` + `concat_ws` rebuild the chunk
+    // text. Narrow explode: output rows ~ n_tokens/stride per doc, no
+    // shuffle until the ORDER BY.
+    "text_chunking" -> ((s, dir) => {
+      val (chunk, stride) = (ChunkTokens, ChunkStride)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        // last chunk starts at floor((n-1)/stride)*stride — always < n
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            floor((size(col("toks")) - 1) / lit(stride)).cast("long"))).as("ci"))
+        .select(col("doc_id"), col("ci").as("chunk_id"),
+          slice(col("toks"), (col("ci") * stride + 1).cast("int"), lit(chunk)).as("ctoks"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ctoks")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("ctoks")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Corpus vocabulary induction: global token counts, top-N with a
+    // deterministic (count DESC, token ASC) tiebreak — the seed list for
+    // BPE-style tokenizer training. explode -> partial-agg'd groupBy ->
+    // TakeOrderedAndProject; the full vocabulary never sits on one node.
+    "vocab_top_tokens" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(VocabTopN)),
 
     // Gopher-style repetition features (Rae et al. 2021, public paper):
     // most-frequent-bigram coverage and duplicated-bigram mass per doc.
@@ -123,6 +159,16 @@ object LlmData {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), MinJaccard)
         .orderBy("a", "b")),
+
+    // batch-ingestion dedup: the top 20% of doc ids are the "new batch",
+    // deduped against the full corpus via new-side-probed banding; the
+    // oracle asserts equality with the full self-join restricted to new b
+    "dedup_incremental" -> ((s, dir) => {
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      Dedup.incrementalMinhashPairs(
+        Tables.load(s, dir, "documents"), n * 8 / 10, MinJaccard)
+        .orderBy("a", "b")
+    }),
 
     // pairs -> clusters -> one canonical doc per near-dup component
     // (large-star/small-star; see Dedup.connectedComponents)
@@ -273,6 +319,23 @@ object LlmData {
     "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),
+    "dedup_incremental" -> DedupSql.incrementalMinhashPairs(MinJaccard),
+    "text_chunking" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents
+         |), c AS (
+         |  SELECT doc_id, toks,
+         |         UNNEST(range(0, (len(toks) - 1) // $ChunkStride + 1)) AS ci
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+         |  CAST(len(toks[ci*$ChunkStride+1 : ci*$ChunkStride+$ChunkTokens]) AS BIGINT) AS n_tokens,
+         |  array_to_string(toks[ci*$ChunkStride+1 : ci*$ChunkStride+$ChunkTokens], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "vocab_top_tokens" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT UNNEST(${TextSql.tokens("text")}) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT $VocabTopN""".stripMargin,
     "emb_quantize_int8" -> SimilaritySql.quantizeInt8(EmbDim),
     "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),

@@ -59,7 +59,11 @@ object StreamingOps {
       asOfJoin(Tables.events(s, dir), Tables.load(s, dir, "orders"))),
     "stream_join_click_pairs" -> ((s, dir) =>
       StreamPipelines.clickErrorJoin(Tables.events(s, dir))
-        .orderBy("err_id", "clk_id"))
+        .orderBy("err_id", "clk_id")),
+    "stream_static_enrich" -> ((s, dir) =>
+      StreamPipelines.enrichWithCustomers(
+        Tables.events(s, dir), Tables.load(s, dir, "customer"))
+        .orderBy("event_id"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -114,6 +118,10 @@ object StreamingOps {
         |FROM err JOIN clk ON err.user_id = clk.user_id
         |  AND clk.t_clk >= err.t_err - 30 * 60 * 1000000
         |  AND clk.t_clk < err.t_err
-        |ORDER BY err_id, clk_id""".stripMargin
+        |ORDER BY err_id, clk_id""".stripMargin,
+    "stream_static_enrich" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -104,6 +104,18 @@ object StreamPipelines {
       .select(col("err_id"), col("clk_id"), col("u_err").as("user_id"))
   }
 
+  /** Stream-static enrichment: each event joined (left) to the customer
+    * dimension. The static side needs no watermark — it is re-read (or
+    * broadcast) per micro-batch, the canonical streaming-lookup shape.
+    * Same body on a batch frame is the oracle.
+    */
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("event_type"))
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"))
+
   /** Streaming dedup within the watermark — the exactly-once-ish upgrade
     * the reference lacks (at-least-once producer ⇒ duplicates possible;
     * SURVEY §7.4.5).

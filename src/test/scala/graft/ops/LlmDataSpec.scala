@@ -41,6 +41,38 @@ class LlmDataSpec extends SparkSpec {
     assert(lsh.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("incremental dedup equals the full self-join restricted to new docs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val split = graft.Tables.parquetRowCount(spark, s"$sfDir/documents.parquet") * 8 / 10
+    val inc = graft.dedup.Dedup
+      .incrementalMinhashPairs(docs, split, LlmData.MinJaccard)
+      .orderBy("a", "b").collect()
+    val full = graft.dedup.Dedup.minhashPairs(docs, LlmData.MinJaccard)
+      .filter(col("b") >= split).orderBy("a", "b").collect()
+    assert(inc.nonEmpty)
+    assert(inc.map(_.toString).toSeq == full.map(_.toString).toSeq)
+  }
+
+  test("chunking covers every token and respects the stride overlap") {
+    val chunks = SparkEntry.queries("text_chunking")(spark, sfDir).collect()
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(graft.text.TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == toks.keySet)
+    byDoc.foreach { case (d, cs) =>
+      val n = toks(d)
+      assert(cs.length == (n - 1) / LlmData.ChunkStride + 1)
+      // every chunk except possibly the last is full-width
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.init.foreach(c => assert(c.getLong(2) ==
+        math.min(LlmData.ChunkTokens, n - c.getLong(1) * LlmData.ChunkStride)))
+      // full token coverage: last chunk reaches the end
+      val last = sorted.last
+      assert(last.getLong(1) * LlmData.ChunkStride + last.getLong(2) == n)
+    }
+  }
+
   test("connected components: chains, cycles, and multiple components") {
     import spark.implicits._
     // chain 1..10 (needs >1 contraction round), a 3-cycle, and a pair;

@@ -72,6 +72,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
 
+  test("stream-static broadcast enrichment == batch enrichment") {
+    val dim = Tables.load(spark, sfDir, "customer")
+    val q = StreamPipelines.enrichWithCustomers(streamEvents, dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enrich_out").orderBy("event_id").collect()
+    val batch = StreamPipelines.enrichWithCustomers(eventsBatch, dim)
+      .orderBy("event_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
   test("append-mode windowed agg drops events later than the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
