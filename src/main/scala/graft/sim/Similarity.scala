@@ -269,6 +269,72 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
   }
 
+  // --------------------------------------------------------------------------
+  // IVF index lifecycle: train once, persist, search many times. At 100 TB
+  // the index IS the deployment artifact — k-means runs once per corpus
+  // version, the inverted lists live partitioned by centroid id on object
+  // storage, and each query batch reads ONLY its probed lists (directory
+  // pruning via dynamic partition pruning against the broadcast probe set).
+  // --------------------------------------------------------------------------
+
+  /** Train + persist an IVF index under `indexDir`:
+    * `centroids/` (centroid_id, cvec) and `lists/` — the full corpus
+    * written PARTITIONED BY its nearest-centroid assignment.
+    */
+  def writeIvfIndex(corpus: DataFrame, indexDir: String, nCentroids: Int,
+                    refineIters: Int = 1,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    exactFold: Boolean = true): Unit = {
+    val spark = corpus.sparkSession
+    val cents = kmeansCentroidsCached(corpus, nCentroids, refineIters,
+      idCol, vecCol, exactFold)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        cents.map { case (id, v) => org.apache.spark.sql.Row(id, v.toSeq) }.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("centroid_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    corpus.select(col(idCol), col(vecCol),
+        element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("centroid"))
+      .write.mode("overwrite").partitionBy("centroid")
+      .parquet(s"$indexDir/lists")
+  }
+
+  /** Load the coarse quantizer back from a persisted index. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): Array[(Long, Array[Double])] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Search a persisted IVF index: queries probe their `nprobe` nearest
+    * lists; the probe set joins the partitioned lists table on the
+    * PARTITION column, so only probed `centroid=` directories are read
+    * (broadcast join + dynamic partition pruning — asserted in the spec).
+    * Result contract identical to [[ivfTopK]].
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                       queries: DataFrame, k: Int, nprobe: Int = 1,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = readIvfCentroids(spark, indexDir)
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("centroid"))
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("centroid", explode(nearestCentroids(col("q_vec"), cents, nprobe))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    q.join(lists, Seq("centroid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: sign-LSH blocking, then exact cosine
     * threshold inside each bucket (a < b). `planeBits = None` derives the
     * bucket count from the corpus size ([[planeBitsFor]]) so the

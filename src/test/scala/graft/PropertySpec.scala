@@ -62,6 +62,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PROPERTY: connected components == brute-force union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      nNodes <- Gen.choose(2, 24)
+      nEdges <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
+    } yield edges
+    forAll(edgeGen, n = 12) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      if (real.nonEmpty) {
+        // reference: sequential union-find
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        real.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x))
+          .filter { case (x, r) => x != r }.toMap
+        val got = graft.dedup.Dedup.connectedComponents(real.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"edges=$real")
+      }
+    }
+  }
+
   test("PROPERTY: XML render is total and well-nested over arbitrary flat products") {
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     import org.apache.spark.sql.types._

@@ -108,6 +108,24 @@ class LlmDataSpec extends SparkSpec {
     assert(bySize.sum == out.length)
   }
 
+  test("IVF index lifecycle: persisted search == in-memory search, lists pruned") {
+    import graft.sim.Similarity
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(emb, dir, LlmData.IvfCentroids)
+    val queries = emb.filter(col("vec_id") < LlmData.AnnQueries)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, queries,
+      LlmData.AnnK, LlmData.IvfProbes)
+    val inMemory = Similarity.ivfTopK(emb, queries, LlmData.AnnK,
+      LlmData.IvfCentroids, LlmData.IvfProbes)
+    val a = fromIndex.orderBy("q_id", "rank").collect()
+    val b = inMemory.orderBy("q_id", "rank").collect()
+    assert(a.nonEmpty && a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // the probe join must prune non-probed centroid= directories at runtime
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP on the lists scan:\n$plan")
+  }
+
   test("int8 quantization: error bounded by half a step, cosine near 1") {
     val out = SparkEntry.queries("emb_quantize_int8")(spark, sfDir).collect()
     assert(out.nonEmpty)
