@@ -122,6 +122,41 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
 
+  /** Asymmetric containment pairs: `max(|A∩B|/|A|, |A∩B|/|B|) >= minC` —
+    * the quote/subset detector (a doc wholly contained in a larger one has
+    * high containment but can have LOW Jaccard, so a Jaccard threshold
+    * misses it). Candidates come from the same minhash banding as
+    * [[minhashPairs]] — right when the pair sizes are comparable; a
+    * production pass targeting extreme size ratios would band the SMALLER
+    * set's signature only (documented trade-off; the oracle mirrors this
+    * candidate generation exactly, so parity is independent of recall).
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextOps.shingleHashes(col("toks")).as("s"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint(eager = false)
+    val bands = sh
+      .select(col("id"), posexplode(bandHashes(minhashSignature(col("s")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+      .localCheckpoint(eager = false)
+    val cand = bands.select(col("band"), col("bh"), col("id").as("a"))
+      .join(bands.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(sh.select(col("id").as("a"), col("s").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("s").as("shb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("containment",
+        greatest(col("inter").cast("double") / size(col("sha")),
+          col("inter").cast("double") / size(col("shb"))))
+      .filter(col("containment") >= minContainment)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** Incremental near-dup: pairs involving a NEW document (id >= splitId)
     * — the batch-ingestion shape: dedup each arriving batch against the
     * already-ingested corpus without re-running the full self-join. The

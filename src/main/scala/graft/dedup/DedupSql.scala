@@ -62,6 +62,33 @@ object DedupSql {
     jaccardPairs(s"list_distinct(${TextSql.charGramHashes("text", k)})",
       minJaccard, table, Dedup.NGRAM_BANDS, Dedup.NGRAM_R)
 
+  /** Oracle for [[Dedup.containmentPairs]] — same candidates, asymmetric
+    * containment metric.
+    */
+  def containmentPairs(minContainment: Double,
+                       table: String = "documents"): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id, ${TextSql.shingleHashes("text")} AS sh
+       |  FROM $table
+       |  WHERE len(${TextSql.shingleHashes("text")}) > 0
+       |), bands AS (
+       |  SELECT id, sh, UNNEST(${bandHashes(minhashSignature("sh"))}) AS b FROM sh
+       |), flat AS (
+       |  SELECT id, sh, b.band AS band, b.bh AS bh FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b, x.sh AS sha, y.sh AS shb
+       |  FROM flat x JOIN flat y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+       |), verified AS (
+       |  SELECT a, b,
+       |    greatest(
+       |      CAST(len(list_filter(sha, v -> list_contains(shb, v))) AS DOUBLE) / len(sha),
+       |      CAST(len(list_filter(sha, v -> list_contains(shb, v))) AS DOUBLE) / len(shb)
+       |    ) AS containment
+       |  FROM cand
+       |)
+       |SELECT a, b, containment FROM verified WHERE containment >= $minContainment
+       |ORDER BY a, b""".stripMargin
+
   /** Oracle for [[Dedup.incrementalMinhashPairs]]: the FULL self-join pair
     * query restricted to pairs whose b side is in the new batch (top 20%
     * of ids) — asserting the incremental path finds exactly the pairs the

@@ -32,6 +32,8 @@ object LlmData {
   val ChunkTokens = 40
   val ChunkStride = 32
   val VocabTopN = 100
+  val MinContainment = 0.7
+  val TfidfTopK = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -----------------------------------------------------
@@ -159,6 +161,33 @@ object LlmData {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), MinJaccard)
         .orderBy("a", "b")),
+
+    // asymmetric containment (quote/subset detection): high containment
+    // can coexist with low Jaccard, so this is a separate operator
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), MinContainment)
+        .orderBy("a", "b")),
+
+    // per-doc top terms by tf * (N/df): idf kept RATIONAL (no log) so the
+    // score is an exact integer ratio in double — engine-identical without
+    // depending on two libms rounding ln() the same way
+    "text_tfidf_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term"))
+        .withColumn("score", (col("tf") * n).cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TfidfTopK)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
 
     // batch-ingestion dedup: the top 20% of doc ids are the "new batch",
     // deduped against the full corpus via new-side-probed banding; the
@@ -320,6 +349,25 @@ object LlmData {
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),
     "dedup_incremental" -> DedupSql.incrementalMinhashPairs(MinJaccard),
+    "dedup_containment" -> DedupSql.containmentPairs(MinContainment),
+    "text_tfidf_top_terms" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, UNNEST(${TextSql.tokens("text")}) AS term FROM documents)
+         |  GROUP BY doc_id, term
+         |), dfx AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |         CAST(tf * n.n AS DOUBLE) / df AS score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY CAST(tf * n.n AS DOUBLE) / df DESC, term) AS rank
+         |  FROM tf JOIN dfx USING (term), n
+         |)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+         |FROM scored WHERE rank <= $TfidfTopK
+         |ORDER BY doc_id, rank""".stripMargin,
     "text_chunking" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents
