@@ -26,6 +26,46 @@ object TableSink {
     sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
   }
 
+  /** Small-file compaction — the table-maintenance op every streaming
+    * ingest eventually needs (micro-batches leave thousands of KB-sized
+    * files; scans then pay per-file open + footer costs and lose
+    * row-group parallelism). Rewrites `path` targeting `targetBytes`
+    * per output file, derived from the CURRENT total size (driver-side
+    * file-status scan, no Spark job), and preserves the data exactly.
+    * Writes to a temp sibling then swaps, so a failed compaction never
+    * loses the original.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hp).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    spark.read.parquet(path)
+      .repartition(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "._precompact")
+    fs.rename(hp, bak)
+    fs.rename(tmp, hp)
+    fs.delete(bak, true)
+    nFiles
+  }
+
+  /** Range-partitioned, min/max-ordered layout: global range partition on
+    * `sortCol`, sorted within files, so every parquet file (and row
+    * group) carries a TIGHT, DISJOINT min/max range for that column —
+    * point/range predicates then skip whole files from footer stats
+    * alone. This is the sort-by-ingestion-time / Z-order-lite layout for
+    * append-mostly fact tables (TableSinkSpec asserts the per-file
+    * ranges are actually disjoint).
+    */
+  def writeRangeLayout(df: DataFrame, path: String, sortCol: String,
+                       nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** K5: idempotent catalog DDL — `CREATE TABLE IF NOT EXISTS` from a
     * typed schema (the reference's 26-column products DDL,
     * `/root/reference/src/sql_to_kafka.py:69-105`, whose SQLite types map

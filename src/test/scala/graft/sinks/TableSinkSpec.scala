@@ -45,6 +45,42 @@ class TableSinkSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("compaction: many small files become few, data byte-identical") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.repartition(40).write.parquet(out)
+    def partFiles = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val before = partFiles.length
+    assert(before >= 40)
+    def fingerprint = spark.read.parquet(out).agg(
+      count(lit(1)), sum(col("o_orderkey")),
+      sum(col("o_totalprice").cast("decimal(18,2)"))).head.toString
+    val fpBefore = fingerprint
+    TableSink.compact(spark, out, targetBytes = 1L << 30)
+    assert(partFiles.length < before / 10)
+    assert(fingerprint == fpBefore)
+  }
+
+  test("range layout: per-file key ranges are disjoint (footer-skippable)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_range").toString + "/t"
+    TableSink.writeRangeLayout(
+      Tables.load(spark, sfDir, "orders"), out, "o_orderkey", nFiles = 6)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ =>
+    }
+  }
+
   test("salted aggregation equals direct aggregation (decimal-exact)") {
     val ev = Tables.events(spark, sfDir)
     val direct = ev.groupBy(col("event_type"))
