@@ -34,6 +34,10 @@ object LlmData {
   val VocabTopN = 100
   val MinContainment = 0.7
   val TfidfTopK = 3
+  /** Composed pipeline: quality floor and chunk-sample rate (3 in 10). */
+  val QualityMin = 0.3
+  val ChunkSampleMod = 10
+  val ChunkSampleKeep = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -----------------------------------------------------
@@ -161,6 +165,37 @@ object LlmData {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), MinJaccard)
         .orderBy("a", "b")),
+
+    // THE composed pipeline: near-dup removal (keep component minima) ->
+    // quality floor -> fixed-stride chunking -> deterministic hash sample.
+    // One declarative plan: Catalyst pipelines the narrow stages, places
+    // the three shuffles (LSH banding, component rounds, final sort), and
+    // the sample predicate costs nothing extra — the point of building
+    // the pipeline as operators over DataFrames instead of four jobs with
+    // materialized intermediates.
+    "pipeline_training_data" -> ((s, dir) => {
+      val (chunk, stride) = (ChunkTokens, ChunkStride)
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, MinJaccard).select(col("a"), col("b"))
+      // non-root near-dup nodes are dropped; roots + singletons survive
+      val dropped = Dedup.connectedComponents(pairs).select(col("u").as("doc_id"))
+      val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+        .filter(TextOps.qualityScore(col("text"), col("toks")) >= QualityMin)
+      kept
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            floor((size(col("toks")) - 1) / lit(stride)).cast("long"))).as("ci"))
+        .select(col("doc_id"), col("ci").as("chunk_id"),
+          slice(col("toks"), (col("ci") * stride + 1).cast("int"), lit(chunk)).as("ctoks"))
+        .filter(pmod(TextOps.polyHash(
+            concat_ws("_", col("doc_id"), col("chunk_id"))),
+          lit(ChunkSampleMod)) < ChunkSampleKeep)
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ctoks")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("ctoks")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
 
     // asymmetric containment (quote/subset detection): high containment
     // can coexist with low Jaccard, so this is a separate operator
@@ -350,6 +385,35 @@ object LlmData {
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),
     "dedup_incremental" -> DedupSql.incrementalMinhashPairs(MinJaccard),
     "dedup_containment" -> DedupSql.containmentPairs(MinContainment),
+    "pipeline_training_data" ->
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
+         |  SELECT a, b FROM (${DedupSql.minhashPairs(MinJaccard)}) q
+         |), edges AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+         |), reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), comp AS (
+         |  SELECT u AS id, least(u, min(v)) AS root FROM reach GROUP BY u
+         |), kept AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE root <> id)
+         |    AND (${TextSql.qualityScore("text")}) >= $QualityMin
+         |), t AS (
+         |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM kept
+         |), c2 AS (
+         |  SELECT doc_id, toks,
+         |         UNNEST(range(0, (len(toks) - 1) // $ChunkStride + 1)) AS ci
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+         |  CAST(len(toks[ci*$ChunkStride+1 : ci*$ChunkStride+$ChunkTokens]) AS BIGINT) AS n_tokens,
+         |  array_to_string(toks[ci*$ChunkStride+1 : ci*$ChunkStride+$ChunkTokens], ' ') AS chunk_text
+         |FROM c2
+         |WHERE (${TextSql.polyHash(
+              "CAST(doc_id AS VARCHAR) || '_' || CAST(ci AS VARCHAR)")}) % $ChunkSampleMod < $ChunkSampleKeep
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "text_tfidf_top_terms" ->
       s"""WITH tf AS (
          |  SELECT doc_id, term, count(*) AS tf

@@ -41,6 +41,24 @@ class LlmDataSpec extends SparkSpec {
     assert(lsh.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("composed pipeline: dedup, quality, chunking, sampling all active") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val out = SparkEntry.queries("pipeline_training_data")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val sampledDocs = out.map(_.getLong(0)).distinct.length
+    // dedup + quality dropped documents; sampling dropped chunks
+    assert(sampledDocs < nDocs)
+    val dropped = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.minhashPairs(docs, LlmData.MinJaccard).select("a", "b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty)
+    assert(out.forall(r => !dropped.contains(r.getLong(0))))
+    // sample rate lands in a loose band around 3/10
+    val allChunks = SparkEntry.queries("text_chunking")(spark, sfDir).count()
+    assert(out.length < allChunks * 0.45 && out.length > allChunks * 0.1)
+  }
+
   test("incremental dedup equals the full self-join restricted to new docs") {
     val docs = Tables.load(spark, sfDir, "documents")
     val split = graft.Tables.parquetRowCount(spark, s"$sfDir/documents.parquet") * 8 / 10
