@@ -79,10 +79,15 @@ object Dedup {
       aggregate(sequence(lit(1), lit(r)), lit(0L), (acc, i) =>
         (acc * 31L + element_at(sig, j * r + i)) % P))
 
-  /** Shared LSH+verify plan: candidate pairs by minhash banding over a
-    * distinct-hash-SET column (`sets` = (id, s)), verified with exact
-    * Jaccard. The featurization (word shingles, char n-grams, …) is the
-    * caller's; the blocking/verify machinery is identical.
+  /** Session-scoped LSH index memo. The (distinct-set, band-explosion)
+    * frames for a given (session, corpus plan, featurization, banding)
+    * are the INDEX every LSH-family operator probes — pairs, components,
+    * incremental, containment, and the composed pipeline all need the
+    * same two materializations, so they are computed once per session
+    * (the in-session analog of [[graft.sim.Similarity.writeIvfIndex]]'s
+    * persisted lists; at 100 TB this index lives as parquet, appended
+    * per ingested batch). `localCheckpoint` blocks are a few MB at test
+    * scale and are freed on session stop or [[clearIndexCache]].
     *
     * Scale notes (all measured, see PLANS.md):
     *   - Signature table materialized via `localCheckpoint` so the band
@@ -93,20 +98,45 @@ object Dedup {
     *     the sets re-join by id — never shuffle arrays at candidate
     *     cardinality (measured 2×).
     */
-  private def jaccardPairsFromSets(sets: DataFrame, minJaccard: Double,
-                                   nBands: Int = BANDS, r: Int = R): DataFrame = {
-    val sh = sets.filter(size(col("s")) > 0)
-      .localCheckpoint(eager = false)
-    val bands = sh
-      .select(col("id"), posexplode(bandHashes(minhashSignature(col("s")), nBands, r)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
-      .localCheckpoint(eager = false)
-    val cand = bands.select(col("band"), col("bh"), col("id").as("a"))
-      .join(bands.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
+  private val shBandCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession,
+      Int, String), (DataFrame, DataFrame)]()
+
+  def clearIndexCache(): Unit = shBandCache.clear()
+
+  private def shingleBandIndex(docs: DataFrame, fkey: String,
+                               sets: DataFrame => DataFrame,
+                               nBands: Int, r: Int): (DataFrame, DataFrame) =
+    shBandCache.computeIfAbsent(
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
+        s"$fkey/$nBands/$r"),
+      _ => {
+        val sh = sets(docs).filter(size(col("s")) > 0)
+          .localCheckpoint(eager = false)
+        val bands = sh
+          .select(col("id"),
+            posexplode(bandHashes(minhashSignature(col("s")), nBands, r)))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+          .localCheckpoint(eager = false)
+        (sh, bands)
+      })
+
+  private def wordSets(idCol: String, textCol: String)(docs: DataFrame): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextOps.shingleHashes(col("toks")).as("s"))
+
+  private def ngramSets(idCol: String, textCol: String, k: Int)(docs: DataFrame): DataFrame =
+    docs.select(col(idCol).as("id"),
+      array_distinct(TextOps.charGramHashes(col(textCol), k)).as("s"))
+
+  /** Distinct candidate (a, b) pairs from a band self-join: the full index
+    * on the a side, an arbitrary probe subset on the b side.
+    */
+  private def candidatePairs(bands: DataFrame, probe: DataFrame): DataFrame =
+    bands.select(col("band"), col("bh"), col("id").as("a"))
+      .join(probe.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    verifyJaccard(cand, sh, minJaccard)
-  }
 
   /** Exact-Jaccard verification of candidate (a, b) id pairs against the
     * true hash sets `sh` = (id, s).
@@ -133,20 +163,9 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, minContainment: Double,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), TextOps.shingleHashes(col("toks")).as("s"))
-      .filter(size(col("s")) > 0)
-      .localCheckpoint(eager = false)
-    val bands = sh
-      .select(col("id"), posexplode(bandHashes(minhashSignature(col("s")))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
-      .localCheckpoint(eager = false)
-    val cand = bands.select(col("band"), col("bh"), col("id").as("a"))
-      .join(bands.select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    cand
+    val (sh, bands) = shingleBandIndex(docs, s"word/$idCol/$textCol",
+      wordSets(idCol, textCol), BANDS, R)
+    candidatePairs(bands, bands)
       .join(sh.select(col("id").as("a"), col("s").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("s").as("shb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -169,21 +188,10 @@ object Dedup {
     */
   def incrementalMinhashPairs(docs: DataFrame, splitId: Long, minJaccard: Double,
                               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), TextOps.shingleHashes(col("toks")).as("s"))
-      .filter(size(col("s")) > 0)
-      .localCheckpoint(eager = false)
-    val bands = sh
-      .select(col("id"), posexplode(bandHashes(minhashSignature(col("s")))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
-      .localCheckpoint(eager = false)
-    val cand = bands.select(col("band"), col("bh"), col("id").as("a"))
-      .join(bands.filter(col("id") >= splitId)
-        .select(col("band"), col("bh"), col("id").as("b")), Seq("band", "bh"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    verifyJaccard(cand, sh, minJaccard)
+    val (sh, bands) = shingleBandIndex(docs, s"word/$idCol/$textCol",
+      wordSets(idCol, textCol), BANDS, R)
+    verifyJaccard(
+      candidatePairs(bands, bands.filter(col("id") >= splitId)), sh, minJaccard)
   }
 
   /** Near-dup pairs by MinHash-LSH with exact-Jaccard verification:
@@ -191,11 +199,11 @@ object Dedup {
     * on the true shingle sets. Returns (a, b, jaccard), a < b.
     */
   def minhashPairs(docs: DataFrame, minJaccard: Double,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    jaccardPairsFromSets(
-      docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-        .select(col("id"), TextOps.shingleHashes(col("toks")).as("s")),
-      minJaccard)
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (sh, bands) = shingleBandIndex(docs, s"word/$idCol/$textCol",
+      wordSets(idCol, textCol), BANDS, R)
+    verifyJaccard(candidatePairs(bands, bands), sh, minJaccard)
+  }
 
   /** Near-dup pairs by character n-gram Jaccard: the tokenization-free
     * variant (robust to whitespace/punctuation differences that change
@@ -203,11 +211,11 @@ object Dedup {
     * exact Jaccard verify. Returns (a, b, jaccard), a < b.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, k: Int = NGRAM_K,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    jaccardPairsFromSets(
-      docs.select(col(idCol).as("id"),
-        array_distinct(TextOps.charGramHashes(col(textCol), k)).as("s")),
-      minJaccard, NGRAM_BANDS, NGRAM_R)
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (sh, bands) = shingleBandIndex(docs, s"ngram$k/$idCol/$textCol",
+      ngramSets(idCol, textCol, k), NGRAM_BANDS, NGRAM_R)
+    verifyJaccard(candidatePairs(bands, bands), sh, minJaccard)
+  }
 
   // --------------------------------------------------------------------------
   // Connected components over the near-dup pair graph: the stage that turns

@@ -28,7 +28,7 @@ object DedupSql {
 
   /** Full MinHash-LSH near-dup pair query with exact-Jaccard verification —
     * the same set → signature → band-bucket self-join → verify plan as
-    * [[Dedup.jaccardPairsFromSets]], in SQL, parameterized by the
+    * the [[Dedup]] LSH band-index plan, in SQL, parameterized by the
     * featurization expression (word shingles / char n-grams).
     */
   def jaccardPairs(setExpr: String, minJaccard: Double,
