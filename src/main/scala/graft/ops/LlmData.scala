@@ -16,6 +16,20 @@ import graft.text.{TextOps, TextSql}
   */
 object LlmData {
 
+  /** The documents scan, parallelism-repaired (see [[Tables.parallelized]]
+    * — a no-op whenever the scan itself provides enough input splits, i.e.
+    * everywhere except single-row-group files). Embeddings deliberately
+    * stay a plain scan: their kernels are cheap per row, and the k-means
+    * driver loop re-executes its corpus lineage several times per
+    * invocation — putting a repartition under that loop re-shuffles per
+    * action and blocks the seed filter's parquet pushdown (measured 9 s
+    * of plan-construction regression on ann_ivf_topk).
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(s, dir, "documents"))
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
   val EmbDim = 64
   val AnnK = 5
   val AnnQueries = 8
@@ -42,7 +56,7 @@ object LlmData {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -----------------------------------------------------
     "text_token_stats" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
           size(TextOps.tokensBpeIsh(col("text"))).cast("long").as("n_bpeish"),
@@ -50,21 +64,21 @@ object LlmData {
         .orderBy("doc_id")),
 
     "text_simhash" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           TextOps.polyHashAll(TextOps.tokens(col("text"))).as("th"))
         .select(col("doc_id"), Dedup.simhash(col("th")).as("simhash"))
         .orderBy("doc_id")),
 
     "text_lang_id" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("lang"),
           TextOps.langIdExpr(col("toks")).as("pred_lang"))
         .orderBy("doc_id")),
 
     "text_quality" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
+      val d = docs(s, dir)
         .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
       val feats = TextOps.qualityFeatures(col("text"), col("toks"))
         .map { case (n, c) => c.as(n) }
@@ -80,7 +94,7 @@ object LlmData {
     // shuffle until the ORDER BY.
     "text_chunking" -> ((s, dir) => {
       val (chunk, stride) = (ChunkTokens, ChunkStride)
-      Tables.load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         // last chunk starts at floor((n-1)/stride)*stride — always < n
         .select(col("doc_id"), col("toks"),
@@ -99,7 +113,7 @@ object LlmData {
     // BPE-style tokenizer training. explode -> partial-agg'd groupBy ->
     // TakeOrderedAndProject; the full vocabulary never sits on one node.
     "vocab_top_tokens" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
+      docs(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
@@ -111,7 +125,7 @@ object LlmData {
     // of a group is NOT computed by collecting arrays per doc, so a
     // pathological 1 GB document costs its bigram count, not its square.
     "text_repetition" -> ((s, dir) => {
-      val bg = Tables.load(s, dir, "documents")
+      val bg = docs(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 2)).as("bg"))
       val counts = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
@@ -132,7 +146,7 @@ object LlmData {
     // email + phone per doc (from doc_id) and prove the redaction +
     // counting pipeline end to end against the oracle.
     "text_pii_redact" -> ((s, dir) => {
-      val pii = Tables.load(s, dir, "documents")
+      val pii = docs(s, dir)
         .select(col("doc_id"),
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com or +1 (555) 010-"),
@@ -144,7 +158,7 @@ object LlmData {
     }),
 
     "text_fingerprints" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TextOps.charGramHashes(col("text"), 5).as("grams"))
         .select(col("doc_id"),
           explode(TextOps.winnowFingerprints(col("grams"))).as("fp"))
@@ -152,18 +166,18 @@ object LlmData {
 
     // ---- dedup -------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
-      Dedup.exact(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+      Dedup.exact(docs(s, dir)).orderBy("doc_id")),
 
     "dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(Tables.load(s, dir, "documents"), MinJaccard)
+      Dedup.minhashPairs(docs(s, dir), MinJaccard)
         .orderBy("a", "b")),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.load(s, dir, "documents"), MaxHamming)
+      Dedup.simhashPairs(docs(s, dir), MaxHamming)
         .orderBy("a", "b")),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), MinJaccard)
+      Dedup.ngramJaccardPairs(docs(s, dir), MinJaccard)
         .orderBy("a", "b")),
 
     // THE composed pipeline: near-dup removal (keep component minima) ->
@@ -175,11 +189,11 @@ object LlmData {
     // materialized intermediates.
     "pipeline_training_data" -> ((s, dir) => {
       val (chunk, stride) = (ChunkTokens, ChunkStride)
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(docs, MinJaccard).select(col("a"), col("b"))
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, MinJaccard).select(col("a"), col("b"))
       // non-root near-dup nodes are dropped; roots + singletons survive
       val dropped = Dedup.connectedComponents(pairs).select(col("u").as("doc_id"))
-      val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+      val kept = d.join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
         .filter(TextOps.qualityScore(col("text"), col("toks")) >= QualityMin)
       kept
@@ -200,7 +214,7 @@ object LlmData {
     // asymmetric containment (quote/subset detection): high containment
     // can coexist with low Jaccard, so this is a separate operator
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(Tables.load(s, dir, "documents"), MinContainment)
+      Dedup.containmentPairs(docs(s, dir), MinContainment)
         .orderBy("a", "b")),
 
     // per-doc top terms by tf * (N/df): idf kept RATIONAL (no log) so the
@@ -209,7 +223,7 @@ object LlmData {
     "text_tfidf_top_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
-      val tf = Tables.load(s, dir, "documents")
+      val tf = docs(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -230,47 +244,47 @@ object LlmData {
     "dedup_incremental" -> ((s, dir) => {
       val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
       Dedup.incrementalMinhashPairs(
-        Tables.load(s, dir, "documents"), n * 8 / 10, MinJaccard)
+        docs(s, dir), n * 8 / 10, MinJaccard)
         .orderBy("a", "b")
     }),
 
     // pairs -> clusters -> one canonical doc per near-dup component
     // (large-star/small-star; see Dedup.connectedComponents)
     "dedup_components" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(docs, MinJaccard).select(col("a"), col("b"))
-      Dedup.canonicalDocs(docs, pairs).orderBy("doc_id")
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, MinJaccard).select(col("a"), col("b"))
+      Dedup.canonicalDocs(d, pairs).orderBy("doc_id")
     }),
 
     // ---- embedding compression ---------------------------------------------
     "emb_quantize_int8" -> ((s, dir) =>
-      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"), EmbDim)
+      Similarity.quantizeInt8(emb(s, dir), EmbDim)
         .orderBy("vec_id")),
 
     // ---- similarity search -------------------------------------------------
     "ann_cosine_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK)
+      val e = emb(s, dir)
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
         .orderBy("q_id", "rank")
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
+      val e = emb(s, dir)
       // corpus size from parquet footers — no plan-time count() job
-      Similarity.lshBucketTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+      Similarity.lshBucketTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
         corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
         .orderBy("q_id", "rank")
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueries), AnnK,
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
         IvfCentroids, nprobe = IvfProbes)
         .orderBy("q_id", "rank")
     }),
 
     "emb_neardup_pairs" -> ((s, dir) =>
-      Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), NearDupCos,
+      Similarity.nearDupPairs(emb(s, dir), NearDupCos,
         corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
         .orderBy("a", "b")),
 
@@ -286,7 +300,7 @@ object LlmData {
 
     // ---- multimodal --------------------------------------------------------
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.assetsFromText(Tables.load(s, dir, "documents"),
+      Multimodal.assetsFromText(docs(s, dir),
         "doc_id", "text", "source")
         .select(col("asset_id"), col("media_type"),
           col("meta.byte_len").as("byte_len"),
@@ -296,12 +310,12 @@ object LlmData {
 
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.assetsFromText(
-        Tables.load(s, dir, "documents"), "doc_id", "text", "source"))
+        docs(s, dir), "doc_id", "text", "source"))
         .toDF().orderBy("asset_id")),
 
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.assetsFromText(
-        Tables.load(s, dir, "documents"), "doc_id", "text", "source"))
+        docs(s, dir), "doc_id", "text", "source"))
         .toDF().orderBy("asset_id", "frame_idx"))
   )
 
