@@ -463,6 +463,30 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // ---- typed Dataset[T] surface: case-class rows + groupByKey ------------
+    // The third API next to DataFrame and SQL: compile-time row types with
+    // per-group imperative logic. Exactness rule carried into the typed
+    // world as integer cents. mapGroups forfeits partial aggregation
+    // (every row shuffles) — right when per-group logic is genuinely
+    // imperative; for plain aggregates the DataFrame path above is the
+    // scale path.
+    "typed_priority_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .as[(Long, Double, String)]
+        .groupByKey(_._3)
+        .mapGroups { (priority, rows) =>
+          var n = 0L; var cents = 0L; var maxKey = Long.MinValue
+          rows.foreach { case (k, price, _) =>
+            n += 1; cents += math.round(price * 100); maxKey = math.max(maxKey, k)
+          }
+          (priority, n, cents / 100.0, maxKey)
+        }
+        .toDF("o_orderpriority", "n_orders", "total", "max_orderkey")
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- column profiler: one row per column, two narrow passes ------------
     // Exact NDV here because the oracle demands it — at 100 TB swap in
     // approx_count_distinct (see approx_sketches for the HLL path).
@@ -692,6 +716,11 @@ object Relational {
         |    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    FROM orders))
         |ORDER BY c_custkey""".stripMargin,
+    "typed_priority_stats" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total,
+        |       max(o_orderkey) AS max_orderkey
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sample_hash_docs" -> {
       val h = graft.text.TextSql.polyHash("CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, lang, source FROM documents
