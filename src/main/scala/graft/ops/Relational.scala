@@ -463,6 +463,25 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // ---- window: RANGE frame (time-based trailing aggregate) ---------------
+    // rangeBetween on epoch-days: the frame is VALUE-bounded, so all orders
+    // in the trailing week enter the sum regardless of row order — rows on
+    // the same day are frame-equal (deterministic without a tiebreak,
+    // unlike rowsBetween). Decimal sum keeps the frame total exact.
+    "window_trailing_7d" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d_epoch"))
+        .rangeBetween(-6, 0)
+      Tables.load(s, dir, "orders")
+        .withColumn("d_epoch", unix_date(col("o_orderdate").cast("date")))
+        .withColumn("rev7",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"), col("rev7"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- typed Dataset[T] surface: case-class rows + groupByKey ------------
     // The third API next to DataFrame and SQL: compile-time row types with
     // per-group imperative logic. Exactness rule carried into the typed
@@ -716,6 +735,13 @@ object Relational {
         |    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    FROM orders))
         |ORDER BY c_custkey""".stripMargin,
+    "window_trailing_7d" ->
+      """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(epoch(o_orderdate) // 86400 AS BIGINT)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "typed_priority_stats" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total,
