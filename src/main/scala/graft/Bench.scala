@@ -23,13 +23,20 @@ object Bench {
     spark.range(100).selectExpr("id", "sha2(cast(id as string), 256) as h")
       .write.format("noop").mode("overwrite").save()
     var failed = List.empty[String]
+    var construct = Map.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column —
       // a bare count() would let Catalyst prune projections and
       // under-report (flatteringly) the real query cost.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        // constructed separately: driver-coordinated operators (k-means,
+        // connected components) run Spark jobs at plan-construction time,
+        // which Explain-style action timing cannot see.
+        val df = fn(spark, sfDir)
+        construct += name -> (System.nanoTime() - t0) / 1e9
+        df.write.format("noop").mode("overwrite").save()
+      } catch {
         case e: Throwable =>
           failed ::= name
           System.err.println(s"[bench] $name FAILED: $e")
@@ -46,7 +53,10 @@ object Bench {
     // total_all keeps the raw wall-clock sum for completeness.
     val totalOk = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val totalAll = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$totalOk,"unit":"sec","total_all":$totalAll,"queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // construction seconds only for queries where it is material (>0.2s)
+    val cs = construct.filter(_._2 > 0.2)
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$totalOk,"unit":"sec","total_all":$totalAll,"queries":$qs,"construct":$cs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
