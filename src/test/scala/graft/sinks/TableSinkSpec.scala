@@ -45,6 +45,32 @@ class TableSinkSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("partition upsert replaces only the touched partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    TableSink.writePartitioned(orders, out, Seq("o_year"))
+    val before = spark.read.parquet(out)
+    val untouched = before.filter(col("o_year") =!= 1998).count()
+    // materialize BEFORE the rewrite — the lazy frame re-reads files
+    val sumBefore = before.filter(col("o_year") === 1998)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head.getDecimal(0)
+    // rerun 1998 with modified totals (the idempotent daily-rerun shape)
+    TableSink.upsertPartitions(
+      orders.filter(col("o_year") === 1998)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      out, Seq("o_year"))
+    val after = spark.read.parquet(out)
+    assert(after.filter(col("o_year") =!= 1998).count() == untouched)
+    // 1998 rows were replaced, not appended, and carry the new values
+    assert(after.filter(col("o_year") === 1998).count() ==
+      orders.filter(col("o_year") === 1998).count())
+    val sumAfter = after.filter(col("o_year") === 1998)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head.getDecimal(0)
+    assert(sumAfter.subtract(sumBefore).doubleValue() ==
+      orders.filter(col("o_year") === 1998).count().toDouble)
+  }
+
   test("compaction: many small files become few, data byte-identical") {
     val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     val orders = Tables.load(spark, sfDir, "orders")

@@ -142,6 +142,21 @@ class StreamingSpec extends SparkSpec {
     assert(written.columns.contains("w_start"))
   }
 
+  test("checkpoint recovery: a rerun with the same checkpoint adds nothing") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def run(): Unit = StreamPipelines.runFileEtl(spark, eventsDir,
+      spark.read.parquet(eventsDir).schema, s"$out/data", s"$out/ckpt")
+    run()
+    val first = spark.read.parquet(s"$out/data").count()
+    assert(first > 0)
+    // restart against the SAME checkpoint: the source offsets are already
+    // committed, so the drained rerun must be a no-op (exactly-once
+    // bookkeeping across restarts — what the reference's at-least-once
+    // daily publish cannot guarantee)
+    run()
+    assert(spark.read.parquet(s"$out/data").count() == first)
+  }
+
   test("stateful mapGroupsWithState profiles == batch aggregation") {
     import spark.implicits._
     val src = StatefulOps.asEventIn(streamEvents)
