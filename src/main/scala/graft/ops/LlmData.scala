@@ -48,6 +48,8 @@ object LlmData {
   val VocabTopN = 100
   val MinContainment = 0.7
   val TfidfTopK = 3
+  /** Decontamination: the source that plays the benchmark/eval set. */
+  val EvalSource = "src0"
   /** Composed pipeline: quality floor and chunk-sample rate (3 in 10). */
   val QualityMin = 0.3
   val ChunkSampleMod = 10
@@ -179,6 +181,28 @@ object LlmData {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), MinJaccard)
         .orderBy("a", "b")),
+
+    // train/eval decontamination: flag TRAINING documents near-dup to any
+    // benchmark document (source 'src0' plays the eval set) — the
+    // pre-training hygiene step that keeps test sets out of the corpus.
+    // Candidates come from the shared LSH band index; at 100 TB the eval
+    // side is tiny, so the probe is benchmark-bucket-bounded.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, MinJaccard)
+      val evalIds = d.filter(col("source") === EvalSource).select(col("doc_id"))
+      val contaminated = pairs
+        .join(evalIds.withColumnRenamed("doc_id", "a"), Seq("a"))
+        .select(col("b").as("doc_id"))
+        .union(pairs.join(evalIds.withColumnRenamed("doc_id", "b"), Seq("b"))
+          .select(col("a").as("doc_id")))
+        .distinct()
+      d.filter(col("source") =!= EvalSource).select(col("doc_id"), col("source"))
+        .join(contaminated.withColumn("contaminated", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("contaminated"), lit(0)).as("contaminated"))
+        .orderBy("doc_id")
+    }),
 
     // THE composed pipeline: near-dup removal (keep component minima) ->
     // quality floor -> fixed-stride chunking -> deterministic hash sample.
@@ -399,6 +423,20 @@ object LlmData {
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),
     "dedup_incremental" -> DedupSql.incrementalMinhashPairs(MinJaccard),
     "dedup_containment" -> DedupSql.containmentPairs(MinContainment),
+    "dedup_decontaminate" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT a, b FROM (${DedupSql.minhashPairs(MinJaccard)}) q
+         |), ev AS (
+         |  SELECT doc_id FROM documents WHERE source = '$EvalSource'
+         |), cont AS (
+         |  SELECT b AS doc_id FROM pairs WHERE a IN (SELECT doc_id FROM ev)
+         |  UNION
+         |  SELECT a AS doc_id FROM pairs WHERE b IN (SELECT doc_id FROM ev)
+         |)
+         |SELECT d.doc_id, d.source,
+         |  CASE WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END AS contaminated
+         |FROM documents d WHERE d.source <> '$EvalSource'
+         |ORDER BY d.doc_id""".stripMargin,
     "pipeline_training_data" ->
       s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |  SELECT a, b FROM (${DedupSql.minhashPairs(MinJaccard)}) q

@@ -41,6 +41,25 @@ class LlmDataSpec extends SparkSpec {
     assert(lsh.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("decontamination flags exactly the train docs paired with eval docs") {
+    val out = SparkEntry.queries("dedup_decontaminate")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getString(1) != LlmData.EvalSource)) // eval excluded
+    val flagged = out.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "no contamination found — flag is never exercised")
+    // cross-check against the raw pair list
+    val d = Tables.load(spark, sfDir, "documents")
+    val evalIds = d.filter(col("source") === LlmData.EvalSource)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = graft.dedup.Dedup.minhashPairs(d, LlmData.MinJaccard).collect()
+    val expected = pairs.flatMap { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      Seq(a -> b, b -> a).collect { case (e, t)
+        if evalIds.contains(e) && !evalIds.contains(t) => t }
+    }.toSet
+    assert(flagged == expected)
+  }
+
   test("composed pipeline: dedup, quality, chunking, sampling all active") {
     val docs = Tables.load(spark, sfDir, "documents")
     val nDocs = docs.count()
