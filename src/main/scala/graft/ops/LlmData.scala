@@ -72,6 +72,12 @@ object LlmData {
         .select(col("doc_id"), Dedup.simhash(col("th")).as("simhash"))
         .orderBy("doc_id")),
 
+    "text_sentiment" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextOps.sentimentScore(col("toks")).as("sentiment"))
+        .orderBy("doc_id")),
+
     "text_lang_id" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
@@ -389,6 +395,9 @@ object LlmData {
     },
     "text_lang_id" ->
       s"""SELECT doc_id, lang, ${TextSql.langIdExpr("text")} AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_sentiment" ->
+      s"""SELECT doc_id, ${TextSql.sentimentScore("text")} AS sentiment
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" -> {
       val feats = TextSql.qualityFeatures("text")

@@ -131,6 +131,23 @@ object TextOps {
       least(f("mean_token_len") / 10.0, lit(1.0)) * 0.2
   }
 
+  // ---- sentiment (lexicon) -----------------------------------------------
+
+  /** Transparent lexicon sentiment (SURVEY §7.2 item 6): hit-count of
+    * positive minus negative marker words over |tokens|, in [-1, 1].
+    * Lexicon entries come from the synthetic corpus vocabulary (the
+    * mechanism, not the wordlist, is the operator — swap in AFINN/VADER
+    * lists for real text). Integer counts + one IEEE division: exact.
+    */
+  val sentimentLexicon: (Seq[String], Seq[String]) = (
+    Seq("fast", "big", "value"), // positive
+    Seq("slow", "small", "dup")) // negative
+
+  def sentimentScore(toks: Column): Column = {
+    val (pos, neg) = sentimentLexicon
+    (langHits(toks, pos) - langHits(toks, neg)).cast("double") / size(toks)
+  }
+
   // ---- PII redaction -----------------------------------------------------
 
   /** PII patterns kept to the Java-regex ∩ RE2 common subset (character

@@ -71,6 +71,12 @@ object TextSql {
       s"least((${f("mean_token_len")}) / 10.0, 1.0) * 0.2"
   }
 
+  def sentimentScore(text: String): String = {
+    val toks = tokens(text)
+    val (pos, neg) = TextOps.sentimentLexicon
+    s"CAST(${langHits(toks, pos)} - ${langHits(toks, neg)} AS DOUBLE) / len($toks)"
+  }
+
   /** Identical PII patterns to [[TextOps.redactPii]]; DuckDB needs the
     * explicit 'g' flag for replace-all (Spark's regexp_replace default).
     */
