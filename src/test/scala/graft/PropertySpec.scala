@@ -92,6 +92,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PROPERTY: chunking covers all tokens exactly with stride overlap") {
+    import graft.ops.LlmData.{ChunkStride, ChunkTokens}
+    forAll(Gen.choose(1, 500), n = 100) { n =>
+      val starts = 0 to ((n - 1) / ChunkStride)
+      val chunks = starts.map(ci =>
+        (ci * ChunkStride, math.min(ci * ChunkStride + ChunkTokens, n)))
+      // full coverage, in order, no gaps between consecutive chunks
+      assert(chunks.head._1 == 0 && chunks.last._2 == n)
+      chunks.sliding(2).foreach {
+        case Seq((_, prevEnd), (start, _)) => assert(start <= prevEnd)
+        case _ =>
+      }
+      // every chunk except possibly the last is full width or reaches n
+      chunks.init.foreach { case (s, e) => assert(e - s == math.min(ChunkTokens, n - s)) }
+    }
+  }
+
+  test("PROPERTY: int8 quantization error bound holds on random vectors") {
+    import spark.implicits._
+    val vecGen: Gen[List[Float]] =
+      Gen.listOfN(8, Gen.choose(-1000000, 1000000).map(_ / 1000.0f))
+    forAll(Gen.listOfN(24, vecGen), n = 4) { vecs =>
+      val nonZero = vecs.filter(_.exists(_ != 0.0f))
+      if (nonZero.nonEmpty) {
+        val df = nonZero.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding")
+        val out = graft.sim.Similarity.quantizeInt8(df, 8).collect()
+        assert(out.length == nonZero.length)
+        out.foreach { r =>
+          val (scale, err, cos) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+          assert(err <= 0.5 / scale + 1e-9)
+          assert(cos <= 1.0 + 1e-12 && cos >= 0.99)
+        }
+      }
+    }
+  }
+
   test("PROPERTY: XML render is total and well-nested over arbitrary flat products") {
     import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
     import org.apache.spark.sql.types._
