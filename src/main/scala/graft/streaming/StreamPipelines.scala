@@ -141,6 +141,32 @@ object StreamPipelines {
     if (availableNow) w.trigger(Trigger.AvailableNow()) else w
   }
 
+  /** Streaming upsert ETL: `foreachBatch` + partition-level dynamic
+    * overwrite per micro-batch. Each batch's aggregate rewrites ONLY the
+    * date partitions it touches — late data re-opens its day and the
+    * rerun is idempotent at partition granularity. This is the
+    * production append-mostly table-maintenance shape; the plain
+    * append sink ([[parquetSink]]) is the immutable-log shape.
+    * Checkpointing still gives exactly-once batch tracking; the write
+    * itself is idempotent per (batch, partition) by construction.
+    */
+  def runFileEtlUpsert(spark: SparkSession, inPath: String, schema: StructType,
+                       outPath: String, checkpoint: String): Unit = {
+    val raw = parquetSource(spark, inPath, schema)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = tumblingCounts(raw.withWatermark("ts", "1 hour"))
+      .withColumn("d", substring(col("w_start"), 1, 10))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.TableSink.upsertPartitions(batch.toDF(), outPath, Seq("d"))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** End-to-end job: streaming parquet source → watermark + dedup →
     * tumbling aggregation → parquet sink, drained with AvailableNow.
     */

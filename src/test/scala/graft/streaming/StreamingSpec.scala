@@ -142,6 +142,29 @@ class StreamingSpec extends SparkSpec {
     assert(written.columns.contains("w_start"))
   }
 
+  test("foreachBatch upsert ETL: day partitions written, rerun idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_upsert_etl").toString
+    def run(): Unit = StreamPipelines.runFileEtlUpsert(spark, eventsDir,
+      spark.read.parquet(eventsDir).schema, s"$out/data", s"$out/ckpt")
+    run()
+    val first = spark.read.parquet(s"$out/data")
+      .orderBy("w_start", "event_type").collect()
+    assert(first.nonEmpty)
+    // partitioned by day, matches the batch aggregate
+    val batch = StreamPipelines.tumblingCounts(eventsBatch)
+      .withColumn("d", substring(col("w_start"), 1, 10))
+      .orderBy("w_start", "event_type").collect()
+    assert(first.map(_.toString).sorted.toSeq == batch.map(_.toString).sorted.toSeq)
+    // same-checkpoint rerun: offsets committed, nothing reprocessed
+    run()
+    assert(spark.read.parquet(s"$out/data").count() == first.length)
+    // FRESH-checkpoint rerun reprocesses everything — dynamic partition
+    // overwrite must replace the day partitions, not append duplicates
+    StreamPipelines.runFileEtlUpsert(spark, eventsDir,
+      spark.read.parquet(eventsDir).schema, s"$out/data", s"$out/ckpt_fresh")
+    assert(spark.read.parquet(s"$out/data").count() == first.length)
+  }
+
   test("checkpoint recovery: a rerun with the same checkpoint adds nothing") {
     val out = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     def run(): Unit = StreamPipelines.runFileEtl(spark, eventsDir,
