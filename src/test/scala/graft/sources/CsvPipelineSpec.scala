@@ -68,4 +68,21 @@ class CsvPipelineSpec extends SparkSpec {
     assert(df.schema("price_eur").dataType.typeName == "double")
     assert(df.schema("ean").dataType.typeName == "long") // digits -> integer inference
   }
+
+  test("ORC round-trip preserves data and pushes predicates to the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    orders.write.orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == orders.count())
+    val filtered = back.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"))
+    assert(filtered.count() ==
+      orders.filter(col("o_orderstatus") === "O").count())
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(o_orderstatus,O)"), plan)
+    // column pruning reaches the ORC reader too
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"), plan)
+  }
 }
