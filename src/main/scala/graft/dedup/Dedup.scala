@@ -102,7 +102,16 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession,
       Int, String), (DataFrame, DataFrame)]()
 
-  def clearIndexCache(): Unit = shBandCache.clear()
+  /** Bands-only variant of the index memo, for featurizations whose raw
+    * sets are too large to be worth pinning (see [[ngramJaccardPairs]]).
+    */
+  private val bandOnlyCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession,
+      Int, String), DataFrame]()
+
+  def clearIndexCache(): Unit = {
+    shBandCache.clear(); bandOnlyCache.clear(); ccCache.clear()
+  }
 
   private def shingleBandIndex(docs: DataFrame, fkey: String,
                                sets: DataFrame => DataFrame,
@@ -120,6 +129,28 @@ object Dedup {
           .localCheckpoint(eager = false)
         (sh, bands)
       })
+
+  /** Band index WITHOUT the raw-set table: one narrow pass
+    * set→signature→band-explosion, only the (id, band, bh) rows are
+    * retained. For featurizations where the per-doc set is ~the document
+    * length (char n-grams), pinning the sets corpus-wide is the memory
+    * hazard — at 100 TB the gram sets ARE the corpus re-encoded 8× wider,
+    * and locally a ~200 MB eager block allocation is exactly the kind of
+    * GC cliff that turns a 2 s query into a 16 s one. Verification
+    * recomputes sets for the candidate branches instead: linear, narrow,
+    * and never materialized.
+    */
+  private def bandIndexOnly(docs: DataFrame, fkey: String,
+                            sets: DataFrame => DataFrame,
+                            nBands: Int, r: Int): DataFrame =
+    bandOnlyCache.computeIfAbsent(
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
+        s"$fkey/$nBands/$r"),
+      _ => sets(docs).filter(size(col("s")) > 0)
+        .select(col("id"),
+          posexplode(bandHashes(minhashSignature(col("s")), nBands, r)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+        .localCheckpoint(eager = false))
 
   private def wordSets(idCol: String, textCol: String)(docs: DataFrame): DataFrame =
     docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
@@ -212,9 +243,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, k: Int = NGRAM_K,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val (sh, bands) = shingleBandIndex(docs, s"ngram$k/$idCol/$textCol",
+    val bands = bandIndexOnly(docs, s"ngram$k/$idCol/$textCol",
       ngramSets(idCol, textCol, k), NGRAM_BANDS, NGRAM_R)
-    verifyJaccard(candidatePairs(bands, bands), sh, minJaccard)
+    // verify against freshly-computed gram sets: two extra narrow kernel
+    // passes over the corpus instead of a pinned corpus-width array table
+    // (the sets here are ~|text| longs per doc — see bandIndexOnly).
+    verifyJaccard(candidatePairs(bands, bands),
+      ngramSets(idCol, textCol, k)(docs), minJaccard)
   }
 
   // --------------------------------------------------------------------------
@@ -267,7 +302,22 @@ object Dedup {
     * iterative graph algorithm is), but per-round lineage is cut so round
     * k never recomputes rounds 0..k-1.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Session memo for converged component frames: the driver-coordinated
+    * rounds are the one part of the dedup family whose cost cannot hide in
+    * a lazy plan, and every consumer of the same pair graph (canonical-doc
+    * selection, the composed training pipeline) needs the identical
+    * result, so converge once per (session, pair-graph plan).
+    */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession,
+      Int, Int), DataFrame]()
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    ccCache.computeIfAbsent(
+      (pairs.sparkSession, pairs.queryExecution.analyzed.semanticHash(), maxIter),
+      _ => ccConverge(pairs, maxIter))
+
+  private def ccConverge(pairs: DataFrame, maxIter: Int): DataFrame = {
     var e = pairs.select(
         greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -278,10 +328,15 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
-      val nNext = next.count()
-      // set equality of two distinct frames: same size + inner join same
-      // size (the size comes free from the materializing count above)
-      converged = nNext == nE && next.join(e, Seq("u", "v")).count() == nNext
+      // ONE action per round: a full-outer join of the two DISTINCT edge
+      // sets yields |next ∪ e| (count of joined rows) and |next| (count of
+      // next-side markers) in the same pass; set equality ⟺ both == |e|.
+      val row = next.withColumn("nn", lit(1))
+        .join(e.withColumn("oo", lit(1)), Seq("u", "v"), "full_outer")
+        .agg(count(lit(1)), count(col("nn"))).head()
+      val total = row.getLong(0)
+      val nNext = row.getLong(1)
+      converged = total == nE && nNext == nE
       e = next
       nE = nNext
       it += 1
