@@ -42,6 +42,8 @@ object LlmData {
     */
   val MaxHamming = 3
   val NearDupCos = 0.4
+  /** Radius search: report ALL neighbors at cosine >= this (vs top-k). */
+  val RangeMinCos = 0.25
   /** Chunking: 40-token windows, stride 32 (8-token overlap). */
   val ChunkTokens = 40
   val ChunkStride = 32
@@ -171,6 +173,19 @@ object LlmData {
         .select(col("doc_id"),
           explode(TextOps.winnowFingerprints(col("grams"))).as("fp"))
         .orderBy("doc_id", "fp")),
+
+    // normalization: the corpus is already clean ASCII, so (like the PII
+    // query) inject deterministic accents into every 4th doc and prove
+    // the fold + cleanup pipeline end to end against the oracle.
+    "text_normalize" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 4 === 0).cast("int").as("accented"),
+          when(col("doc_id") % 4 === 0, translate(col("text"), "aeo", "áéó"))
+            .otherwise(col("text")).as("raw"))
+        .select(col("doc_id"), col("accented"),
+          TextOps.normalize(col("raw")).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id")),
 
     // ---- dedup -------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -317,6 +332,14 @@ object LlmData {
       Similarity.nearDupPairs(emb(s, dir), NearDupCos,
         corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
         .orderBy("a", "b")),
+
+    // radius search: every neighbor at cosine >= RangeMinCos, not top-k
+    "ann_range_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.rangeSearch(e, e.filter(col("vec_id") < AnnQueries), RangeMinCos,
+        corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
+        .orderBy("q_id", "n_id")
+    }),
 
     // ---- approximate sketches (engine-specific implementations: HLL++ /
     // KLL vs DuckDB's — numerically different by design, so rows-only
@@ -514,6 +537,17 @@ object LlmData {
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
     "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim, IvfProbes),
     "emb_neardup_pairs" -> SimilaritySql.nearDupPairs(NearDupCos, EmbDim),
+    "ann_range_search" -> SimilaritySql.rangeSearch(RangeMinCos, AnnQueries, EmbDim),
+    "text_normalize" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, CAST(doc_id % 4 = 0 AS INT) AS accented,
+         |         CASE WHEN doc_id % 4 = 0 THEN translate(text, 'aeo', 'áéó')
+         |              ELSE text END AS raw
+         |  FROM documents
+         |)
+         |SELECT doc_id, accented, ${TextSql.normalize("raw")} AS norm_text,
+         |       CAST(length(${TextSql.normalize("raw")}) AS BIGINT) AS n_chars_norm
+         |FROM raw ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'application/octet-stream' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

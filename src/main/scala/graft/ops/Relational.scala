@@ -55,6 +55,65 @@ object Relational {
     */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Bloom-filtered semi join: fold the (small, distinct) build-side key
+    * set into an `mBits`-bit bloom bitmask (`mBits/64` longs, `kHashes`
+    * universal hashes), broadcast the one-row mask, pre-filter the probe
+    * side with the bloom membership test, THEN run the exact semi join.
+    *
+    * The result is IDENTICAL to a plain semi join — blooms have no false
+    * negatives, and false positives die in the exact join — which is why
+    * the DuckDB oracle is the plain `EXISTS` query. What changes at scale
+    * is WHERE rows die: the bloom test is a narrow codegen'd predicate
+    * evaluated at the probe scan, so non-matching rows never reach the
+    * semi-join exchange. This is the same lever as Spark's runtime
+    * row-level bloom (`spark.sql.optimizer.runtime.bloomFilter.enabled`),
+    * made explicit, deterministic, and engine-portable. Defaults fit a
+    * dimension-sized build side (4096 bits / 3 hashes ≈ 1% fp at ~400
+    * keys); both knobs are per-call.
+    */
+  def bloomSemiJoin(probe: DataFrame, probeKey: String,
+                    build: DataFrame, buildKey: String,
+                    mBits: Int = 4096, kHashes: Int = 3): DataFrame = {
+    val P = graft.text.TextOps.P
+    val MP = graft.text.TextOps.MIX % P
+    val words = mBits / 64
+    // j-th universal hash of a key, reduced to a bit position in [0, mBits)
+    def positions(key: Column): Seq[Column] = (0 until kHashes).map { j =>
+      ((key.cast("long") * lit((2 * j + 1) * MP % P) + lit((2 * j + 2) * MP % P))
+        % P + P) % P % mBits
+    }
+    // 1L << (pos % 64): the Scala `shiftleft` helper only takes a literal
+    // shift, the SQL function accepts a column
+    def bit(pos: Column): Column =
+      call_function("shiftleft", lit(1L), (pos % 64).cast("int"))
+    // pos / 64 is exact in doubles (power-of-two divisor), so the cast
+    // truncates to the true word index
+    def word(pos: Column): Column = (pos / 64).cast("int")
+    // Materialize the mask driver-side (mBits/64 longs — 512 bytes at the
+    // default) and embed it as a LITERAL: a lazy one-row cross join gets
+    // reordered ABOVE the semi join by Catalyst (observed), which would
+    // evaluate the bloom after the join it exists to prune. As a literal
+    // the test is a narrow codegen'd predicate sitting directly on the
+    // probe scan. One tiny driver action per call — the same shape as
+    // Spark's InjectRuntimeFilter, explicit; at scale, compute once per
+    // ingested batch and reuse.
+    val maskArr = build.select(col(buildKey).cast("long").as("k")).distinct()
+      .agg(collect_list(col("k")).as("ks"))
+      .select(aggregate(col("ks"), array_repeat(lit(0L), words), (acc, k) => {
+        val ps = positions(k)
+        transform(acc, (w, wi) => ps.foldLeft(w)((ww, p) =>
+          ww.bitwiseOR(when(word(p) === wi, bit(p)).otherwise(lit(0L)))))
+      }).as("bloom"))
+      .head().getSeq[Long](0)
+    val bloomLit = typedlit(maskArr)
+    val mightContain = positions(col(probeKey)).map(p =>
+      element_at(bloomLit, word(p) + 1).bitwiseAND(bit(p)) =!= 0L)
+      .reduce(_ && _)
+    probe.filter(mightContain)
+      .join(build.select(col(buildKey)).distinct(),
+        col(probeKey) === col(buildKey), "left_semi")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship: F1 ∧ F2 + O1 over orders --------------------------------
     "recent_created_orders" -> ((s, dir) =>
@@ -189,6 +248,56 @@ object Relational {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- batch sessionization: gap->boundary->cumsum, no state store -------
+    // The batch twin of stream_sessionize (mapGroupsWithState): same 30-min
+    // gap rule via lag + running sum of boundary flags. Tie-safe: equal
+    // timestamps give gap 0 in any order, and every emitted column is an
+    // order-invariant aggregate, so the window's tie order can't leak into
+    // the result. At scale this is ONE shuffle on user_id reused by both
+    // windows and the groupBy (same partitioning — no extra exchange).
+    "sessionize_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      val gapUs = 30L * 60 * 1000000
+      Tables.events(s, dir)
+        .withColumn("t", unix_micros(col("ts")))
+        .withColumn("new_session",
+          when(lag(col("t"), 1).over(byTs).isNull ||
+            col("t") - lag(col("t"), 1).over(byTs) >= gapUs, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_session"))
+          .over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          (max(col("t")) - min(col("t"))).as("duration_us"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"))
+        .select(col("user_id"), col("s_start"), col("duration_us"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "s_start")
+    }),
+
+    // ---- latest-state compaction: CDC snapshot per key ---------------------
+    // The "current state" view over an append-only event log: exactly one
+    // row per user — the latest event (ties broken by event_id, which is
+    // unique) plus the total count. At 100 TB: one shuffle on user_id,
+    // window + filter fuse into a single pass per partition
+    // (WindowGroupLimit pushes rn=1 down); the log is never re-sorted
+    // globally.
+    "events_latest_state" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val latest = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(latest))
+        .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("n_events"))
+        .orderBy("user_id")
+    }),
+
     // ---- distinct + count distinct -----------------------------------------
     "distinct_event_types" -> ((s, dir) =>
       Tables.events(s, dir).select(col("event_type")).distinct().orderBy("event_type")),
@@ -253,6 +362,17 @@ object Relational {
       c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy("c_custkey")
+    }),
+
+    // ---- bloom-pruned semi join (identical result, pruned-at-scan plan) ----
+    "bloom_semi_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val big = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+      bloomSemiJoin(c, "c_custkey", big, "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("acctbal"))
+        .orderBy("c_mktsegment")
     }),
 
     // ---- rollup: hierarchical subtotals (region > nation) ------------------
@@ -659,6 +779,48 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
+    // the bloom pre-filter is result-transparent (no false negatives; false
+    // positives die in the exact join), so the oracle is the plain semi join
+    "bloom_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "sessionize_batch" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS t, value FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, t, value,
+        |         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |              OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |), numbered AS (
+        |  SELECT user_id, ts, t, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |       max(t) - min(t) AS duration_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "events_latest_state" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value, ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events
+        |)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       value AS last_value, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |       n_events
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

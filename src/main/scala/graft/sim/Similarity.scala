@@ -137,6 +137,29 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
   }
 
+  /** Radius (range) search: every corpus vector with `cosine >= minCos`
+    * of each query — the "all sufficiently-similar neighbors" variant of
+    * ANN (retrieval dedup, paraphrase mining), where top-k's fixed cutoff
+    * is the wrong contract. Same sign-LSH blocking as [[lshBucketTopK]]:
+    * queries broadcast with their bucket id, the corpus is probed only
+    * within the query's bucket, then the exact cosine threshold filters.
+    * No window, no global sort — output order is imposed by the caller.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, minCos: Double,
+                  planeBits: Option[Int] = None,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  corpusSize: Option[Long] = None): DataFrame = {
+    val bits = planeBits.getOrElse(planeBitsFor(corpusSize.getOrElse(corpus.count())))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      signBucket(col(vecCol), bits).as("bucket")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .filter(col("sim") >= minCos)
+      .select(col("q_id"), col("n_id"), col("sim"))
+  }
+
   /** Nearest-centroid assignment as a NARROW projection: the centroid
     * matrix (nlist × dim doubles — a few KB) is baked into a codegen'd
     * kernel ([[graft.functions.NearestCentroids]]), so assigning N vectors

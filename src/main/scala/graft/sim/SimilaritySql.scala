@@ -143,6 +143,22 @@ object SimilaritySql {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Mirrors [[Similarity.rangeSearch]]: same dynamic bucket count, same
+    * bucket-blocked candidates, same exact-cosine threshold.
+    */
+  def rangeSearch(minCos: Double, nQueries: Int, dim: Int,
+                  table: String = "embeddings"): String =
+    s"""WITH pbt AS (${planeBitsSql(table)}),
+       |b AS (SELECT vec_id, embedding, ${signBucketDynamic("embedding")} AS bucket FROM $table, pbt),
+       |sims AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosine("q.embedding", "c.embedding", dim)} AS sim
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $nQueries
+       |)
+       |SELECT q_id, n_id, sim FROM sims WHERE sim >= $minCos
+       |ORDER BY q_id, n_id""".stripMargin
+
   def nearDupPairs(minCosine: Double, dim: Int,
                    table: String = "embeddings"): String =
     s"""WITH pbt AS (${planeBitsSql(table)}),

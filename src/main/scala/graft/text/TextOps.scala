@@ -171,6 +171,27 @@ object TextOps {
     "n_emails" -> regexp_count(text, lit(EmailRe)).cast("long"),
     "n_phones" -> regexp_count(text, lit(PhoneRe)).cast("long"))
 
+  // ---- text normalization ------------------------------------------------
+
+  /** Accent fold table for [[normalize]] — a FIXED, engine-portable map
+    * (Spark's and DuckDB's `translate` are both codepoint-wise), not a
+    * locale-dependent Unicode NFD pass: identical bytes out on any engine.
+    */
+  val AccentFrom = "áéíóúñç"
+  val AccentTo = "aeiounc"
+
+  /** Canonical pre-tokenization cleanup: lowercase, fold accents, replace
+    * everything outside [a-z0-9 ] with a space (so punctuation splits
+    * words instead of gluing them), collapse space runs, trim. All
+    * codegen'd builtins, linear per document; mirrored byte-for-byte by
+    * [[TextSql.normalize]].
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(translate(lower(text), AccentFrom, AccentTo),
+        "[^a-z0-9 ]", " "),
+      " +", " "))
+
   // ---- winnowing fingerprints -------------------------------------------
 
   /** Character k-gram rolling hashes (position i → hash of chars i..i+k-1).

@@ -88,6 +88,14 @@ object TextSql {
     "n_emails" -> s"CAST(len(regexp_extract_all($text, '${TextOps.EmailRe}')) AS BIGINT)",
     "n_phones" -> s"CAST(len(regexp_extract_all($text, '${TextOps.PhoneRe}')) AS BIGINT)")
 
+  /** Mirrors [[TextOps.normalize]] — same fold table, same regex chain
+    * ('g' flag for DuckDB's replace-all).
+    */
+  def normalize(text: String): String =
+    s"trim(regexp_replace(regexp_replace(" +
+      s"translate(lower($text), '${TextOps.AccentFrom}', '${TextOps.AccentTo}'), " +
+      s"'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   def charGramHashes(text: String, k: Int): String = {
     val chars = s"string_split($text, '')"
     s"list_transform(range(1, greatest(len($chars) - ${k - 2}, 1)), i -> " +

@@ -277,4 +277,42 @@ class LlmDataSpec extends SparkSpec {
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
     assert((fps(1L) intersect fps(2L)).nonEmpty)
   }
+
+  test("normalize is idempotent and folds the accent table") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Héllo,   WÓRLD!  señor café #42  "),
+      (2L, "already clean text 99")
+    ).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        graft.text.TextOps.normalize(col("text")).as("n"))
+      .withColumn("n2", graft.text.TextOps.normalize(col("n")))
+      .collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(2), "not idempotent"))
+    val m = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "hello world senor cafe 42")
+    assert(m(2L) == "already clean text 99")
+  }
+
+  test("rangeSearch returns exactly the bucket-blocked pairs above threshold") {
+    import graft.sim.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val n = e.count()
+    val q = e.filter(col("vec_id") < LlmData.AnnQueries)
+    val got = Similarity.rangeSearch(e, q, LlmData.RangeMinCos, corpusSize = Some(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference: same bucket AND cosine >= threshold
+    val bits = Similarity.planeBitsFor(n)
+    val withB = e.select(col("vec_id"), col("embedding"),
+      Similarity.signBucket(col("embedding"), bits).as("b"))
+    val ref = withB.as("q").join(withB.as("c"), col("q.b") === col("c.b") &&
+        col("q.vec_id") =!= col("c.vec_id"))
+      .filter(col("q.vec_id") < LlmData.AnnQueries)
+      .withColumn("sim", Similarity.cosine(col("q.embedding"), col("c.embedding")))
+      .filter(col("sim") >= LlmData.RangeMinCos)
+      .select(col("q.vec_id"), col("c.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref)
+    assert(got.nonEmpty)
+  }
 }

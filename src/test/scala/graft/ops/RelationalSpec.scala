@@ -114,4 +114,40 @@ class RelationalSpec extends SparkSpec {
       assert(r.isNullAt(4) != r.isNullAt(6)) // numeric XOR string min
     }
   }
+
+  test("bloomSemiJoin is result-identical to a plain left_semi join") {
+    val c = graft.Tables.load(spark, sfDir, "customer")
+    val big = graft.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    val bloom = Relational.bloomSemiJoin(c, "c_custkey", big, "o_custkey")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val plain = c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(bloom == plain)
+  }
+
+  test("bloom pre-filter has no false negatives on a synthetic key set") {
+    import spark.implicits._
+    val probe = spark.range(0, 2000).toDF("pk")
+    val build = spark.range(0, 10).toDF("bk")
+    val out = Relational.bloomSemiJoin(probe, "pk", build, "bk")
+    assert(out.as[Long].collect().toSet == (0L until 10L).toSet)
+  }
+
+  test("sessionize_batch agrees with the stateful streaming sessionizer") {
+    val batch = SparkEntry.queries("sessionize_batch")(spark, sfDir)
+    val stream = SparkEntry.queries("stream_sessionize")(spark, sfDir)
+    assert(batch.count() == stream.count()) // same session boundaries
+    val bTot = batch.agg(sum("n_events")).head().getLong(0)
+    val sTot = stream.agg(sum("n_events")).head().getLong(0)
+    assert(bTot == sTot) // every event in exactly one session on both paths
+  }
+
+  test("events_latest_state: one row per user, counts cover the whole log") {
+    val df = SparkEntry.queries("events_latest_state")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val total = df.agg(sum("n_events")).head().getLong(0)
+    assert(total == graft.Tables.events(spark, sfDir).count())
+  }
 }
