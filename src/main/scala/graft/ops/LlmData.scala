@@ -333,6 +333,28 @@ object LlmData {
         corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
         .orderBy("a", "b")),
 
+    // multi-signal (ensemble) near-dup: text MinHash-LSH pairs FULL OUTER
+    // embedding-cosine pairs over the shared id space, with a bitmask of
+    // which signal(s) fired (1 = text, 2 = embedding, 3 = both). The
+    // production pattern: no single featurization catches every rewrite
+    // (paraphrase flips shingles but not embeddings; boilerplate edits
+    // flip embeddings less than shingles), so candidate generation unions
+    // the signals and downstream policy keys on agreement. Both inputs are
+    // the already-indexed pair pipelines — the join adds one pair-level
+    // shuffle, nothing corpus-sized.
+    "dedup_ensemble_pairs" -> ((s, dir) => {
+      val textPairs = Dedup.minhashPairs(docs(s, dir), MinJaccard)
+      val embPairs = Similarity.nearDupPairs(emb(s, dir), NearDupCos,
+        corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
+      textPairs.join(embPairs, Seq("a", "b"), "full_outer")
+        .select(col("a"), col("b"),
+          (when(col("jaccard").isNotNull, 1).otherwise(0) +
+            when(col("cos").isNotNull, 2).otherwise(0)).cast("long").as("methods"),
+          coalesce(col("jaccard"), lit(-1.0)).as("jaccard"),
+          coalesce(col("cos"), lit(-1.0)).as("cos"))
+        .orderBy("a", "b")
+    }),
+
     // radius search: every neighbor at cosine >= RangeMinCos, not top-k
     "ann_range_search" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -538,6 +560,19 @@ object LlmData {
     "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim, IvfProbes),
     "emb_neardup_pairs" -> SimilaritySql.nearDupPairs(NearDupCos, EmbDim),
     "ann_range_search" -> SimilaritySql.rangeSearch(RangeMinCos, AnnQueries, EmbDim),
+    "dedup_ensemble_pairs" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT a, b, jaccard FROM (${DedupSql.minhashPairs(MinJaccard)}) q
+         |), e AS MATERIALIZED (
+         |  SELECT a, b, cos FROM (${SimilaritySql.nearDupPairs(NearDupCos, EmbDim)}) q
+         |)
+         |SELECT coalesce(t.a, e.a) AS a, coalesce(t.b, e.b) AS b,
+         |       CAST(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END +
+         |            CASE WHEN e.a IS NOT NULL THEN 2 ELSE 0 END AS BIGINT) AS methods,
+         |       coalesce(t.jaccard, -1.0) AS jaccard,
+         |       coalesce(e.cos, -1.0) AS cos
+         |FROM t FULL OUTER JOIN e ON t.a = e.a AND t.b = e.b
+         |ORDER BY a, b""".stripMargin,
     "text_normalize" ->
       s"""WITH raw AS (
          |  SELECT doc_id, CAST(doc_id % 4 = 0 AS INT) AS accented,

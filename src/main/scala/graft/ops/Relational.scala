@@ -474,6 +474,29 @@ object Relational {
     // Exact `percentile` needs per-group sorted values — right for grouped
     // analytics; for a single global quantile at 100 TB use the KLL sketch
     // (approx_sketches) instead of a one-partition sort.
+    // ---- equi-depth histogram WITHOUT a global sort ------------------------
+    // The ntile() formulation is a single-partition window (global sort) —
+    // scale-hostile. Instead: exact quartile cutpoints in one aggregation
+    // (percentile ↔ quantile_cont parity is dyadic-exact, proven by
+    // agg_percentiles), broadcast the one-row cuts, and bucket assignment
+    // becomes a narrow projection feeding a 4-group aggregate. At 100 TB
+    // the only change is percentile → percentile_approx for the cuts.
+    "histogram_equidepth_price" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val cuts = o.agg(
+        percentile(col("o_totalprice"), lit(0.25)).as("q1"),
+        percentile(col("o_totalprice"), lit(0.5)).as("q2"),
+        percentile(col("o_totalprice"), lit(0.75)).as("q3"))
+      val bucket = when(col("o_totalprice") <= col("q1"), 0)
+        .when(col("o_totalprice") <= col("q2"), 1)
+        .when(col("o_totalprice") <= col("q3"), 2).otherwise(3)
+      o.crossJoin(broadcast(cuts))
+        .groupBy(bucket.cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("bucket")
+    }),
+
     "agg_percentiles" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -849,6 +872,20 @@ object Relational {
         |       COALESCE(n_orders, 0) AS n_orders,
         |       COALESCE(n_events, 0) AS n_events
         |FROM od FULL OUTER JOIN ed ON od.d = ed.d ORDER BY d""".stripMargin,
+    "histogram_equidepth_price" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |         quantile_cont(o_totalprice, 0.5) AS q2,
+        |         quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders
+        |)
+        |SELECT CAST(CASE WHEN o_totalprice <= q1 THEN 0
+        |                 WHEN o_totalprice <= q2 THEN 1
+        |                 WHEN o_totalprice <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+        |       count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders, cuts
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.25) AS p25,

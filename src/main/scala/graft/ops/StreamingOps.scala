@@ -52,6 +52,19 @@ object StreamingOps {
     "stream_sliding_counts" -> ((s, dir) =>
       StreamPipelines.slidingCounts(Tables.events(s, dir))
         .orderBy("w_start", "event_type")),
+    // at-least-once repair: every 7th event "delivered" twice, key-dedup
+    // restores exactly-once before the windowed aggregation. Batch twin of
+    // dedupWithinWatermark (StreamingSpec runs the streaming form); the
+    // oracle is the tumbling aggregation over the UN-duplicated log —
+    // dedup transparency is the assertion. Duplicate rows are identical,
+    // so which copy survives cannot affect any output column.
+    "stream_dedup_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      StreamPipelines.tumblingCounts(
+        ev.union(ev.filter(col("event_id") % 7 === 0))
+          .dropDuplicates("event_id"))
+        .orderBy("w_start", "event_type")
+    }),
     "stream_sessionize" -> ((s, dir) =>
       StreamPipelines.sessionize(Tables.events(s, dir))
         .orderBy("user_id", "s_start")),
@@ -68,6 +81,13 @@ object StreamingOps {
 
   def oracle: Map[String, String] = Map(
     "stream_tumbling_counts" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    // dedup transparency: the replayed+deduped aggregation must equal the
+    // aggregation over the pristine log
+    "stream_dedup_replay" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -294,6 +294,22 @@ class LlmDataSpec extends SparkSpec {
     assert(m(2L) == "already clean text 99")
   }
 
+  test("ensemble pairs decompose exactly into their two source signals") {
+    val ens = SparkEntry.queries("dedup_ensemble_pairs")(spark, sfDir).collect()
+    assert(ens.nonEmpty)
+    assert(ens.forall(r => Set(1L, 2L, 3L)(r.getLong(2))))
+    val textSide = ens.filter(r => (r.getLong(2) & 1L) != 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val embSide = ens.filter(r => (r.getLong(2) & 2L) != 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val text = SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = SparkEntry.queries("emb_neardup_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(textSide == text)
+    assert(embSide == emb)
+  }
+
   test("rangeSearch returns exactly the bucket-blocked pairs above threshold") {
     import graft.sim.Similarity
     val e = Tables.load(spark, sfDir, "embeddings")

@@ -143,6 +143,22 @@ class RelationalSpec extends SparkSpec {
     assert(bTot == sTot) // every event in exactly one session on both paths
   }
 
+  test("histogram buckets partition the table with monotone bounds") {
+    val h = SparkEntry.queries("histogram_equidepth_price")(spark, sfDir).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    val total = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(h.map(_.getLong(1)).sum == total)
+    // bucket i's hi <= bucket i+1's lo (equi-depth ranges don't overlap)
+    val bounds = h.map(r => (r.getDouble(2), r.getDouble(3)))
+    bounds.zip(bounds.tail).foreach { case ((_, hi), (lo, _)) => assert(hi <= lo) }
+  }
+
+  test("replayed-then-deduped aggregation equals the pristine aggregation") {
+    val dedup = SparkEntry.queries("stream_dedup_replay")(spark, sfDir).collect()
+    val plain = SparkEntry.queries("stream_tumbling_counts")(spark, sfDir).collect()
+    assert(dedup.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+  }
+
   test("events_latest_state: one row per user, counts cover the whole log") {
     val df = SparkEntry.queries("events_latest_state")(spark, sfDir)
     val rows = df.collect()
