@@ -298,6 +298,26 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // ---- SCD2 interval construction ----------------------------------------
+    // Slowly-changing-dimension type-2 view of each customer's order
+    // history: every order's validity interval runs until the customer's
+    // NEXT order (open-ended sentinel for the latest). One lead() window
+    // per customer partition — a single shuffle on the key, no self-join
+    // (the naive FROM o a JOIN o b ON a.custkey = b.custkey AND b.date >
+    // a.date ... formulation is quadratic per customer).
+    "orders_scd2_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          coalesce(date_format(lead(col("o_orderdate"), 1).over(seq), "yyyy-MM-dd"),
+            lit("9999-12-31")).as("valid_to"),
+          lead(col("o_orderkey"), 1).over(seq).isNull.cast("int").as("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
     // ---- distinct + count distinct -----------------------------------------
     "distinct_event_types" -> ((s, dir) =>
       Tables.events(s, dir).select(col("event_type")).distinct().orderBy("event_type")),
@@ -872,6 +892,22 @@ object Relational {
         |       COALESCE(n_orders, 0) AS n_orders,
         |       COALESCE(n_events, 0) AS n_events
         |FROM od FULL OUTER JOIN ed ON od.d = ed.d ORDER BY d""".stripMargin,
+    "orders_scd2_intervals" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |         lead(strftime(o_orderdate, '%Y-%m-%d'))
+        |           OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_orderdate, o_orderkey) AS next_from,
+        |         lead(o_orderkey)
+        |           OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_orderdate, o_orderkey) AS next_key
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey, valid_from,
+        |       coalesce(next_from, '9999-12-31') AS valid_to,
+        |       CAST(next_key IS NULL AS INT) AS is_current
+        |FROM seq ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
     "histogram_equidepth_price" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
