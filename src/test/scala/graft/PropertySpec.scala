@@ -143,4 +143,35 @@ class PropertySpec extends SparkSpec {
         assert(xml.contains(s"<n>$n</n>"))
     }
   }
+
+  test("PROPERTY: normalize is idempotent, trimmed, and emits only [a-z0-9 ]") {
+    import org.apache.spark.sql.functions.col
+    val charGen = Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf(' ', '\t', 'É', 'ñ', 'Ü', 'ß', '!', '#', ',', '.', '€'))
+    val strGen = Gen.listOfN(12, charGen).map(_.mkString)
+    val samples = collection.mutable.ListBuffer[String]()
+    forAll(strGen)(s => samples += s)
+    import spark.implicits._
+    spark.createDataset(samples.toSeq).toDF("text")
+      .select(graft.text.TextOps.normalize(col("text")).as("n"))
+      .withColumn("n2", graft.text.TextOps.normalize(col("n")))
+      .collect().foreach { r =>
+        val (n, n2) = (r.getString(0), r.getString(1))
+        assert(n == n2, s"not idempotent: '$n' -> '$n2'")
+        assert(n.forall(c => c.isDigit || (c >= 'a' && c <= 'z') || c == ' '))
+        assert(n == n.trim && !n.contains("  "))
+      }
+  }
+
+  test("PROPERTY: bloom semi join equals the exact key intersection") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    forAll(Gen.zip(Gen.listOfN(40, Gen.choose(0L, 5000L)),
+      Gen.listOfN(200, Gen.choose(0L, 5000L))), n = 5) { case (bks, pks) =>
+      val got = ops.Relational.bloomSemiJoin(
+          pks.distinct.toDF("pk"), "pk", bks.toDF("bk"), "bk")
+        .select(col("pk")).as[Long].collect().toSet
+      assert(got == pks.toSet.intersect(bks.toSet))
+    }
+  }
 }
