@@ -56,6 +56,11 @@ object LlmData {
   val QualityMin = 0.3
   val ChunkSampleMod = 10
   val ChunkSampleKeep = 3
+  /** Curation quota: best-N docs kept per source (data-mixing knob). */
+  val QuotaPerSource = 20
+  /** Sequence packing: parallel packer bins and the token budget. */
+  val PackBins = 16
+  val SeqBudget = 512
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -----------------------------------------------------
@@ -116,6 +121,58 @@ object LlmData {
           size(col("ctoks")).cast("long").as("n_tokens"),
           concat_ws(" ", col("ctoks")).as("chunk_text"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Per-source curation quota: keep the best-N documents per source by
+    // quality score — the data-mixing step that caps any one source's
+    // share of the corpus. Window top-k per source partition compiles to
+    // WindowGroupLimit (each map task forwards at most N rows per source
+    // before the shuffle), so at 100 TB the shuffle carries
+    // O(sources × N), not the corpus.
+    "sample_quota_per_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text"), col("toks")).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= QuotaPerSource)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("quality"))
+        .orderBy("source", "rk")
+    }),
+
+    // GPT-style sequence packing: concatenate the token stream and split
+    // at exact SeqBudget boundaries — documents straddle sequences, every
+    // sequence is exactly full except each bin's last. Distributed shape:
+    // docs hash to PackBins independent packer bins (deterministic
+    // doc_id % bins), the exclusive running total per bin places each doc
+    // at its stream offset, and a doc explodes into the 1..k sequences
+    // its [start, start+n) span overlaps. All window work partitions by
+    // bin; nothing is corpus-global. Token counts are exact by
+    // construction: sum(n_tokens) per sequence == SeqBudget except tails.
+    "pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = SeqBudget
+      val w = Window.partitionBy(col("bin")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .withColumn("bin", col("doc_id") % PackBins)
+        .withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("seq_id", explode(sequence(
+          floor(col("start") / b).cast("long"),
+          floor((col("start") + col("n") - 1) / b).cast("long"))))
+        .withColumn("tok_in_seq",
+          least(col("start") + col("n"), (col("seq_id") + 1) * b) -
+            greatest(col("start"), col("seq_id") * b))
+        .groupBy(col("bin"), col("seq_id"))
+        .agg(sum(col("tok_in_seq")).as("n_tokens"), count(lit(1)).as("n_docs"))
+        .orderBy("bin", "seq_id")
     }),
 
     // Corpus vocabulary induction: global token counts, top-N with a
@@ -579,6 +636,40 @@ object LlmData {
       s"""SELECT token, count(*) AS n
          |FROM (SELECT UNNEST(${TextSql.tokens("text")}) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT $VocabTopN""".stripMargin,
+    "sample_quota_per_source" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, ${TextSql.qualityScore("text")} AS quality
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT source, doc_id, quality,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY quality DESC, doc_id) AS rk
+         |  FROM scored
+         |)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, quality
+         |FROM ranked WHERE rk <= $QuotaPerSource ORDER BY source, rk""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(${TextSql.tokens("text")}) AS BIGINT) AS n,
+         |         doc_id % $PackBins AS bin
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, n, bin,
+         |         CAST(coalesce(sum(n) OVER (PARTITION BY bin ORDER BY doc_id
+         |                                    ROWS BETWEEN UNBOUNDED PRECEDING
+         |                                    AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM d WHERE n > 0
+         |), x AS (
+         |  SELECT bin, start, n,
+         |         UNNEST(range(start // $SeqBudget,
+         |                      (start + n - 1) // $SeqBudget + 1)) AS seq_id
+         |  FROM st
+         |)
+         |SELECT bin, CAST(seq_id AS BIGINT) AS seq_id,
+         |       CAST(sum(least(start + n, (seq_id + 1) * $SeqBudget)
+         |                - greatest(start, seq_id * $SeqBudget)) AS BIGINT) AS n_tokens,
+         |       count(*) AS n_docs
+         |FROM x GROUP BY bin, seq_id ORDER BY bin, seq_id""".stripMargin,
     "vocab_bigrams" ->
       s"""WITH t AS (SELECT ${TextSql.tokens("text")} AS toks FROM documents)
          |SELECT bigram, count(*) AS n

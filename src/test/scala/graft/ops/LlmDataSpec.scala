@@ -294,6 +294,35 @@ class LlmDataSpec extends SparkSpec {
     assert(m(2L) == "already clean text 99")
   }
 
+  test("pack_sequences fills every non-final sequence to exactly the budget") {
+    val rows = SparkEntry.queries("pack_sequences")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byBin = rows.groupBy(_.getLong(0))
+    byBin.values.foreach { seqs =>
+      val sorted = seqs.sortBy(_.getLong(1))
+      // contiguous ids from 0, exactly full except the bin's last sequence
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq)
+      sorted.init.foreach(r => assert(r.getLong(2) == LlmData.SeqBudget))
+      assert(sorted.last.getLong(2) <= LlmData.SeqBudget)
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val expected = Tables.load(spark, sfDir, "documents")
+      .select(size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(total == expected) // every token lands in exactly one sequence
+  }
+
+  test("per-source quota keeps at most N docs, best-quality first") {
+    val rows = SparkEntry.queries("sample_quota_per_source")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      assert(g.length <= LlmData.QuotaPerSource)
+      val byRk = g.sortBy(_.getLong(1))
+      val qs = byRk.map(_.getDouble(3))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("ensemble pairs decompose exactly into their two source signals") {
     val ens = SparkEntry.queries("dedup_ensemble_pairs")(spark, sfDir).collect()
     assert(ens.nonEmpty)
