@@ -58,6 +58,8 @@ object LlmData {
   val ChunkSampleKeep = 3
   /** Curation quota: best-N docs kept per source (data-mixing knob). */
   val QuotaPerSource = 20
+  /** n-gram width for the eval-contamination overlap measurement. */
+  val OverlapGramN = 8
   /** Sequence packing: parallel packer bins and the token budget. */
   val PackBins = 16
   val SeqBudget = 512
@@ -173,6 +175,51 @@ object LlmData {
         .groupBy(col("bin"), col("seq_id"))
         .agg(sum(col("tok_in_seq")).as("n_tokens"), count(lit(1)).as("n_docs"))
         .orderBy("bin", "seq_id")
+    }),
+
+    // Tokenizer-design metric: what fraction of corpus token OCCURRENCES
+    // the top-N vocabulary covers (the OOV-rate complement). The top-N
+    // list is broadcast back against the token stream — at 100 TB the
+    // stream is never re-shuffled; the join is a semi against a list that
+    // is O(N) by construction.
+    "vocab_coverage" -> ((s, dir) => {
+      val toks = docs(s, dir).select(explode(TextOps.tokens(col("text"))).as("token"))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(VocabTopN)
+        .select(col("token"))
+      // total + covered in ONE pass over the stream: left join a marker
+      // against the broadcast top list, aggregate count + marker sum
+      toks.join(broadcast(top.withColumn("hit", lit(1))), Seq("token"), "left")
+        .agg(count(lit(1)).as("total_tokens"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("covered_tokens"))
+        .select(col("total_tokens"), col("covered_tokens"),
+          (col("covered_tokens").cast("double") / col("total_tokens"))
+            .as("coverage"))
+    }),
+
+    // Memorization / contamination measurement at n-gram granularity:
+    // for every benchmark (eval-source) document, the fraction of its
+    // distinct 8-gram hashes that appear anywhere in the training split.
+    // Doc-level decontamination (dedup_decontaminate) flags near-dup
+    // documents; this measures PARTIAL leakage the doc-level pass can't
+    // see. Scale shape: one shuffle on gram hash — the training side is
+    // distinct-reduced before the join, and at 100 TB it would persist as
+    // the n-gram index (or a bloom) rather than recompute.
+    "eval_ngram_overlap" -> ((s, dir) => {
+      val n = OverlapGramN
+      val d = docs(s, dir)
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(TextOps.shingleHashes(TextOps.tokens(col("text")), n)).as("g"))
+      val evalG = grams(d.filter(col("source") === EvalSource))
+      val trainG = grams(d.filter(col("source") =!= EvalSource))
+        .select(col("g")).distinct()
+      evalG.join(trainG.withColumn("hit", lit(1)), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("overlap_frac",
+          col("n_hit").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
     }),
 
     // Corpus vocabulary induction: global token counts, top-N with a
@@ -636,6 +683,34 @@ object LlmData {
       s"""SELECT token, count(*) AS n
          |FROM (SELECT UNNEST(${TextSql.tokens("text")}) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT $VocabTopN""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT UNNEST(${TextSql.tokens("text")}) AS token FROM documents
+         |), top AS (
+         |  SELECT token FROM (
+         |    SELECT token, count(*) AS n FROM toks
+         |    GROUP BY token ORDER BY n DESC, token LIMIT $VocabTopN)
+         |)
+         |SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS total_tokens,
+         |       CAST((SELECT count(*) FROM toks
+         |             WHERE token IN (SELECT token FROM top)) AS BIGINT) AS covered_tokens,
+         |       CAST((SELECT count(*) FROM toks
+         |             WHERE token IN (SELECT token FROM top)) AS DOUBLE)
+         |         / (SELECT count(*) FROM toks) AS coverage""".stripMargin,
+    "eval_ngram_overlap" ->
+      s"""WITH ev AS (
+         |  SELECT doc_id, UNNEST(${TextSql.shingleHashes("text", OverlapGramN)}) AS g
+         |  FROM documents WHERE source = '$EvalSource'
+         |), tr AS (
+         |  SELECT DISTINCT UNNEST(${TextSql.shingleHashes("text", OverlapGramN)}) AS g
+         |  FROM documents WHERE source <> '$EvalSource'
+         |)
+         |SELECT ev.doc_id, count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |       CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS overlap_frac
+         |FROM ev LEFT JOIN tr ON ev.g = tr.g
+         |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
     "sample_quota_per_source" ->
       s"""WITH scored AS (
          |  SELECT doc_id, source, ${TextSql.qualityScore("text")} AS quality

@@ -294,6 +294,27 @@ class LlmDataSpec extends SparkSpec {
     assert(m(2L) == "already clean text 99")
   }
 
+  test("vocab coverage is a proper fraction and counts are consistent") {
+    val r = SparkEntry.queries("vocab_coverage")(spark, sfDir).head
+    val (total, covered, frac) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(covered > 0 && covered <= total)
+    assert(frac > 0.0 && frac <= 1.0)
+    assert(math.abs(frac - covered.toDouble / total) == 0.0)
+  }
+
+  test("eval n-gram overlap is in [0,1] and detects planted leakage") {
+    val rows = SparkEntry.queries("eval_ngram_overlap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val f = r.getDouble(3)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // the corpus plants near-duplicates across sources, so at least one
+    // eval doc must share 8-grams with the training split
+    assert(rows.exists(_.getDouble(3) > 0.0))
+  }
+
   test("pack_sequences fills every non-final sequence to exactly the budget") {
     val rows = SparkEntry.queries("pack_sequences")(spark, sfDir).collect()
     assert(rows.nonEmpty)
