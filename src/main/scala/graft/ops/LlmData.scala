@@ -63,6 +63,11 @@ object LlmData {
   /** Sequence packing: parallel packer bins and the token budget. */
   val PackBins = 16
   val SeqBudget = 512
+  /** Boilerplate removal: segment width (tokens) and the doc-frequency
+    * threshold at which a segment counts as corpus boilerplate.
+    */
+  val BoilerplateTokens = 10
+  val BoilerplateMinDocs = 2
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -----------------------------------------------------
@@ -101,6 +106,43 @@ object LlmData {
         .map { case (n, c) => c.as(n) }
       d.select((col("doc_id") +: feats :+
         TextOps.qualityScore(col("text"), col("toks")).as("quality")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Segment-level boilerplate removal (CCNet-style line dedup, with
+    // fixed token windows as the segment unit since the corpus is
+    // unlined): a segment that appears verbatim in >= BoilerplateMinDocs
+    // DISTINCT documents is corpus boilerplate; every doc is re-emitted
+    // with its boilerplate segments dropped. This catches headers/footers
+    // the doc-level dedup family can't (they sit inside otherwise-unique
+    // docs). Scale shape: one shuffle on segment text for the
+    // doc-frequency count (partial-agg'd), the flagged set rejoins the
+    // segment stream (broadcast when small, AQE decides), and the per-doc
+    // reassembly groupBy collects only that doc's own kept segments —
+    // buffers bounded by document size, never the corpus. At 100 TB the
+    // flagged set ships as a bloom filter instead of an equi-join.
+    "text_boilerplate_chunks" -> ((s, dir) => {
+      val w = BoilerplateTokens
+      val segs = docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            floor((size(col("toks")) - 1) / lit(w)).cast("long"))).as("ci"))
+        .select(col("doc_id"), col("ci"),
+          concat_ws(" ", slice(col("toks"), (col("ci") * w + 1).cast("int"), lit(w)))
+            .as("ctext"))
+      val boiler = segs.groupBy(col("ctext"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= BoilerplateMinDocs)
+        .select(col("ctext"), lit(1).as("bp"))
+      segs.join(boiler, Seq("ctext"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("bp").isNull, 1).otherwise(0)).cast("long").as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(
+              when(col("bp").isNull, struct(col("ci"), col("ctext"))))),
+            x => x("ctext")), " ").as("clean_text"))
         .orderBy("doc_id")
     }),
 
@@ -667,6 +709,31 @@ object LlmData {
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
          |FROM scored WHERE rank <= $TfidfTopK
          |ORDER BY doc_id, rank""".stripMargin,
+    "text_boilerplate_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents
+         |), c AS (
+         |  SELECT doc_id, toks,
+         |         UNNEST(range(0, (len(toks) - 1) // $BoilerplateTokens + 1)) AS ci
+         |  FROM t
+         |), segs AS (
+         |  SELECT doc_id, ci,
+         |         array_to_string(toks[ci*$BoilerplateTokens+1 :
+         |                              ci*$BoilerplateTokens+$BoilerplateTokens],
+         |                         ' ') AS ctext
+         |  FROM c
+         |), boiler AS (
+         |  SELECT ctext FROM segs GROUP BY ctext
+         |  HAVING count(DISTINCT doc_id) >= $BoilerplateMinDocs
+         |)
+         |SELECT s.doc_id, count(*) AS n_segments,
+         |       CAST(sum(CASE WHEN b.ctext IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       COALESCE(array_to_string(
+         |         list(s.ctext ORDER BY s.ci) FILTER (WHERE b.ctext IS NULL),
+         |         ' '), '') AS clean_text
+         |FROM segs s LEFT JOIN boiler b ON s.ctext = b.ctext
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "text_chunking" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents

@@ -298,6 +298,97 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // ---- time-series gap fill: dense calendar + forward fill ---------------
+    // Missing (user, day) cells get n_events = 0 and the most recent day's
+    // value carried forward. NOT the textbook grid-then-left-join: each
+    // daily row generates the gap days UP TO the user's next real day via
+    // lead() + sequence() explode — the generating row already carries the
+    // forward-fill value, so there is no dense-calendar self-join at all
+    // (the grid+join formulation is a plan diamond: the daily aggregate
+    // gets re-expanded under both join branches, pruned differently, and
+    // scanned twice — this is the DuckDB oracle's formulation, so the
+    // hash-equality also proves the two equivalent). Plan shape: the
+    // explicit user_id repartition is the ONLY hash exchange — the daily
+    // aggregate (grouping keys a superset of the partitioning) and the
+    // lead() window reuse it; the explode is narrow (asserted in
+    // RelationalSpec).
+    "timeseries_gapfill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.events(s, dir).repartition(col("user_id"))
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+        .withColumn("next_day", lead(col("day"), 1).over(byDay))
+        .select(col("user_id"), col("day"), col("n_events"), col("day_value"),
+          explode(sequence(col("day"),
+            coalesce(date_sub(col("next_day"), 1), col("day")))).as("gday"))
+        .select(col("user_id"), date_format(col("gday"), "yyyy-MM-dd").as("d"),
+          when(col("gday") === col("day"), col("n_events")).otherwise(lit(0L))
+            .as("n_events"),
+          col("day_value").as("filled_value"))
+        .orderBy("user_id", "d")
+    }),
+
+    // ---- MERGE INTO semantics: batch upsert as a full-outer reconcile ------
+    // Row-level MERGE (matched -> update, not-matched -> insert) expressed
+    // as ONE full-outer join on the key plus per-column coalesce — the
+    // engine-agnostic formulation table formats compile MERGE into. The
+    // batch here is derived from the table itself (keys % 10 = 0 updated,
+    // % 10 = 3 re-keyed as inserts) so the query is self-contained and
+    // oracle-checkable. One shuffle per side on the key; at scale
+    // TableSink.upsertPartitions is the partition-pruned write path for
+    // the reconciled result.
+    "merge_upsert_orders" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val updates = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), lit("X").as("status"),
+          (col("o_totalprice") * 1.1).as("price"))
+      val inserts = orders.filter(col("o_orderkey") % 10 === 3)
+        .select((col("o_orderkey") + 100000000L).as("k"), lit("N").as("status"),
+          col("o_totalprice").as("price"))
+      orders.join(updates.unionAll(inserts), col("o_orderkey") === col("k"), "full_outer")
+        .select(coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+          when(col("k").isNull, col("o_orderstatus")).otherwise(col("status"))
+            .as("o_orderstatus"),
+          when(col("k").isNull, col("o_totalprice")).otherwise(col("price"))
+            .as("o_totalprice"),
+          when(col("o_orderkey").isNull, lit("insert"))
+            .when(col("k").isNull, lit("keep")).otherwise(lit("update")).as("action"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- declarative data-quality constraint suite (Deequ-style) -----------
+    // Profiling (profile_orders) measures; this VALIDATES: each named
+    // constraint yields an exact metric and a boolean verdict, emitted as a
+    // tall (check_name, value, passed) table a pipeline can gate on. Two
+    // aggregate passes — scalar metrics and the NDV kept separate (same
+    // HashAggregate-vs-Expand reason as profile_orders) — recombined by a
+    // free 1-row cross join, then unpivoted with stack(). Every value is an
+    // exact count or an integer-ratio double, so the result is hash-stable.
+    "dq_constraint_checks" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val day = col("o_orderdate").cast("date")
+      val scalars = orders.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        min(col("o_totalprice")).as("min_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+          .as("bad_status"),
+        sum(when(day < lit("1995-01-01").cast("date") ||
+          day > lit("2001-12-31").cast("date"), 1).otherwise(0)).as("bad_date"))
+      scalars.crossJoin(orders.agg(countDistinct(col("o_orderkey")).as("key_ndv")))
+        .selectExpr(
+          """stack(6,
+            |  'orderdate_in_range',      CAST(bad_date AS DOUBLE),        bad_date = 0,
+            |  'orderkey_unique',         CAST(key_ndv AS DOUBLE) / n_rows, key_ndv = n_rows,
+            |  'orderstatus_in_domain',   CAST(bad_status AS DOUBLE),      bad_status = 0,
+            |  'custkey_complete',        CAST(custkey_nonnull AS DOUBLE) / n_rows, custkey_nonnull = n_rows,
+            |  'row_count_positive',      CAST(n_rows AS DOUBLE),          n_rows > 0,
+            |  'totalprice_non_negative', min_price,                       min_price >= 0.0
+            |) AS (check_name, value, passed)""".stripMargin)
+        .orderBy("check_name")
+    }),
+
     // ---- SCD2 interval construction ----------------------------------------
     // Slowly-changing-dimension type-2 view of each customer's order
     // history: every order's validity interval runs until the customer's
@@ -896,6 +987,73 @@ object Relational {
         |       COALESCE(n_orders, 0) AS n_orders,
         |       COALESCE(n_events, 0) AS n_events
         |FROM od FULL OUTER JOIN ed ON od.d = ed.d ORDER BY d""".stripMargin,
+    "timeseries_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id,
+        |         CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+        |                                     CAST(d1 AS TIMESTAMP),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span
+        |)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS d,
+        |       COALESCE(dd.n_events, 0) AS n_events,
+        |       last_value(dd.day_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN daily dd
+        |  ON g.user_id = dd.user_id AND g.day = dd.day
+        |ORDER BY g.user_id, d""".stripMargin,
+    "merge_upsert_orders" ->
+      """WITH batch AS (
+        |  SELECT o_orderkey AS k, 'X' AS status, o_totalprice * 1.1 AS price
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |)
+        |SELECT COALESCE(t.o_orderkey, b.k) AS o_orderkey,
+        |       CASE WHEN b.k IS NULL THEN t.o_orderstatus ELSE b.status END
+        |         AS o_orderstatus,
+        |       CASE WHEN b.k IS NULL THEN t.o_totalprice ELSE b.price END
+        |         AS o_totalprice,
+        |       CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+        |            WHEN b.k IS NULL THEN 'keep' ELSE 'update' END AS action
+        |FROM orders t FULL OUTER JOIN batch b ON t.o_orderkey = b.k
+        |ORDER BY o_orderkey""".stripMargin,
+    "dq_constraint_checks" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(o_custkey) AS custkey_nonnull,
+        |         min(o_totalprice) AS min_price,
+        |         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |             THEN 1 ELSE 0 END) AS bad_status,
+        |         sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+        |                    OR CAST(o_orderdate AS DATE) > DATE '2001-12-31'
+        |             THEN 1 ELSE 0 END) AS bad_date,
+        |         count(DISTINCT o_orderkey) AS key_ndv
+        |  FROM orders
+        |)
+        |SELECT * FROM (
+        |  SELECT 'orderdate_in_range' AS check_name,
+        |         CAST(bad_date AS DOUBLE) AS value, bad_date = 0 AS passed FROM s
+        |  UNION ALL SELECT 'orderkey_unique',
+        |         CAST(key_ndv AS DOUBLE) / n_rows, key_ndv = n_rows FROM s
+        |  UNION ALL SELECT 'orderstatus_in_domain',
+        |         CAST(bad_status AS DOUBLE), bad_status = 0 FROM s
+        |  UNION ALL SELECT 'custkey_complete',
+        |         CAST(custkey_nonnull AS DOUBLE) / n_rows,
+        |         custkey_nonnull = n_rows FROM s
+        |  UNION ALL SELECT 'row_count_positive',
+        |         CAST(n_rows AS DOUBLE), n_rows > 0 FROM s
+        |  UNION ALL SELECT 'totalprice_non_negative',
+        |         min_price, min_price >= 0.0 FROM s
+        |) ORDER BY check_name""".stripMargin,
     "orders_scd2_intervals" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderkey,

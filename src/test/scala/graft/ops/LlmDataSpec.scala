@@ -315,6 +315,20 @@ class LlmDataSpec extends SparkSpec {
     assert(rows.exists(_.getDouble(3) > 0.0))
   }
 
+  test("boilerplate removal drops repeated segments and rebuilds clean text") {
+    val rows = SparkEntry.queries("text_boilerplate_chunks")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val cleanToks = r.getString(3).split("\\s+").count(_.nonEmpty)
+      // kept segments are w tokens each except possibly a short final one
+      assert(cleanToks <= r.getLong(2) * LlmData.BoilerplateTokens)
+      assert((r.getLong(2) == 0) == r.getString(3).isEmpty)
+    }
+    // the corpus plants near-duplicates, so some doc must lose a segment
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
   test("pack_sequences fills every non-final sequence to exactly the budget") {
     val rows = SparkEntry.queries("pack_sequences")(spark, sfDir).collect()
     assert(rows.nonEmpty)

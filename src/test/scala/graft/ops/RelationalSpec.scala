@@ -166,4 +166,61 @@ class RelationalSpec extends SparkSpec {
     val total = df.agg(sum("n_events")).head().getLong(0)
     assert(total == graft.Tables.events(spark, sfDir).count())
   }
+
+  test("timeseries_gapfill: dense calendar, forward-filled gaps, one hash exchange") {
+    val df = SparkEntry.queries("timeseries_gapfill")(spark, sfDir)
+    val rows = df.collect()
+    var sawGap = false
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      val d0 = java.time.LocalDate.parse(sorted.head.getString(1))
+      val d1 = java.time.LocalDate.parse(sorted.last.getString(1))
+      // dense: one row per day of the user's span, no holes
+      assert(sorted.length ==
+        java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1)
+      // forward fill: a zero-event day carries the previous day's value
+      var lastVal = Double.NaN
+      sorted.foreach { r =>
+        if (r.getLong(2) == 0) { sawGap = true; assert(r.getDouble(3) == lastVal) }
+        else lastVal = r.getDouble(3)
+      }
+    }
+    assert(sawGap, "test data produced no gap days — assertion vacuous")
+    // the explicit user_id repartition must be the ONLY hash exchange:
+    // the daily aggregate and the lead() window both reuse it (the
+    // adaptive plan string repeats the tree under "== Initial Plan ==" —
+    // count only the final section)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected a single hash exchange, got $hashEx:\n$plan")
+  }
+
+  test("merge upsert: updates repriced, inserts re-keyed, keeps untouched") {
+    val rows = SparkEntry.queries("merge_upsert_orders")(spark, sfDir).collect()
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val byAction = rows.groupBy(_.getString(3))
+    assert(byAction("insert").length == orders.keysIterator.count(_ % 10 == 3))
+    assert(byAction("update").length == orders.keysIterator.count(_ % 10 == 0))
+    assert(rows.length == orders.size + byAction("insert").length)
+    byAction("update").foreach { r =>
+      val (_, price) = orders(r.getLong(0))
+      assert(r.getString(1) == "X" && r.getDouble(2) == price * 1.1)
+    }
+    byAction("keep").foreach { r =>
+      val (status, price) = orders(r.getLong(0))
+      assert(r.getString(1) == status && r.getDouble(2) == price)
+    }
+  }
+
+  test("dq constraint suite: six checks, all passing on the generated data") {
+    val rows = SparkEntry.queries("dq_constraint_checks")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getBoolean(2)), rows.mkString("; "))
+    val m = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("orderkey_unique") == 1.0 && m("custkey_complete") == 1.0)
+    assert(m("row_count_positive") > 0.0)
+  }
 }
