@@ -389,6 +389,74 @@ object Relational {
         .orderBy("check_name")
     }),
 
+    // ---- ORC round trip: second lake format through the same scan stack ----
+    // Parquet -> ORC -> aggregate: the scan after the round trip must hash
+    // equal to the parquet-side oracle, proving the ORC reader/writer pair
+    // is lossless for the engine's types (longs, doubles, strings). The
+    // rewrite is per-run scratch I/O (java.io.tmpdir), not a hot path; the
+    // aggregate itself is the usual partial-agg'd groupBy.
+    "orc_roundtrip_agg" -> ((s, dir) => {
+      val scratch = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_orc/customer").getAbsolutePath
+      graft.sources.Sources.writeOrc(Tables.load(s, dir, "customer"), scratch)
+      graft.sources.Sources.orc(s, scratch)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("acctbal"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- PageRank: fixed-point integer iteration on a co-occurrence graph --
+    // Parts shipping in the same order form a symmetric edge set; three
+    // unrolled power iterations of PageRank (d = 0.85) rank the hubs. All
+    // arithmetic is int64 fixed-point (rank unit 1e-12): integer `div`
+    // truncation is deterministic in every engine, so the iteration is
+    // hash-exact with no float-reassociation caveats. Overflow headroom
+    // holds to ~1e5 nodes at this unit (85 * N * ONE < 2^63) — shrink the
+    // unit for bigger graphs. Scale shape: the edge+degree table is built
+    // once and localCheckpointed (the working set an iterative job
+    // persists); each iteration BROADCASTS the rank vector (nodes <<
+    // edges), so edges are never shuffled — only map-side-combined
+    // contribution partials move, grouped on dst. GraphX/pregel is the
+    // 1000-iteration answer; bounded iterations stay in Catalyst codegen.
+    "pagerank_parts" -> ((s, dir) => {
+      val one = 1000000000000L
+      val base = 15L * one / 100
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val ed = e.join(deg, "src").localCheckpoint(eager = false)
+      var rank = deg.select(col("src").as("node"), lit(one).as("r"))
+      for (_ <- 1 to 3) {
+        rank = ed.join(broadcast(rank), col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("r div d")).as("s"))
+          .select(col("dst").as("node"),
+            (lit(base) + expr("(85 * s) div 100")).as("r"))
+      }
+      rank.orderBy(col("r").desc, col("node")).limit(20)
+    }),
+
+    // ---- Z-order key derivation --------------------------------------------
+    // The bit-interleave behind writeZOrderLayout, exposed as a query so the
+    // oracle proves the key function itself (the layout's skipping effect is
+    // asserted in TableSinkSpec). Narrow, codegen'd, shift/and/or builtins
+    // only — the scan is the whole cost.
+    "zorder_keys" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("d_epoch"))
+        .select(col("o_orderkey"),
+          graft.sinks.TableSink.zorderKey(col("o_custkey"), col("d_epoch"))
+            .as("z"))
+        .orderBy("o_orderkey")),
+
     // ---- SCD2 interval construction ----------------------------------------
     // Slowly-changing-dimension type-2 view of each customer's order
     // history: every order's validity interval runs until the customer's
@@ -1054,6 +1122,49 @@ object Relational {
         |  UNION ALL SELECT 'totalprice_non_negative',
         |         min_price, min_price >= 0.0 FROM s
         |) ORDER BY check_name""".stripMargin,
+    "pagerank_parts" -> {
+      val one = 1000000000000L
+      val base = 15L * one / 100
+      def iter(prev: String, i: Int): String =
+        s"""c$i AS (
+           |  SELECT e.dst AS node, sum($prev.r // deg.d) AS s
+           |  FROM e JOIN $prev ON e.src = $prev.node
+           |         JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst
+           |), r$i AS (
+           |  SELECT node, CAST($base + (85 * s) // 100 AS BIGINT) AS r FROM c$i
+           |)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST($one AS BIGINT) AS r FROM deg),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
+    },
+    "zorder_keys" -> {
+      val terms = (0 until 16).map(i =>
+        s"(((o_custkey >> $i) & 1) << ${2 * i + 1}) | " +
+          s"(((d_epoch >> $i) & 1) << ${2 * i})")
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_custkey,
+         |         CAST(date_diff('day', DATE '1970-01-01',
+         |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d_epoch
+         |  FROM orders
+         |)
+         |SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+         |FROM t ORDER BY o_orderkey""".stripMargin
+    },
+    "orc_roundtrip_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
+        |       count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "orders_scd2_intervals" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderkey,

@@ -82,6 +82,39 @@ object TableSink {
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-order key: interleave the low `bits` bits of two non-negative
+    * integer columns (a's bit i lands at 2i+1, b's at 2i), so sorting by
+    * the key clusters rows that are close in BOTH dimensions. Built as a
+    * static tree of shift/and/or builtins — whole-stage-codegen'd, no UDF.
+    * Callers map values into [0, 2^bits) first (rank or scale); the
+    * engine's tables already fit 16 bits raw.
+    */
+  def zorderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Two-dimensional clustering layout: range-partition + sort on the
+    * interleaved [[zorderKey]], so every parquet file's footer carries a
+    * TIGHT min/max box in BOTH columns — point and box predicates on
+    * either column skip files from stats alone (writeRangeLayout only
+    * bounds ONE column; TableSinkSpec asserts the boxes shrink in both).
+    */
+  def writeZOrderLayout(df: DataFrame, path: String, colA: String,
+                        colB: String, nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("_z", zorderKey(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** K5: idempotent catalog DDL — `CREATE TABLE IF NOT EXISTS` from a
     * typed schema (the reference's 26-column products DDL,
     * `/root/reference/src/sql_to_kafka.py:69-105`, whose SQLite types map

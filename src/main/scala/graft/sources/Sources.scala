@@ -41,4 +41,19 @@ object Sources {
   /** Parquet table scan (the engine-native format; S2 analog). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** ORC scan — the second columnar lake format (Spark-native reader, same
+    * vectorized decode + pushdown + pruning surface as parquet). Round-trip
+    * is lossless for every type the engine uses, proven by
+    * `orc_roundtrip_agg` hashing equal to its parquet-side oracle.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink twin of [[orc]] (zlib by default; columnar stats + indexes
+    * written per stripe, so a downstream filter skips stripes like parquet
+    * skips row groups).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

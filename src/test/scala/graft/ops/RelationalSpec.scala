@@ -215,6 +215,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("pagerank matches an independent in-memory fixed-point replication") {
+    val got = SparkEntry.queries("pagerank_parts")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // rebuild the graph and iterate with plain Long arithmetic
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val parts = grp.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val one = 1000000000000L
+    var rank: Map[Long, Long] = deg.map { case (n, _) => n -> one }
+    for (_ <- 1 to 3) {
+      val contrib = edges.toSeq.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = contrib.map { case (n, s) => n -> (15L * one / 100 + 85L * s / 100) }
+    }
+    val want = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+    assert(got.toSeq == want, s"spark=$got expected=$want")
+  }
+
   test("dq constraint suite: six checks, all passing on the generated data") {
     val rows = SparkEntry.queries("dq_constraint_checks")(spark, sfDir).collect()
     assert(rows.length == 6)

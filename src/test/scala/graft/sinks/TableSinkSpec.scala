@@ -107,6 +107,35 @@ class TableSinkSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout: per-file min/max boxes shrink in BOTH dimensions") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("d_epoch", unix_date(col("o_orderdate").cast("date")).cast("long"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    TableSink.writeZOrderLayout(orders, out, "o_custkey", "d_epoch", nFiles = 8)
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count())
+    val boxes = back.groupBy(input_file_name().as("f"))
+      .agg(min("o_custkey").as("cLo"), max("o_custkey").as("cHi"),
+        min("d_epoch").as("dLo"), max("d_epoch").as("dHi"))
+      .collect()
+    assert(boxes.length > 4)
+    val (cLo, cHi, dLo, dHi) = orders
+      .agg(min("o_custkey"), max("o_custkey"), min("d_epoch"), max("d_epoch"))
+      .head() match { case r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) }
+    val cSpan = (cHi - cLo).toDouble.max(1)
+    val dSpan = (dHi - dLo).toDouble.max(1)
+    // every file's bounding box covers a strict sub-rectangle of the
+    // (custkey x day) plane, and the mean coverage is far below the ~1.0
+    // a round-robin layout gives — that area ratio IS the expected
+    // fraction of files a 2-D point predicate has to read
+    val areas = boxes.map { r =>
+      ((r.getAs[Long]("cHi") - r.getAs[Long]("cLo")) / cSpan) *
+        ((r.getAs[Long]("dHi") - r.getAs[Long]("dLo")) / dSpan)
+    }
+    assert(areas.max < 0.9, s"a z-order file covers the whole plane: ${areas.toSeq}")
+    assert(areas.sum / areas.length < 0.5, s"weak clustering: ${areas.toSeq}")
+  }
+
   test("salted aggregation equals direct aggregation (decimal-exact)") {
     val ev = Tables.events(spark, sfDir)
     val direct = ev.groupBy(col("event_type"))
