@@ -55,6 +55,29 @@ object Relational {
     */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** The 100 TB path for `sliding_distinct_users`: one mergeable HLL
+    * sketch per day (a single partial-agg'd groupBy over the stream — the
+    * raw (day, user) pairs never shuffle), then each day unions the
+    * trailing week's sketches with a range-frame window. O(days) rows and
+    * O(days x 7) sketch merges after the first pass, instead of
+    * re-touching every event 7 times the way the exact broadcast-ranged
+    * join does. RelationalSpec bounds its error against the exact query.
+    */
+  def hllSlidingDistinct(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    events
+      .select(unix_date(col("ts").cast("date")).cast("long").as("day"),
+        col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(date_format(
+        date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
+        "yyyy-MM-dd").as("d"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("u7_approx"))
+      .orderBy("d")
+  }
+
   /** Bloom-filtered semi join: fold the (small, distinct) build-side key
     * set into an `mBits`-bit bloom bitmask (`mBits/64` longs, `kHashes`
     * universal hashes), broadcast the one-row mask, pre-filter the probe
@@ -425,22 +448,71 @@ object Relational {
       val base = 15L * one / 100
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // edge set materialized ONCE (localCheckpoint) — it is read three
+      // times; without it every iteration re-runs the self-join
       val e = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+        .distinct().localCheckpoint(eager = false)
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val ed = e.join(deg, "src").localCheckpoint(eager = false)
+        .localCheckpoint(eager = false)
       var rank = deg.select(col("src").as("node"), lit(one).as("r"))
       for (_ <- 1 to 3) {
-        rank = ed.join(broadcast(rank), col("src") === col("node"))
+        // per-node outbound weight first (node-level, tiny join), THEN the
+        // edge pass; checkpointing each rank truncates the lineage so the
+        // work stays LINEAR in iterations (an un-truncated loop re-executes
+        // every earlier iteration inside each broadcast collect — measured
+        // 12.5 s vs 2 s at sf0.1)
+        val w = rank.join(deg, col("node") === col("src"))
+          .select(col("node"), expr("r div d").as("w"))
+        rank = e.join(broadcast(w), e("src") === w("node"))
           .groupBy(col("dst"))
-          .agg(sum(expr("r div d")).as("s"))
+          .agg(sum(col("w")).as("s"))
           .select(col("dst").as("node"),
             (lit(base) + expr("(85 * s) div 100")).as("r"))
+          .localCheckpoint(eager = false)
       }
       rank.orderBy(col("r").desc, col("node")).limit(20)
+    }),
+
+    // ---- sliding distinct: trailing-7-day unique users per day -------------
+    // COUNT(DISTINCT) over a sliding time frame — not expressible as a
+    // window frame (distinct is not running-decomposable), so the exact
+    // form is a compact day-dimension BROADCAST nested-loop ranged against
+    // the event stream (the day table is O(days), tiny at any corpus
+    // size), then one distinct-aggregate shuffle on (day, user). The
+    // 100 TB path replaces exactness with mergeable HLL sketches — one
+    // sketch per day, unioned across each 7-day window (hllSlidingDistinct
+    // below; RelationalSpec bounds its error against this exact version).
+    "sliding_distinct_users" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(unix_date(col("ts").cast("date")).cast("long").as("de"),
+          col("user_id"))
+      val days = ev.select(col("de").as("day")).distinct()
+      broadcast(days).join(ev, col("de").between(col("day") - 6, col("day")))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("u7"))
+        .select(date_format(
+          date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
+          "yyyy-MM-dd").as("d"), col("u7"))
+        .orderBy("d")
+    }),
+
+    // ---- month-over-month revenue growth ------------------------------------
+    // Calendar rollup + lag ratio. The unpartitioned lag window is safe
+    // here BY CONSTRUCTION: it runs over the aggregated month table
+    // (O(months) rows at any corpus size), never the fact table. Growth is
+    // row-wise IEEE arithmetic on decimal-exact monthly sums — hash-exact.
+    "revenue_mom_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("prev", lag(col("revenue"), 1).over(Window.orderBy("month")))
+        .select(col("month"), col("revenue"),
+          ((col("revenue") - col("prev")) / col("prev")).as("growth"))
+        .orderBy("month")
     }),
 
     // ---- Z-order key derivation --------------------------------------------
@@ -1147,6 +1219,26 @@ object Relational {
          |${iter("r2", 3)}
          |SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
     },
+    "sliding_distinct_users" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS de,
+        |         user_id
+        |  FROM events
+        |), days AS (SELECT DISTINCT de AS day FROM ev)
+        |SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d') AS d,
+        |       count(DISTINCT user_id) AS u7
+        |FROM days JOIN ev ON ev.de BETWEEN day - 6 AND day
+        |GROUP BY day ORDER BY d""".stripMargin,
+    "revenue_mom_growth" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT month, revenue, (revenue - prev) / prev AS growth
+        |FROM (SELECT month, revenue,
+        |             lag(revenue) OVER (ORDER BY month) AS prev FROM m)
+        |ORDER BY month""".stripMargin,
     "zorder_keys" -> {
       val terms = (0 until 16).map(i =>
         s"(((o_custkey >> $i) & 1) << ${2 * i + 1}) | " +

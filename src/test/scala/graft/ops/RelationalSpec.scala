@@ -239,6 +239,20 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == want, s"spark=$got expected=$want")
   }
 
+  test("HLL sliding distinct tracks the exact sliding distinct within 5%") {
+    val exact = SparkEntry.queries("sliding_distinct_users")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.ops.Relational
+      .hllSlidingDistinct(graft.Tables.events(spark, sfDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      val est = approx(d)
+      assert(math.abs(est - n) <= math.max(1L, (0.05 * n).toLong),
+        s"day $d: exact=$n hll=$est")
+    }
+  }
+
   test("dq constraint suite: six checks, all passing on the generated data") {
     val rows = SparkEntry.queries("dq_constraint_checks")(spark, sfDir).collect()
     assert(rows.length == 6)
