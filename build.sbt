@@ -36,4 +36,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: 32 local executor threads + per-query broadcasts put
   // multi-second GC pauses into whichever bench query lands on them at 8g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq

@@ -446,24 +446,57 @@ object Relational {
     "pagerank_parts" -> ((s, dir) => {
       val one = 1000000000000L
       val base = 15L * one / 100
+      val cores = s.sparkContext.defaultParallelism
+      // Explicit-width repartition on the join key: the whole edge build
+      // is a sub-16 MB working set, so AQE's advisory size coalesces every
+      // stage to 1-3 tasks and the O(k²) pair expansion runs effectively
+      // single-threaded (measured 9.9 s for the edge build at local[32]).
+      // A user-specified repartition is exempt from AQE coalescing, and
+      // hash(l_orderkey) satisfies the self-join's distribution AND (as a
+      // subset of the keys) the pre-distinct's clustering, so this ONE
+      // exchange feeds dedup + join with no further shuffle. At real scale
+      // the scan already has more partitions than `cores` and the stats-
+      // sized AQE width is the right one — this width floor only binds
+      // when the working set is tiny relative to the machine.
       val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(cores, col("l_orderkey")).distinct()
       // edge set materialized ONCE (localCheckpoint) — it is read three
-      // times; without it every iteration re-runs the self-join
-      val e = li.as("a").join(li.as("b"),
+      // times; without it every iteration re-runs the self-join.
+      // Checkpoints here are EAGER: under AQE a lazy localCheckpoint's
+      // toRdd re-materializes its upstream query stages on every
+      // downstream plan construction, so the lazy form re-ran the edge
+      // build once per iteration (measured 15.4 s vs 5.9 s at sf0.1 —
+      // eager runs each stage exactly once).
+      // shuffle_hash hint: Spark's size estimate puts the distinct
+      // projection just under the broadcast threshold, so the static
+      // planner BROADCASTS one side of a fact-table self-join — a 600 K-row
+      // hash relation built from a DUPLICATE scan+distinct of the same
+      // parquet. The hinted plan is one ShuffledHashJoin whose two sides
+      // reuse the single co-partitioned exchange above — the only join
+      // shape that survives a fact table at any scale.
+      val e = li.as("a").hint("shuffle_hash")
+        .join(li.as("b").hint("shuffle_hash"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct().localCheckpoint(eager = false)
+        // same explicit-width trick for the pair dedup + checkpoint write:
+        // hash(src, dst) feeds the distinct directly, and the cached edge
+        // partitions come out `cores`-wide for the iteration passes
+        .repartition(cores, col("src"), col("dst"))
+        .distinct().localCheckpoint(eager = true)
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       var rank = deg.select(col("src").as("node"), lit(one).as("r"))
       for (_ <- 1 to 3) {
         // per-node outbound weight first (node-level, tiny join), THEN the
-        // edge pass; checkpointing each rank truncates the lineage so the
-        // work stays LINEAR in iterations (an un-truncated loop re-executes
-        // every earlier iteration inside each broadcast collect — measured
-        // 12.5 s vs 2 s at sf0.1)
+        // edge pass. No per-iteration checkpoint: with e and deg pinned
+        // above, each rank_k subplan appears exactly ONCE in the final
+        // plan (inside the broadcast of w_{k+1}), so one action
+        // materializes the whole chain with each stage executed once —
+        // the 3 extra checkpoint jobs (collect + row-copy + cache write
+        // per iteration) bought nothing (measured ~2 s of pure job
+        // overhead at sf0.1).
         val w = rank.join(deg, col("node") === col("src"))
           .select(col("node"), expr("r div d").as("w"))
         rank = e.join(broadcast(w), e("src") === w("node"))
@@ -471,7 +504,6 @@ object Relational {
           .agg(sum(col("w")).as("s"))
           .select(col("dst").as("node"),
             (lit(base) + expr("(85 * s) div 100")).as("r"))
-          .localCheckpoint(eager = false)
       }
       rank.orderBy(col("r").desc, col("node")).limit(20)
     }),

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+class CurationSpec extends SparkSpec {
+
+  test("sample_weighted_docs: deterministic under repartitioning, rate tracks weight") {
+    val df = Curation.queries("sample_weighted_docs")(spark, sfDir)
+    val once = df.collect().map(_.toSeq).toVector
+    val again = Curation.queries("sample_weighted_docs")(spark, sfDir)
+      .repartition(7).orderBy("doc_id").collect().map(_.toSeq).toVector
+    assert(once == again, "hash sampling must not depend on partitioning")
+    // every kept doc satisfies the keep predicate; weights are in [1, cap]
+    val ws = once.map(_(2).asInstanceOf[Long])
+    assert(ws.forall(w => w >= 1 && w <= Curation.WeightCap))
+  }
+
+  test("agg_incremental_refresh: merged partials == single-pass recompute") {
+    val merged = Curation.queries("agg_incremental_refresh")(spark, sfDir)
+      .collect().map(_.toSeq).toVector
+    val full = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toSeq).toVector
+    assert(merged == full)
+  }
+
+  test("minhash sketch merge: sig(A union B) == elementwise min(sig(A), sig(B))") {
+    // the property that makes source_jaccard_matrix's per-source aggregate
+    // a legal sketch MERGE rather than an approximation of one
+    val docs = Tables.load(spark, sfDir, "documents").limit(6)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shingleHashes(col("toks")).as("sh"))
+    val rows = docs.select(col("sh"),
+        Dedup.minhashSignature(col("sh")).as("sig")).collect()
+    for (Seq(a, b) <- rows.toSeq.combinations(2)) {
+      val shUnion = (a.getSeq[Long](0) ++ b.getSeq[Long](0)).distinct
+      val sigUnion = spark.range(1)
+        .select(Dedup.minhashSignature(
+          lit(shUnion.toArray).cast("array<long>")).as("sig"))
+        .head().getSeq[Long](0)
+      val minOfSigs = a.getSeq[Long](1).zip(b.getSeq[Long](1)).map(t => t._1 min t._2)
+      assert(sigUnion == minOfSigs)
+    }
+  }
+
+  test("source_jaccard_matrix: full pair coverage, estimates in [0,1]") {
+    val m = Curation.queries("source_jaccard_matrix")(spark, sfDir).collect()
+    val nSources = Tables.load(spark, sfDir, "documents")
+      .select("source").distinct().count().toInt
+    assert(m.length == nSources * (nSources - 1) / 2)
+    assert(m.forall { r =>
+      val j = r.getDouble(2); j >= 0.0 && j <= 1.0
+    })
+  }
+}
