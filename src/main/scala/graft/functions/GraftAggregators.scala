@@ -46,3 +46,67 @@ object DecimalSum
   def register(spark: SparkSession): Unit =
     spark.udf.register("graft_dsum", udaf(DecimalSum, Encoders.DOUBLE))
 }
+
+/** Misra–Gries heavy-hitters sketch as a typed `Aggregator` — the
+  * MERGEABLE summary (Agarwal et al., "Mergeable Summaries", PODS'12)
+  * behind bounded-memory top-k at 100 TB: each map task keeps at most
+  * `capacity` counters regardless of vocabulary size, the shuffle carries
+  * `capacity` entries per partition instead of the whole vocabulary, and
+  * merges preserve the deterministic error bound
+  *
+  *   true_count - N / (capacity + 1)  <=  sketch_count  <=  true_count
+  *
+  * so any item with frequency above N/(capacity+1) is GUARANTEED present
+  * in the merged sketch (candidate-superset property). Exact top-k is then
+  * one cheap refine pass restricted to the candidates — see
+  * `vocab_heavy_hitters` in [[graft.ops.Curation]].
+  *
+  * The buffer is a mutable HashMap under a kryo encoder: like
+  * [[DecimalSum]] this runs as an ObjectHashAggregate (serialization at
+  * partial boundaries only), which is the intended shape for a sketch —
+  * the buffer is O(capacity), never O(distinct).
+  */
+class MisraGries(capacity: Int)
+  extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+    Map[String, Long]] {
+  import scala.collection.mutable.HashMap
+
+  override def zero: HashMap[String, Long] = HashMap.empty
+
+  override def reduce(b: HashMap[String, Long], tok: String): HashMap[String, Long] = {
+    if (tok == null) return b
+    b.get(tok) match {
+      case Some(c) => b.update(tok, c + 1)
+      case None if b.size < capacity => b.update(tok, 1L)
+      case None =>
+        // decrement-all step: drop every counter by one, evict zeros
+        val dead = List.newBuilder[String]
+        b.keysIterator.foreach { k =>
+          val c = b(k) - 1
+          if (c == 0) dead += k else b.update(k, c)
+        }
+        dead.result().foreach(b.remove)
+    }
+    b
+  }
+
+  override def merge(x: HashMap[String, Long], y: HashMap[String, Long]): HashMap[String, Long] = {
+    y.foreach { case (k, v) => x.update(k, x.getOrElse(k, 0L) + v) }
+    if (x.size > capacity) {
+      // subtract the (capacity+1)-th largest count from all, evict <= 0 —
+      // the merge rule that keeps the summed error bounds additive
+      val cut = x.values.toArray.sortInPlaceWith(_ > _).apply(capacity)
+      val dead = x.iterator.collect { case (k, v) if v <= cut => k }.toList
+      dead.foreach(x.remove)
+      x.mapValuesInPlace((_, v) => v - cut)
+    }
+    x
+  }
+
+  override def finish(b: HashMap[String, Long]): Map[String, Long] = b.toMap
+
+  override def bufferEncoder: Encoder[scala.collection.mutable.HashMap[String, Long]] =
+    Encoders.kryo[scala.collection.mutable.HashMap[String, Long]]
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}

@@ -23,8 +23,36 @@ object Curation {
     */
   val RefreshCut = "1997-01-01"
 
+  /** Misra-Gries counter budget and refined top-k for vocab_heavy_hitters:
+    * exactness is guaranteed for any token with frequency > N/(capacity+1).
+    */
+  val MgCapacity = 64
+  val HeavyK = 10
+
+  /** Random-projection output dimensionality (JL sketch: 64 -> 16). */
+  val RpDim = 16
+
+  /** Deterministic split fractions (percent): train 80 / val 10 / test 10. */
+  val TrainPct = 80
+  val ValPct = 90
+
   private def weightCol: Column =
     least(expr("n_chars div 100") + 1, lit(WeightCap))
+
+  /** Deterministic ±1 sign for projection cell (i, j): two-stage mod-P mix
+    * (multiply, then square — a quadratic-residue scramble) of the flat
+    * cell index. One multiplicative stage leaves a quasi-periodic stripe
+    * pattern (parity of `k*m mod P` follows a Beatty sequence in k) whose
+    * correlated columns blow the distortion envelope on real embeddings
+    * (measured max 5.7x vs 2.4x for this mix at RpDim=16). No RNG, no
+    * stored matrix — any worker regenerates any cell; mirrored literally
+    * in the oracle. All intermediates stay under 2^63 (no overflow in
+    * either engine).
+    */
+  private def signExpr(i: Column, j: Column): Column = {
+    val h1 = (i * RpDim + j + 1) * lit(TextOps.MIX % TextOps.P) % lit(TextOps.P)
+    when(h1 * h1 % lit(TextOps.P) % 2 === 0, 1.0).otherwise(-1.0)
+  }
 
   private def prioAgg(df: DataFrame): DataFrame =
     df.groupBy(col("o_orderpriority"))
@@ -68,6 +96,67 @@ object Curation {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- deterministic dataset split ---------------------------------------
+    // train/val/test assignment as a pure function of the stable doc id —
+    // the split survives reprocessing, shard moves, and engine swaps, and
+    // a doc can never change sides when the corpus grows (the leakage
+    // failure mode of rand()-based splits). Narrow projection, no shuffle.
+    "split_train_test" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("bucket",
+          pmod(TextOps.polyHash(col("doc_id").cast("string")), lit(100)))
+        .select(col("doc_id"), col("source"),
+          when(col("bucket") < TrainPct, "train")
+            .when(col("bucket") < ValPct, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
+    // ---- random-projection embedding sketch --------------------------------
+    // Johnson-Lindenstrauss sign projection 64 -> RpDim: each output
+    // coordinate is a +-1-signed sum over the input vector, with the sign
+    // matrix REGENERATED from a hash of (i, j) — nothing is stored or
+    // broadcast, so the op is a pure narrow projection at any scale (the
+    // standard cheap first stage before ANN indexing at 100 TB; distance
+    // preservation is asserted in CurationSpec). Sums fold sequentially
+    // (exact order), so doubles hash-match the oracle bit for bit.
+    "emb_random_projection" -> ((s, dir) => {
+      val x = transform(col("embedding"), e => e.cast("double"))
+      val proj = transform(sequence(lit(0), lit(RpDim - 1)), j =>
+        aggregate(
+          zip_with(x, sequence(lit(0), lit(LlmData.EmbDim - 1)),
+            (xi, i) => xi * signExpr(i, j)),
+          lit(0.0), (acc, v) => acc + v))
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), proj.as("proj"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- bounded-memory heavy hitters --------------------------------------
+    // Top-k tokens via a Misra-Gries sketch + exact refine, NOT a full
+    // vocabulary groupBy: each map task keeps at most MgCapacity counters
+    // and the shuffle carries one O(capacity) sketch per partition — at
+    // 100 TB the full-vocab shuffle behind vocab_top_tokens moves the
+    // entire distinct vocabulary, this moves a constant. The refine join
+    // recounts ONLY the candidates (broadcast semi join on the token
+    // stream), and the sketch's deterministic bound guarantees the
+    // candidates cover every token with frequency > N/(capacity+1), so
+    // the refined output is the EXACT top-k whenever the k-th frequency
+    // clears that bound (always true here: the corpus vocabulary is
+    // smaller than the capacity; the eviction paths are exercised by
+    // MisraGriesSpec on adversarial streams). Oracle: the plain exact
+    // top-k, proving sketch + refine == exact.
+    "vocab_heavy_hitters" -> ((s, dir) => {
+      val mg = udaf(new graft.functions.MisraGries(MgCapacity),
+        org.apache.spark.sql.Encoders.STRING)
+      val toks = Tables.parallelized(Tables.load(s, dir, "documents"))
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val cand = toks.agg(mg(col("token")).as("sk"))
+        .select(explode(map_keys(col("sk"))).as("token"))
+      toks.join(broadcast(cand), "token")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(HeavyK)
+    }),
+
     // ---- corpus-level sketch comparison ------------------------------------
     // Pairwise source-vs-source Jaccard similarity from MERGED MinHash
     // sketches: a source's signature is the elementwise MIN of its
@@ -103,6 +192,30 @@ object Curation {
          |WHERE ($h) % 100 < least(n_chars // 100 + 1, $WeightCap) * 5
          |ORDER BY doc_id""".stripMargin
     },
+    "split_train_test" -> {
+      val h = TextSql.polyHash("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, source,
+         |       CASE WHEN ($h) % 100 < $TrainPct THEN 'train'
+         |            WHEN ($h) % 100 < $ValPct THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "emb_random_projection" -> {
+      val mix = TextOps.MIX % TextOps.P
+      val p = TextOps.P
+      s"""SELECT vec_id,
+         |  list_transform(range(0, $RpDim), j ->
+         |    list_sum(list_transform(range(0, ${LlmData.EmbDim}), i ->
+         |      CAST(embedding[i + 1] AS DOUBLE) *
+         |      (CASE WHEN ((i * $RpDim + j + 1) * $mix % $p)
+         |                 * ((i * $RpDim + j + 1) * $mix % $p) % $p % 2 = 0
+         |            THEN 1.0 ELSE -1.0 END)))) AS proj
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+    "vocab_heavy_hitters" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT UNNEST(${TextSql.tokens("text")}) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT $HeavyK""".stripMargin,
     "agg_incremental_refresh" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_orders,

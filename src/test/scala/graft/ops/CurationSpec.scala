@@ -50,6 +50,50 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("split_train_test: exhaustive, disjoint, and stable as the corpus grows") {
+    val full = Curation.queries("split_train_test")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every doc gets exactly one side; rough proportions hold
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1)
+    // growth stability: the assignment of a doc is identical when computed
+    // over any SUBSET of the corpus (pure function of the id)
+    val subset = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 50)
+    val sub = subset
+      .withColumn("bucket",
+        pmod(TextOps.polyHash(col("doc_id").cast("string")), lit(100)))
+      .select(col("doc_id"),
+        when(col("bucket") < Curation.TrainPct, "train")
+          .when(col("bucket") < Curation.ValPct, "val")
+          .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    sub.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("emb_random_projection: JL distance distortion is bounded on sample pairs") {
+    val proj = Curation.queries("emb_random_projection")(spark, sfDir)
+      .filter(col("vec_id") < 40)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val orig = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 40)
+      .select(col("vec_id"), transform(col("embedding"), e => e.cast("double")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    // raw ±1 signs scale expected squared distance by RpDim (entries would
+    // be ±1/sqrt(RpDim) in the normalized JL form)
+    val ratios = for (Seq(a, b) <- ids.combinations(2).toSeq if d2(orig(a), orig(b)) > 0)
+      yield d2(proj(a), proj(b)) / Curation.RpDim / d2(orig(a), orig(b))
+    // sign projections concentrate around 1 with ~1/sqrt(RpDim) spread;
+    // assert a loose envelope so the test is robust, and that the MEAN is
+    // tight (unbiasedness)
+    assert(ratios.forall(r => r > 0.1 && r < 3.0), s"worst=${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15, s"mean=$mean")
+  }
+
   test("source_jaccard_matrix: full pair coverage, estimates in [0,1]") {
     val m = Curation.queries("source_jaccard_matrix")(spark, sfDir).collect()
     val nSources = Tables.load(spark, sfDir, "documents")
