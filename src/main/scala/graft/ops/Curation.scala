@@ -32,6 +32,9 @@ object Curation {
   /** Random-projection output dimensionality (JL sketch: 64 -> 16). */
   val RpDim = 16
 
+  /** Max edit distance for the blocked fuzzy name match. */
+  val FuzzyMaxDist = 2
+
   /** Deterministic split fractions (percent): train 80 / val 10 / test 10. */
   val TrainPct = 80
   val ValPct = 90
@@ -94,6 +97,26 @@ object Curation {
         .agg(sum(col("n_orders")).as("n_orders"),
           sum(col("rev")).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- blocked fuzzy string matching -------------------------------------
+    // Entity near-duplicates by edit distance, with the LSH lesson applied
+    // to strings: candidate pairs come from an equi self-join on a cheap
+    // BLOCKING KEY (here the head noun — the last token), and the O(len^2)
+    // levenshtein verifier runs only within blocks — never all-pairs. At
+    // 100 TB the name table is the distinct-values dictionary (tiny
+    // relative to the fact data) and the block join is one shuffle of it;
+    // the worst block bounds the quadratic term exactly like an LSH
+    // bucket. Distance is exact integer edit distance — hash-stable.
+    "fuzzy_part_names" -> ((s, dir) => {
+      val names = Tables.load(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", element_at(split(col("p_name"), " "), 2))
+      names.as("x").join(names.as("y"),
+          col("x.blk") === col("y.blk") && col("x.p_name") < col("y.p_name"))
+        .select(col("x.p_name").as("a"), col("y.p_name").as("b"),
+          levenshtein(col("x.p_name"), col("y.p_name")).cast("long").as("dist"))
+        .filter(col("dist") <= FuzzyMaxDist)
+        .orderBy("a", "b")
     }),
 
     // ---- deterministic dataset split ---------------------------------------
@@ -192,6 +215,15 @@ object Curation {
          |WHERE ($h) % 100 < least(n_chars // 100 + 1, $WeightCap) * 5
          |ORDER BY doc_id""".stripMargin
     },
+    "fuzzy_part_names" ->
+      s"""WITH names AS (
+         |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk FROM part
+         |)
+         |SELECT x.p_name AS a, y.p_name AS b,
+         |       CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS dist
+         |FROM names x JOIN names y ON x.blk = y.blk AND x.p_name < y.p_name
+         |WHERE levenshtein(x.p_name, y.p_name) <= $FuzzyMaxDist
+         |ORDER BY a, b""".stripMargin,
     "split_train_test" -> {
       val h = TextSql.polyHash("CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, source,

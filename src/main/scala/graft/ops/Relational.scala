@@ -233,6 +233,61 @@ object Relational {
         .orderBy("r_name")
     }),
 
+    // ---- 6-table join: the TPC-H Q5 shape ----------------------------------
+    // Local-supplier volume: lineitem ⋈ orders is the one genuine
+    // fact-fact shuffle; supplier/customer/nation/region all broadcast, so
+    // the plan is shuffle-join core + broadcast halo with ONE exchange for
+    // the final aggregate. The year filter pushes to the orders scan
+    // (typed date compare) and Catalyst reorders the dimension joins —
+    // the query exists to prove multi-join planning stays sane, which is
+    // the make-or-break property for warehouse workloads at 100 TB. The
+    // c_nationkey = s_nationkey residual ("local" supplier) rides the
+    // customer broadcast join.
+    "join_local_supplier_volume" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val orders = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1997-01-01").cast("date"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- scan-heavy join ratio: the TPC-H Q14 shape ------------------------
+    // Promo revenue share per ship-month: lineitem ⋈ part on partkey
+    // (part broadcasts at test SF; at warehouse scale both sides are
+    // bucketed on partkey and the join is exchange-free), conditional
+    // decimal aggregation, then a row-wise IEEE divide of two exact
+    // decimal sums — deterministic under any partitioning.
+    "promo_revenue_parts" -> ((s, dir) => {
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(Tables.load(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double") * 100.0 / sum(disc).cast("double")).as("promo_pct"),
+          count(lit(1)).as("n_items"))
+        .orderBy("ship_month")
+    }),
+
     // ---- fact-fact join: shuffle on the join key, decimal-exact revenue ----
     "join_lineitem_orders" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
@@ -297,6 +352,34 @@ object Relational {
         .select(col("user_id"), col("s_start"), col("duration_us"),
           col("n_events"), col("session_value"))
         .orderBy("user_id", "s_start")
+    }),
+
+    // ---- ordered funnel: view -> click -> purchase -------------------------
+    // Product-analytics step sequencing: a user converts at step k only if
+    // the step-k event happens STRICTLY AFTER their step-(k-1) conversion
+    // time (min-ts per step, chained). Three aggregates + two joins, all
+    // keyed on user_id — one hash exchange per step input and the joins
+    // reuse the aggregates' partitioning; step frames shrink monotonically
+    // (click-side join is against converted users only), so at 100 TB each
+    // later step processes a strict subset. Output is the tall (step,
+    // users) funnel table; counts only, so timestamp-precision differences
+    // between engines cannot surface.
+    "funnel_view_click_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def step(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts"))
+      val v = step("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = step("click").join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = step("purchase").join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("view"))
+        .crossJoin(c.agg(count(lit(1)).as("click")))
+        .crossJoin(p.agg(count(lit(1)).as("purchase")))
+        .selectExpr(
+          """stack(3, '1_view', view, '2_click', click,
+            |         '3_purchase', purchase) AS (step, users)""".stripMargin)
+        .orderBy("step")
     }),
 
     // ---- latest-state compaction: CDC snapshot per key ---------------------
@@ -1031,6 +1114,31 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "promo_revenue_parts" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin,
     "join_lineitem_orders" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -1119,6 +1227,24 @@ object Relational {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "funnel_view_click_purchase" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+        |)
+        |SELECT step, users FROM (
+        |  SELECT '1_view' AS step, count(*) AS users FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p
+        |) ORDER BY step""".stripMargin,
     "events_latest_state" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type, value, ts,

@@ -94,6 +94,41 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(mean - 1.0) < 0.15, s"mean=$mean")
   }
 
+  test("funnel steps are monotone and strictly ordered in time") {
+    val steps = Curation.queries.get("funnel_view_click_purchase")
+      .orElse(Relational.queries.get("funnel_view_click_purchase")).get
+      .apply(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(steps("1_view") >= steps("2_click"))
+    assert(steps("2_click") >= steps("3_purchase"))
+    assert(steps("1_view") > 0)
+  }
+
+  test("fuzzy_part_names: exact within blocks, documented-subset of brute force") {
+    val blocked = Curation.queries("fuzzy_part_names")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val names = Tables.load(spark, sfDir, "part")
+      .select("p_name").distinct().collect().map(_.getString(0)).toVector
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      Seq(a, b) <- names.sorted.combinations(2)
+      if lev(a, b) <= Curation.FuzzyMaxDist
+    } yield (a, b)).toSet
+    // blocking never invents pairs...
+    assert(blocked.subsetOf(brute))
+    // ...and is COMPLETE within blocks (every close same-noun pair found)
+    val sameBlock = brute.filter { case (a, b) =>
+      a.split(" ")(1) == b.split(" ")(1) }
+    assert(sameBlock == blocked)
+  }
+
   test("source_jaccard_matrix: full pair coverage, estimates in [0,1]") {
     val m = Curation.queries("source_jaccard_matrix")(spark, sfDir).collect()
     val nSources = Tables.load(spark, sfDir, "documents")

@@ -59,6 +59,18 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dimension join fell back to SMJ")
   }
 
+  test("Q5-shape join plans one fact-fact join plus a broadcast halo") {
+    val plan = SparkEntry.queries("join_local_supplier_volume")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"residual condition degenerated a join:\n$plan")
+    // all four dimension joins broadcast; lineitem-orders is the only join
+    // allowed to shuffle (at sf0.001 AQE may broadcast it too — assert the
+    // dimension count, not the fact join's strategy)
+    assert(plan.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 4, s"expected 4+ broadcast joins:\n$plan")
+  }
+
   test("interval join keeps every error event and plans an equi join") {
     val df = SparkEntry.queries("range_join_click_error")(spark, sfDir)
     val nErrors = graft.Tables.events(spark, sfDir)
