@@ -99,6 +99,38 @@ object Curation {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- dataset versioning manifest ---------------------------------------
+    // Per-source content fingerprint: doc count, char volume, and an
+    // ORDER-INDEPENDENT checksum (XOR of per-doc content hashes). XOR is
+    // associative + commutative + self-inverse, so the checksum is a
+    // mergeable partial aggregate that cannot overflow and is identical
+    // under any partitioning or processing order — two corpus builds match
+    // iff their manifests match, the cheap reproducibility gate a
+    // training-data pipeline runs after every rebuild.
+    "corpus_manifest" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          TextOps.polyHash(col("text")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("bit_xor(h)").as("checksum"))
+        .orderBy("source")),
+
+    // ---- keyed pseudonymization --------------------------------------------
+    // PII column replaced by a deterministic token (poly hash of the id):
+    // joins and grouping still work across tables (same id -> same token)
+    // while the raw id never leaves the engine. Narrow projection — the
+    // anonymization adds zero shuffles at any scale; paired with
+    // text_pii_redact for free-text fields.
+    "pseudonymize_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          pmod(TextOps.polyHash(col("user_id").cast("string")), lit(1000000L))
+            .as("user_token"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")),
+
     // ---- blocked fuzzy string matching -------------------------------------
     // Entity near-duplicates by edit distance, with the LSH lesson applied
     // to strings: candidate pairs come from an equi self-join on a cheap
@@ -214,6 +246,18 @@ object Curation {
          |FROM documents
          |WHERE ($h) % 100 < least(n_chars // 100 + 1, $WeightCap) * 5
          |ORDER BY doc_id""".stripMargin
+    },
+    "corpus_manifest" -> {
+      val h = TextSql.polyHash("text")
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       bit_xor($h) AS checksum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+    "pseudonymize_events" -> {
+      val h = TextSql.polyHash("CAST(user_id AS VARCHAR)")
+      s"""SELECT event_id, ($h) % 1000000 AS user_token, event_type, "value"
+         |FROM events ORDER BY event_id""".stripMargin
     },
     "fuzzy_part_names" ->
       s"""WITH names AS (

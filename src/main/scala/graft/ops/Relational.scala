@@ -790,6 +790,27 @@ object Relational {
           sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"))
         .orderBy("o_orderpriority")),
 
+    // ---- unpivot (melt): the native wide -> tall API -----------------------
+    // Round-trips the pivoted table back to tall form through
+    // Dataset.unpivot (Spark's melt operator): proof that the engine's
+    // reshape surface is closed under inversion. The pivot aggregates into
+    // a bounded-width row per priority (one exchange), the unpivot is a
+    // NARROW per-row expansion (an Expand node — no shuffle), and dropping
+    // the synthetic zero cells restores exactly the sparse groupBy the
+    // oracle computes directly.
+    "unpivot_status_by_priority" -> ((s, dir) => {
+      val wide = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("O"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("F"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("P"))
+      wide.unpivot(Array(col("o_orderpriority")), Array(col("O"), col("F"), col("P")),
+          "o_orderstatus", "n_orders")
+        .filter(col("n_orders") > 0)
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+
     // ---- top-k by global sort + limit --------------------------------------
     "topk_orders" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -1557,6 +1578,10 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY coalesce(o_orderstatus, 'ALL'), coalesce(o_orderpriority, 'ALL')""".stripMargin,
+    "unpivot_status_by_priority" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
     "pivot_status_by_priority" ->
       """SELECT o_orderpriority,
         |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,

@@ -94,6 +94,41 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(mean - 1.0) < 0.15, s"mean=$mean")
   }
 
+  test("corpus_manifest checksum is order/partitioning independent and change-sensitive") {
+    val base = Curation.queries("corpus_manifest")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val shuffled = Tables.load(spark, sfDir, "documents")
+      .repartition(11).sortWithinPartitions(col("n_chars"))
+      .select(col("source"), TextOps.polyHash(col("text")).as("h"))
+      .groupBy("source").agg(expr("bit_xor(h)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(base == shuffled)
+    // a single-document change flips its source's checksum
+    val tampered = Tables.load(spark, sfDir, "documents")
+      .withColumn("text",
+        when(col("doc_id") === 0, concat(col("text"), lit("x")))
+          .otherwise(col("text")))
+      .select(col("source"), TextOps.polyHash(col("text")).as("h"))
+      .groupBy("source").agg(expr("bit_xor(h)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0 = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).head().getAs[String]("source")
+    assert(tampered(src0) != base(src0))
+    assert((tampered - src0) == (base - src0))
+  }
+
+  test("pseudonymize_events: consistent tokens, original ids unrecoverable from output") {
+    val out = Curation.queries("pseudonymize_events")(spark, sfDir)
+    assert(!out.columns.contains("user_id"))
+    // same user always maps to the same token: token count == user count
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(out.select("user_token").distinct().count() <= users)
+    val joined = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"))
+      .join(out, "event_id")
+      .groupBy("user_id").agg(countDistinct("user_token").as("nt"))
+    assert(joined.filter(col("nt") =!= 1).count() == 0)
+  }
+
   test("funnel steps are monotone and strictly ordered in time") {
     val steps = Curation.queries.get("funnel_view_click_purchase")
       .orElse(Relational.queries.get("funnel_view_click_purchase")).get
