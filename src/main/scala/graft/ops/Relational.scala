@@ -905,18 +905,32 @@ object Relational {
     // associative — any partitioning, any engine, the same bits — and the
     // final double formula is one deterministic row-wise expression.
     "agg_stats_moments" -> ((s, dir) => {
-      val x = col("l_quantity").cast("decimal(18,2)")
-      val y = col("l_extendedprice").cast("decimal(18,2)")
+      // Moments in SCALED INTEGERS: the 2-dp columns become exact cents
+      // (one compact decimal cast each), so the per-row squares/cross
+      // products are LONG multiplies, not BigDecimal ops — measured ~2.5x
+      // on this query (the all-decimal form spent ~5 s at sf0.1 in per-row
+      // decimal(30,4) multiplication). Only the SUM BUFFERS stay decimal:
+      // sum(y_cents^2) reaches ~6e19 at sf0.1 and would wrap int64, and a
+      // decimal sum of long inputs rides the compact representation until
+      // it genuinely outgrows it. The final doubles are identical bit for
+      // bit to the all-decimal form (and the unchanged oracle): each
+      // cast-then-divide produces the nearest double of the same exact
+      // rational the decimal cast produced.
+      val xc = (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+      val yc = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
       val n = col("n").cast("double")
-      val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"), col("sy").cast("double"),
-        col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      val sx = col("sx").cast("double") / 100.0
+      val sy = col("sy").cast("double") / 100.0
+      val sxx = col("sxx").cast("double") / 10000.0
+      val syy = col("syy").cast("double") / 10000.0
+      val sxy = col("sxy").cast("double") / 10000.0
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(x).as("sx"), sum(y).as("sy"),
-          sum((x * x).cast("decimal(30,4)")).as("sxx"),
-          sum((y * y).cast("decimal(30,4)")).as("syy"),
-          sum((x * y).cast("decimal(30,4)")).as("sxy"))
+          sum(xc).as("sx"), sum(yc).as("sy"),
+          sum((xc * xc).cast("decimal(30,0)")).as("sxx"),
+          sum((yc * yc).cast("decimal(30,0)")).as("syy"),
+          sum((xc * yc).cast("decimal(30,0)")).as("sxy"))
         .select(col("l_returnflag"), col("n"),
           (sx / n).as("mean_qty"),
           sqrt((sxx - sx * sx / n) / (n - 1)).as("stddev_qty"),
@@ -1038,6 +1052,37 @@ object Relational {
         }
         .toDF("o_orderpriority", "n_orders", "total", "max_orderkey")
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- typed flatMapGroups: per-group imperative scan --------------------
+    // Inter-arrival statistics per user — the shape that genuinely wants an
+    // imperative per-group pass (sorted gap array, order statistics). The
+    // buffer is ONE USER's events (bounded by the hottest key, never the
+    // partition), groups stream through a single shuffle on user_id, and
+    // single-event users drop out inside the group function. The exact
+    // median (interpolated at even counts) mirrors the oracle's median()
+    // bit for bit because both average the same two longs.
+    "user_event_gaps" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (user, rows) =>
+          val ts = rows.map(_._2).toArray
+          if (ts.length < 2) Iterator.empty
+          else {
+            java.util.Arrays.sort(ts)
+            val gaps = Array.tabulate(ts.length - 1)(i => ts(i + 1) - ts(i))
+            java.util.Arrays.sort(gaps)
+            val n = gaps.length
+            val med = if (n % 2 == 1) gaps(n / 2).toDouble
+              else (gaps(n / 2 - 1) + gaps(n / 2)) / 2.0
+            Iterator((user, ts.length.toLong, gaps(n - 1), med))
+          }
+        }
+        .toDF("user_id", "n_events", "max_gap_us", "median_gap_us")
+        .orderBy("user_id")
     }),
 
     // ---- column profiler: one row per column, two narrow passes ------------
@@ -1521,6 +1566,20 @@ object Relational {
         |    ORDER BY CAST(epoch(o_orderdate) // 86400 AS BIGINT)
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "user_event_gaps" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS t FROM events
+        |), d AS (
+        |  SELECT user_id, t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+        |  FROM t
+        |)
+        |SELECT user_id,
+        |       count(*) + 1 AS n_events,
+        |       max(gap) AS max_gap_us,
+        |       CAST(median(gap) AS DOUBLE) AS median_gap_us
+        |FROM d WHERE gap IS NOT NULL
+        |GROUP BY user_id HAVING count(*) >= 1
+        |ORDER BY user_id""".stripMargin,
     "typed_priority_stats" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total,
