@@ -123,6 +123,111 @@ object Multimodal {
       }
   }
 
+  /** 64-bit average hash (aHash) of a decoded image: 8x8 box-averaged
+    * grayscale, one bit per cell — bit set iff the cell mean clears the
+    * global mean. All-integer arithmetic (luma in per-mille, threshold by
+    * exact cross-multiplication so uneven cell areas never divide), so the
+    * hash is bit-deterministic across JVMs. Perceptually-close images
+    * land within a few bits of hamming distance — the image analog of
+    * SimHash, and it reuses the same banded-LSH blocking downstream.
+    */
+  def averageHash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val cellSum = Array.ofDim[Long](64)
+    val cellArea = Array.ofDim[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        val luma = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+          (rgb & 0xff) * 114).toLong
+        cellSum(cy * 8 + cx) += luma
+        cellArea(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totalSum = cellSum.sum
+    val totalArea = cellArea.sum
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      // cell mean >= global mean  <=>  cellSum/cellArea >= totalSum/totalArea
+      if (cellArea(i) > 0 && cellSum(i) * totalArea >= totalSum * cellArea(i))
+        hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Deterministic 8x8 grayscale PNG heatmap of a 64-dim vector (the
+    * test/demo image carrier, as [[assetsFromText]] is for bytes): each
+    * dim becomes one pixel, min-max scaled to 0..255. Nearby vectors
+    * render as perceptually-close images, so the image pipeline can be
+    * ground-truthed against vector geometry. r=g=b keeps the decoded
+    * luma exactly equal to the written gray level.
+    */
+  def pngFromVector(v: Array[Float]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var lo = Float.MaxValue
+    var hi = Float.MinValue
+    v.foreach { x => if (x < lo) lo = x; if (x > hi) hi = x }
+    val span = if (hi > lo) hi - lo else 1.0f
+    var k = 0
+    while (k < 64) {
+      val g = math.round((v(k) - lo) / span * 255.0f)
+      img.setRGB(k % 8, k / 8, g << 16 | g << 8 | g)
+      k += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image near-duplicate pairs: decode -> aHash (one mapPartitions pass,
+    * codec batched per partition) -> 4x16-bit banded self-join (identical
+    * blocking to SimHash: <=3 flipped bits CANNOT miss every band) ->
+    * exact hamming verify. The corpus is never compared all-pairs; the
+    * quadratic term is bounded per band bucket.
+    */
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val hashes = assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val payload = Option(bytes).getOrElse(Array.emptyByteArray)
+          if (!looksLikeImage(payload)) Iterator.empty
+          else try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            if (img == null) Iterator.empty
+            else Iterator((id, averageHash(img)))
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        }
+      }
+      .toDF("id", "ahash")
+      .localCheckpoint(eager = false)
+    val bands = hashes.select(col("id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))).as("bh"))): _*))
+        .as("bb"))
+      .select(col("id"), col("ahash"), col("bb.band"), col("bb.bh"))
+    val x = bands.select(col("band"), col("bh"), col("id").as("a"), col("ahash").as("ha"))
+    val y = bands.select(col("band"), col("bh"), col("id").as("b"), col("ahash").as("hb"))
+    x.join(y, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   case class Frame(asset_id: Long, frame_idx: Int, frame_hash: Long)
 
   /** Frame sampling: one row per sampled frame (every `stride`-th 64-byte

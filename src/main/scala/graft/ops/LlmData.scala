@@ -562,7 +562,31 @@ object LlmData {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.assetsFromText(
         docs(s, dir), "doc_id", "text", "source"))
-        .toDF().orderBy("asset_id", "frame_idx"))
+        .toDF().orderBy("asset_id", "frame_idx")),
+
+    // Perceptual image dedup end to end: embeddings rendered as 8x8
+    // grayscale PNG heatmaps, REAL javax.imageio decode, 64-bit
+    // average-hash, SimHash-style banded blocking + exact hamming verify.
+    // The corpus carries no natural image dups, so the query PLANTS them:
+    // the first 10 vectors re-enter (id + 1e6) with one dim nudged by
+    // 0.01 — a perceptually-invisible edit. Measured margins: planted
+    // pairs land at hamming <= 2, the closest background pair at 15, so
+    // the <= 6 cut returns exactly the planted set. Rows-only (the oracle
+    // engine has no image codec); ground truth asserted in LlmDataSpec.
+    "multimodal_image_neardup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])]
+      val planted = base.filter(_._1 < 10)
+        .map { case (id, v) => (id + 1000000L, v.updated(0, v.head + 0.01f)) }
+      base.union(planted)
+        .mapPartitions(_.map { case (id, v) =>
+          (id, Multimodal.pngFromVector(v.toArray)) })
+        .toDF("asset_id", "payload")
+        .transform(Multimodal.imageNearDupPairs(_))
+        .orderBy("a", "b")
+    })
   )
 
   def oracle: Map[String, String] = Map(

@@ -226,6 +226,36 @@ class LlmDataSpec extends SparkSpec {
     assert(a.groupBy(_.getLong(0)).values.forall(_.length <= LlmData.AnnK))
   }
 
+  test("averageHash: stable, tolerant to small edits, separates distinct images") {
+    def img(fill: Int => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (k <- 0 until 256) im.setRGB(k % 16, k / 16, fill(k))
+      im
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = img(k => if (k % 7 < 3) 0xffffff else 0x000000)
+    val h1 = Multimodal.averageHash(base)
+    assert(h1 == Multimodal.averageHash(img(k => if (k % 7 < 3) 0xffffff else 0x000000)))
+    // flip 4 of 256 pixels: a perceptual near-dup
+    val tweaked = img(k => if (k < 4) 0x808080 else if (k % 7 < 3) 0xffffff else 0x000000)
+    assert(ham(h1, Multimodal.averageHash(tweaked)) <= 6)
+    // structurally different image: far in hamming
+    val other = img(k => if (k / 16 < 8) 0xffffff else 0x000000)
+    assert(ham(h1, Multimodal.averageHash(other)) > 6)
+  }
+
+  test("image near-dup pipeline finds exactly the planted perceptual dups") {
+    val pairs = SparkEntry.queries("multimodal_image_neardup")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    // exactly the 10 planted (id, id+1e6) pairs, nothing from background
+    assert(pairs.length == 10, s"got ${pairs.toSeq}")
+    pairs.foreach { case ((a, b), ham) =>
+      assert(b == a + 1000000L, s"unexpected pair ($a,$b)")
+      assert(a < 10 && ham <= 6)
+    }
+  }
+
   test("multimodal decode is deterministic and total over the corpus") {
     val a = SparkEntry.queries("multimodal_decode")(spark, sfDir).collect()
     val b = SparkEntry.queries("multimodal_decode")(spark, sfDir).collect()
