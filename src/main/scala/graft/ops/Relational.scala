@@ -790,6 +790,26 @@ object Relational {
           sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"))
         .orderBy("o_orderpriority")),
 
+    // ---- ratio-to-report: share of total over the aggregated table ---------
+    // Each nation's revenue share: the unpartitioned window runs over the
+    // AGGREGATED O(nations) table (safe by construction at any corpus
+    // size), and the denominator is a DECIMAL window sum — exact, so the
+    // one IEEE division per row is deterministic under any partitioning.
+    "revenue_share_by_nation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "orders")
+        .join(broadcast(Tables.load(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
+        .withColumn("total_d", sum(col("rev_d")).over(Window.partitionBy()))
+        .select(col("n_name"), col("rev_d").cast("double").as("revenue"),
+          (col("rev_d").cast("double") / col("total_d").cast("double")).as("share"))
+        .orderBy("n_name")
+    }),
+
     // ---- unpivot (melt): the native wide -> tall API -----------------------
     // Round-trips the pivoted table back to tall form through
     // Dataset.unpivot (Spark's melt operator): proof that the engine's
@@ -1637,6 +1657,17 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY coalesce(o_orderstatus, 'ALL'), coalesce(o_orderpriority, 'ALL')""".stripMargin,
+    "revenue_share_by_nation" ->
+      """WITH rev AS (
+        |  SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |)
+        |SELECT n_name, CAST(rev_d AS DOUBLE) AS revenue,
+        |       CAST(rev_d AS DOUBLE) / CAST(sum(rev_d) OVER () AS DOUBLE) AS share
+        |FROM rev ORDER BY n_name""".stripMargin,
     "unpivot_status_by_priority" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority, o_orderstatus

@@ -70,6 +70,36 @@ object StreamingOps {
         .orderBy("user_id", "s_start")),
     "asof_join_events_orders" -> ((s, dir) =>
       asOfJoin(Tables.events(s, dir), Tables.load(s, dir, "orders"))),
+
+    // Last-touch revenue attribution: each purchase credits the most
+    // recent prior view/click of the same user (at-or-before, ties to the
+    // highest event id — fully deterministic). Same union+window as-of
+    // shape as asOfJoin: ONE shuffle on user_id, a linear carry-forward
+    // pass, no range-join explosion; purchases with no prior touch fall
+    // into the 'none' bucket, so revenue is conserved (spec-asserted).
+    "attribution_last_touch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("k"),
+          unix_micros(col("ts").cast("timestamp")).as("t"),
+          col("event_id").as("eid"), lit(0).as("kind"),
+          col("event_type").as("touch"), lit(null).cast("double").as("rev"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"),
+          unix_micros(col("ts").cast("timestamp")).as("t"),
+          col("event_id").as("eid"), lit(1).as("kind"),
+          lit(null).cast("string").as("touch"), col("value").as("rev"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("kind"), col("eid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      touches.unionByName(purchases)
+        .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .groupBy(coalesce(col("last_touch"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("rev").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("touch")
+    }),
     "stream_join_click_pairs" -> ((s, dir) =>
       StreamPipelines.clickErrorJoin(Tables.events(s, dir))
         .orderBy("err_id", "clk_id")),
@@ -120,6 +150,20 @@ object StreamingOps {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH attributed AS (
+        |  SELECT e.value,
+        |    (SELECT t.event_type FROM events t
+        |     WHERE t.user_id = e.user_id
+        |       AND t.event_type IN ('view', 'click')
+        |       AND epoch_us(t.ts) <= epoch_us(e.ts)
+        |     ORDER BY epoch_us(t.ts) DESC, t.event_id DESC LIMIT 1) AS lt
+        |  FROM events e WHERE e.event_type = 'purchase'
+        |)
+        |SELECT coalesce(lt, 'none') AS touch,
+        |       count(*) AS n_purchases,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM attributed GROUP BY 1 ORDER BY touch""".stripMargin,
     "asof_join_events_orders" ->
       """SELECT event_id, user_id,
         |  (SELECT o_orderkey FROM orders o

@@ -174,4 +174,32 @@ class PropertySpec extends SparkSpec {
       assert(got == pks.toSet.intersect(bks.toSet))
     }
   }
+
+  test("PROPERTY: Misra-Gries bound and heavy-item superset hold on random streams") {
+    val streamGen = for {
+      nItems <- Gen.choose(3, 40)
+      len <- Gen.choose(20, 800)
+      // zipf-ish skew: item k drawn with weight 1/(k+1)
+      s <- Gen.listOfN(len, Gen.frequency(
+        (0 until nItems).map(k => (nItems - k, Gen.const(s"i$k"))): _*))
+    } yield s
+    val capGen = Gen.choose(2, 24)
+    val partsGen = Gen.choose(1, 9)
+    forAll(Gen.zip(streamGen, capGen, partsGen), n = 120) { case (stream, cap, parts) =>
+      val mg = new graft.functions.MisraGries(cap)
+      val merged = stream.grouped(math.max(1, stream.size / parts))
+        .map(c => c.foldLeft(mg.zero)(mg.reduce))
+        .reduce(mg.merge)
+      val sk = mg.finish(merged)
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.size
+      assert(sk.size <= cap)
+      sk.foreach { case (k, est) =>
+        assert(est <= exact(k) && est >= exact(k) - n / (cap + 1),
+          s"cap=$cap parts=$parts item=$k est=$est exact=${exact(k)} n=$n")
+      }
+      exact.filter(_._2 > n / (cap + 1)).keys.foreach(k =>
+        assert(sk.contains(k), s"heavy $k evicted (cap=$cap parts=$parts)"))
+    }
+  }
 }

@@ -129,6 +129,19 @@ class CurationSpec extends SparkSpec {
     assert(joined.filter(col("nt") =!= 1).count() == 0)
   }
 
+  test("attribution conserves purchase revenue across touch buckets") {
+    val rows = StreamingOps.queries("attribution_last_touch")(spark, sfDir).collect()
+    val attributed = BigDecimal(rows.map(_.getDouble(2)).sum).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)
+    val total = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(attributed == BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.events(spark, sfDir).filter(col("event_type") === "purchase").count())
+  }
+
   test("funnel steps are monotone and strictly ordered in time") {
     val steps = Curation.queries.get("funnel_view_click_purchase")
       .orElse(Relational.queries.get("funnel_view_click_purchase")).get
