@@ -513,6 +513,58 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // ---- CSV round trip: the reference's native input format as a full
+    // sink/source pair. DateType serializes as yyyy-MM-dd, doubles as
+    // shortest-round-trip decimals, and the explicit-schema read restores
+    // the exact values — the aggregate after the round trip must hash
+    // equal to the parquet-side oracle (lossless proof, same contract as
+    // orc_roundtrip_agg). Scratch I/O per run, not a hot path.
+    "csv_roundtrip_agg" -> ((s, dir) => {
+      val scratch = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_csv/orders").getAbsolutePath
+      // the midnight timestamps travel as plain dates (yyyy-MM-dd both ways)
+      Tables.load(s, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+        .write.mode("overwrite")
+        .option("header", "true").csv(scratch)
+      graft.sources.Sources.csv(s, scratch,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_custkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderstatus",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("o_orderdate",
+            org.apache.spark.sql.types.DateType),
+          org.apache.spark.sql.types.StructField("o_orderpriority",
+            org.apache.spark.sql.types.StringType))))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"),
+          max(col("o_orderdate")).cast("string").as("last_date"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- partition-pruned scan: layout as an operator ----------------------
+    // Writes orders partitioned by status, then aggregates ONE partition:
+    // the filter resolves to a directory listing (PartitionFilters in the
+    // scan, zero non-matching files opened) — the object-store layout
+    // trick behind every time/tenant-partitioned lake table, surfaced as
+    // an oracle-checked query instead of only a spec.
+    "partitioned_scan_agg" -> ((s, dir) => {
+      val scratch = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_part/orders").getAbsolutePath
+      graft.sinks.TableSink.writePartitioned(
+        Tables.load(s, dir, "orders"), scratch, Seq("o_orderstatus"))
+      s.read.parquet(scratch)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- PageRank: fixed-point integer iteration on a co-occurrence graph --
     // Parts shipping in the same order form a symmetric edge set; three
     // unrolled power iterations of PageRank (d = 0.85) rank the hubs. All
@@ -1496,6 +1548,16 @@ object Relational {
          |SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
          |FROM t ORDER BY o_orderkey""".stripMargin
     },
+    "csv_roundtrip_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "partitioned_scan_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "orc_roundtrip_agg" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,

@@ -59,6 +59,14 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dimension join fell back to SMJ")
   }
 
+  test("partitioned_scan_agg prunes to one partition directory") {
+    val df = SparkEntry.queries("partitioned_scan_agg")(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"no partition filters:\n$scan")
+    // the status filter must reach the partition listing, not the data
+    assert(scan.contains("o_orderstatus"), s"pruning column missing:\n$scan")
+  }
+
   test("Q5-shape join plans one fact-fact join plus a broadcast halo") {
     val plan = SparkEntry.queries("join_local_supplier_volume")(spark, sfDir)
       .queryExecution.executedPlan.toString
