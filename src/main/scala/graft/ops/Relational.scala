@@ -716,6 +716,65 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
+    // ---- SCD2 point-in-time lookup -----------------------------------------
+    // The consumer side of orders_scd2_intervals: each event resolves the
+    // order version VALID AT its timestamp — equi join on the user key
+    // carries the shuffle, the [valid_from, valid_to) interval evaluates
+    // as a residual predicate (never a nested loop), and at most one
+    // interval matches per event by construction (intervals partition the
+    // timeline), so no dedup pass is needed. LEFT join: events before a
+    // user's first order keep a null version — the honest temporal-join
+    // contract.
+    "scd2_point_lookup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val iv = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          coalesce(date_format(lead(col("o_orderdate"), 1).over(seq), "yyyy-MM-dd"),
+            lit("9999-12-31")).as("valid_to"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .join(iv, col("user_id") === col("o_custkey") &&
+          col("d") >= col("valid_from") && col("d") < col("valid_to"), "left")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("active_order"))
+        .orderBy("event_id")
+    }),
+
+    // ---- snapshot diff: derive the changelog between two table versions ----
+    // CDC the lake way: full outer join of old and new snapshots on the
+    // key, rows classified insert/update/delete by side-presence and
+    // value comparison. The "new" snapshot is synthesized deterministically
+    // from orders (every 97th key deleted, every 31st price bumped, every
+    // 53rd re-inserted under a fresh key) and the oracle replays the same
+    // synthesis — so the hash gate proves diff(old, new) reconstructs the
+    // edit script exactly. One shuffle on the key; unchanged rows drop
+    // before the sort.
+    "snapshot_diff_orders" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("key"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val newSnap = base.filter(pmod(col("key"), lit(97)) =!= 0)
+        .select(col("key"),
+          when(pmod(col("key"), lit(31)) === 0, col("price") + lit(1).cast("decimal(18,2)"))
+            .otherwise(col("price")).as("price"))
+        .unionByName(base.filter(pmod(col("key"), lit(53)) === 0)
+          .select((col("key") + 10000000L).as("key"), col("price")))
+      base.as("o").join(newSnap.as("n"), Seq("key"), "full_outer")
+        .withColumn("op",
+          when(col("o.price").isNull, "insert")
+            .when(col("n.price").isNull, "delete")
+            .when(col("o.price") =!= col("n.price"), "update"))
+        .filter(col("op").isNotNull)
+        .select(col("key"), col("op"),
+          col("o.price").cast("double").as("old_price"),
+          col("n.price").cast("double").as("new_price"))
+        .orderBy("key", "op")
+    }),
+
     // ---- distinct + count distinct -----------------------------------------
     "distinct_event_types" -> ((s, dir) =>
       Tables.events(s, dir).select(col("event_type")).distinct().orderBy("event_type")),
@@ -1563,6 +1622,41 @@ object Relational {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
         |       count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "scd2_point_lookup" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |         coalesce(lead(strftime(o_orderdate, '%Y-%m-%d'))
+        |           OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_orderdate, o_orderkey), '9999-12-31') AS valid_to
+        |  FROM orders
+        |)
+        |SELECT e.event_id, e.user_id, iv.o_orderkey AS active_order
+        |FROM (SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS d FROM events) e
+        |LEFT JOIN seq iv ON e.user_id = iv.o_custkey
+        |  AND e.d >= iv.valid_from AND e.d < iv.valid_to
+        |ORDER BY event_id""".stripMargin,
+    "snapshot_diff_orders" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |), newsnap AS (
+        |  SELECT key,
+        |         CASE WHEN key % 31 = 0 THEN price + CAST(1 AS DECIMAL(18,2))
+        |              ELSE price END AS price
+        |  FROM base WHERE key % 97 <> 0
+        |  UNION ALL
+        |  SELECT key + 10000000, price FROM base WHERE key % 53 = 0
+        |)
+        |SELECT coalesce(o.key, n.key) AS key,
+        |       CASE WHEN o.key IS NULL THEN 'insert'
+        |            WHEN n.key IS NULL THEN 'delete'
+        |            WHEN o.price <> n.price THEN 'update' END AS op,
+        |       CAST(o.price AS DOUBLE) AS old_price,
+        |       CAST(n.price AS DOUBLE) AS new_price
+        |FROM base o FULL OUTER JOIN newsnap n ON o.key = n.key
+        |WHERE (o.key IS NULL OR n.key IS NULL OR o.price <> n.price)
+        |ORDER BY key, op""".stripMargin,
     "orders_scd2_intervals" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderkey,

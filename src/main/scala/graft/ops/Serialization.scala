@@ -66,6 +66,51 @@ object Serialization {
         .select(col("key"), length(col("document")).cast("long").as("doc_len"))
         .orderBy("key")
     }),
+    // Nested-document codec round trip IN THE GATE (the document model
+    // otherwise only exercises specs): each order is shaped into the
+    // reference's nested product form (struct + array-of-struct), encoded
+    // with to_json, decoded back with from_json under the explicit
+    // document schema, and the ARRAY FIELD is exploded and aggregated.
+    // The oracle computes the same numbers from the flat columns, so the
+    // hash gate proves the nested encode -> decode -> explode path is
+    // lossless for scalars, structs, arrays, and doubles alike. All
+    // narrow except the final aggregate.
+    "nested_doc_roundtrip" -> ((s, dir) => {
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ean",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("styleLifeCycle",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("articleStatus",
+              org.apache.spark.sql.types.StringType))),
+          nullable = true),
+        org.apache.spark.sql.types.StructField("itemSellingPrices",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("priceCurrency",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("price",
+                org.apache.spark.sql.types.DoubleType)))), nullable = true)))
+      Tables.load(s, dir, "orders")
+        .select(to_json(struct(
+          col("o_orderkey").cast("string").as("ean"),
+          struct(col("o_orderstatus").as("articleStatus")).as("styleLifeCycle"),
+          array(
+            struct(lit("Euro").as("priceCurrency"),
+              col("o_totalprice").as("price")),
+            struct(lit("USD").as("priceCurrency"),
+              (col("o_totalprice").cast("decimal(18,2)") *
+                lit(1.08).cast("decimal(18,2)")).cast("double").as("price")))
+            .as("itemSellingPrices"))).as("doc"))
+        .select(from_json(col("doc"), docSchema).as("p"))
+        .select(col("p.styleLifeCycle.articleStatus").as("status"),
+          explode(col("p.itemSellingPrices")).as("sp"))
+        .groupBy(col("status"), col("sp.priceCurrency").as("currency"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("sp.price").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("status", "currency")
+    }),
+
     "kafka_messages_orders" -> ((s, dir) => {
       val recent = Relational.recentByStatus(Tables.load(s, dir, "orders"),
         "o_orderstatus", "o_orderdate", Seq("o_orderkey", "o_custkey"),
@@ -127,6 +172,18 @@ object Serialization {
         |  '      <articleStatus>O</articleStatus>' || chr(10) ||
         |  '    </styleLifeCycle>' || chr(10) AS xml
         |FROM sel ORDER BY o_orderkey""".stripMargin,
+    "nested_doc_roundtrip" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus AS status, 'Euro' AS currency,
+        |         o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'USD',
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |              CAST(1.08 AS DECIMAL(18,2)) AS DOUBLE) FROM orders
+        |)
+        |SELECT status, currency, count(*) AS n,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM r GROUP BY status, currency ORDER BY status, currency""".stripMargin,
     "kafka_messages_orders" ->
       """SELECT CAST(to_json(struct_pack(
         |         ready_date := strftime(o_orderdate, '%Y-%m-%d'),
