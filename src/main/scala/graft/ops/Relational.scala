@@ -716,6 +716,94 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
+    // ---- market-basket affinity: support + lift ----------------------------
+    // Frequent part pairs with lift, on one ship-year of baskets. The pair
+    // count reuses the co-occurrence self-join shape (co-partitioned SHJ,
+    // never broadcast-a-fact); item supports broadcast back onto the pair
+    // table; the order total rides a 1-row cross join (no driver collect).
+    // Lift is an exact integer ratio evaluated in one double division —
+    // (pair_n * n_orders) and (n_a * n_b) both stay far under 2^53 — so
+    // ranking ties cannot drift between engines.
+    "part_affinity_lift" -> ((s, dir) => {
+      val cores = s.sparkContext.defaultParallelism
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(cores, col("l_orderkey")).distinct()
+      val pairs = li.as("a").hint("shuffle_hash")
+        .join(li.as("b").hint("shuffle_hash"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("pair_n"))
+        .filter(col("pair_n") >= 2)
+      val items = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("item_n"))
+      val total = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(broadcast(items.select(col("l_partkey").as("pa"), col("item_n").as("na"))), "pa")
+        .join(broadcast(items.select(col("l_partkey").as("pb"), col("item_n").as("nb"))), "pb")
+        .crossJoin(broadcast(total))
+        .select(col("pa"), col("pb"), col("pair_n"),
+          ((col("pair_n") * col("n_orders")).cast("double") /
+            (col("na") * col("nb")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(50)
+    }),
+
+    // ---- trailing-window anomaly detection ---------------------------------
+    // Daily revenue z-scored against its OWN trailing 7-day window. The
+    // windows run over the aggregated daily table (O(days) rows at any
+    // corpus size), and mean/std come from DECIMAL window sums (sum and
+    // sum-of-squares in exact cents), so the flag is deterministic under
+    // any partitioning — builtin windowed stddev folds doubles in
+    // partition order and can flip a borderline flag between runs.
+    "anomaly_daily_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      Tables.load(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(cents).as("c"))
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("s7", sum(col("c")).over(w))
+        .withColumn("ss7", sum((col("c") * col("c")).cast("decimal(30,0)")).over(w))
+        .filter(col("n7") === 7)
+        // all-double from here (each decimal casts once, correctly
+        // rounded, identically in both engines — no decimal division,
+        // whose result scale is engine-specific)
+        .select(col("day"),
+          (col("c").cast("double") / 100.0).as("revenue"),
+          col("c").cast("double").as("cd"), col("s7").cast("double").as("sd"),
+          col("ss7").cast("double").as("ssd"), col("n7").cast("double").as("nd"))
+        .select(col("day"), col("revenue"),
+          ((col("cd") - col("sd") / col("nd")) /
+            sqrt((col("ssd") - col("sd") * col("sd") / col("nd")) /
+              (col("nd") - 1.0))).as("z"))
+        .filter(abs(col("z")) > 2.0)
+        .orderBy("day")
+    }),
+
+    // ---- cohort retention ---------------------------------------------------
+    // Users bucketed by signup week, activity tracked by week offset — the
+    // (cohort, offset) -> distinct-user matrix every product warehouse
+    // maintains. Two aggregates and one equi join, all keyed on user_id /
+    // the tiny cohort table; the distinct shuffle carries (cohort, offset,
+    // user) which partial aggregation thins map-side.
+    "cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val week = (c: Column) => floor(unix_date(c.cast("date")) / 7).cast("long")
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(week(col("ts"))).as("cohort_week"))
+      ev.select(col("user_id"), week(col("ts")).as("wk"))
+        .join(cohorts, "user_id")
+        .filter(col("wk") >= col("cohort_week"))
+        .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // ---- SCD2 point-in-time lookup -----------------------------------------
     // The consumer side of orders_scd2_intervals: each event resolves the
     // order version VALID AT its timestamp — equi join on the user key
@@ -1622,6 +1710,65 @@ object Relational {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
         |       count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "part_affinity_lift" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |), pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS pair_n
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), items AS (
+        |  SELECT l_partkey, count(*) AS item_n FROM li GROUP BY 1
+        |), total AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+        |)
+        |SELECT pa, pb, pair_n,
+        |       CAST(pair_n * n_orders AS DOUBLE) /
+        |       CAST(na.item_n * nb.item_n AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN items na ON pairs.pa = na.l_partkey
+        |JOIN items nb ON pairs.pb = nb.l_partkey
+        |CROSS JOIN total
+        |ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin,
+    "anomaly_daily_revenue" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+        |  FROM orders GROUP BY 1
+        |), win AS (
+        |  SELECT day, c,
+        |         count(*) OVER w AS n7,
+        |         sum(c) OVER w AS s7,
+        |         sum(CAST(c * c AS DECIMAL(30,0))) OVER w AS ss7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |), z AS (
+        |  SELECT day, CAST(c AS DOUBLE) / 100.0 AS revenue,
+        |         (CAST(c AS DOUBLE) - CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE)) /
+        |         sqrt((CAST(ss7 AS DOUBLE) -
+        |               CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE)) /
+        |              (CAST(n7 AS DOUBLE) - 1.0)) AS z
+        |  FROM win WHERE n7 = 7
+        |)
+        |SELECT day, revenue, z FROM z WHERE abs(z) > 2.0 ORDER BY day""".stripMargin,
+    "cohort_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id,
+        |         min((CAST(ts AS DATE) - DATE '1970-01-01') // 7) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), act AS (
+        |  SELECT e.user_id, c.cohort_week,
+        |         (CAST(e.ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        |  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        |)
+        |SELECT cohort_week, wk - cohort_week AS week_offset,
+        |       count(DISTINCT user_id) AS active_users
+        |FROM act WHERE wk >= cohort_week
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "scd2_point_lookup" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderkey,
