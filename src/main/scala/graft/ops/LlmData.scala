@@ -875,8 +875,36 @@ object LlmData {
       """SELECT doc_id AS asset_id, 'application/octet-stream' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  lower(sha256(text)) AS sha256, source
-        |FROM documents ORDER BY asset_id""".stripMargin
-    // multimodal_decode / multimodal_frames: stubbed codec semantics are
-    // engine-defined → rows-only check + ScalaTest determinism specs.
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // multimodal_decode / multimodal_frames: the text-byte payloads all
+    // take the STUB decode path, whose arithmetic (rolling 31-poly byte
+    // hash, derived pseudo-dimensions, 64-byte frame blocks) is fully
+    // SQL-expressible — chars == bytes on this corpus (pure ASCII at all
+    // SFs, verified), so ord() folds mirror the byte folds exactly. The
+    // real-image branch stays spec-covered (no image codec in the oracle
+    // engine).
+    "multimodal_decode" -> {
+      val h = TextSql.polyHash("text")
+      s"""WITH d AS (SELECT doc_id, text, $h AS h FROM documents)
+         |SELECT doc_id AS asset_id,
+         |       CAST(16 + h % 1024 AS INTEGER) AS width,
+         |       CAST(16 + (h // 1024) % 1024 AS INTEGER) AS height,
+         |       CAST(1 + length(text) // 64 AS INTEGER) AS n_frames,
+         |       h AS fingerprint
+         |FROM d ORDER BY asset_id""".stripMargin
+    },
+    "multimodal_frames" -> {
+      val block = TextSql.polyHash(
+        "substring(text, CAST(off AS INTEGER) + 1, " +
+          "least(64, length(text) - CAST(off AS INTEGER)))")
+      s"""WITH offs AS (
+         |  SELECT doc_id, text, UNNEST(range(0, length(text), 256)) AS off
+         |  FROM documents
+         |)
+         |SELECT doc_id AS asset_id,
+         |       CAST(off // 64 AS INTEGER) AS frame_idx,
+         |       $block AS frame_hash
+         |FROM offs ORDER BY asset_id, frame_idx""".stripMargin
+    }
   )
 }
