@@ -716,6 +716,53 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
+    // ---- event transition matrix -------------------------------------------
+    // Markov-style transition counts between consecutive events per user:
+    // lag over (user, time) — one shuffle on user_id, the same partition
+    // feeding the window and the aggregate — then a count matrix over the
+    // 25 (from, to) type pairs. Transition probability is an exact integer
+    // ratio (pair count / from-row count) in one double division.
+    "event_transition_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(seq).as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("from_n"))
+      pairs.join(broadcast(fromTotals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("from_n").cast("double")).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // ---- median imputation --------------------------------------------------
+    // Null repair by group statistic: every 13th order's price is masked
+    // (deterministic synthesis — the corpus ships complete) and refilled
+    // with its priority group's median over the SURVIVING values. The
+    // exact interpolated median is the verification-scale path (same
+    // contract as histogram_equidepth_price: swap percentile_approx at
+    // 100 TB); group medians broadcast back onto the stream, so the
+    // repair pass itself is narrow.
+    "impute_missing_prices" -> ((s, dir) => {
+      val masked = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price"))
+      val med = masked.filter(col("price").isNotNull)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(price, 0.5)").as("group_median"))
+      masked.join(broadcast(med), "o_orderpriority")
+        .select(col("o_orderkey"),
+          col("price").isNull.cast("int").as("imputed"),
+          coalesce(col("price"), col("group_median")).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- market-basket affinity: support + lift ----------------------------
     // Frequent part pairs with lift, on one ship-year of baskets. The pair
     // count reuses the co-occurrence self-join shape (co-partitioned SHJ,
@@ -1710,6 +1757,37 @@ object Relational {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
         |       count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "event_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS to_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS from_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM seq
+        |  WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+        |), totals AS (
+        |  SELECT from_type, sum(n) AS from_n FROM pairs GROUP BY from_type
+        |)
+        |SELECT p.from_type, p.to_type, p.n,
+        |       CAST(p.n AS DOUBLE) / CAST(t.from_n AS DOUBLE) AS p
+        |FROM pairs p JOIN totals t ON p.from_type = t.from_type
+        |ORDER BY p.from_type, to_type""".stripMargin,
+    "impute_missing_prices" ->
+      """WITH masked AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |              ELSE o_totalprice END AS price
+        |  FROM orders
+        |), med AS (
+        |  SELECT o_orderpriority, median(price) AS group_median
+        |  FROM masked WHERE price IS NOT NULL GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderkey,
+        |       CAST(price IS NULL AS INT) AS imputed,
+        |       coalesce(price, group_median) AS price
+        |FROM masked JOIN med USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
     "part_affinity_lift" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
