@@ -152,11 +152,21 @@ object Multimodal {
     }
     val totalSum = cellSum.sum
     val totalArea = cellArea.sum
+    // 128-bit unsigned compare a*b >= c*d: a 64-bit product of luma sums
+    // and pixel areas wraps for images above ~48 MP, silently inverting
+    // threshold bits — Math.multiplyHigh keeps the compare exact for any
+    // image the JVM can hold.
+    def geProd(a: Long, b: Long, c: Long, d: Long): Boolean = {
+      val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+      val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+      if (hi1 != hi2) hi1 > hi2
+      else java.lang.Long.compareUnsigned(lo1, lo2) >= 0
+    }
     var hash = 0L
     var i = 0
     while (i < 64) {
       // cell mean >= global mean  <=>  cellSum/cellArea >= totalSum/totalArea
-      if (cellArea(i) > 0 && cellSum(i) * totalArea >= totalSum * cellArea(i))
+      if (cellArea(i) > 0 && geProd(cellSum(i), totalArea, totalSum, cellArea(i)))
         hash |= 1L << i
       i += 1
     }
@@ -212,7 +222,10 @@ object Multimodal {
         }
       }
       .toDF("id", "ahash")
-      .localCheckpoint(eager = false)
+      // EAGER: a lazy localCheckpoint re-materializes its upstream stages
+      // on downstream plan construction under AQE (the pagerank_parts
+      // lesson) — the per-image codec pass must run exactly once
+      .localCheckpoint(eager = true)
     val bands = hashes.select(col("id"), col("ahash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -134,7 +134,7 @@ object Curation {
     // ---- blocked fuzzy string matching -------------------------------------
     // Entity near-duplicates by edit distance, with the LSH lesson applied
     // to strings: candidate pairs come from an equi self-join on a cheap
-    // BLOCKING KEY (here the head noun — the last token), and the O(len^2)
+    // BLOCKING KEY (here the head noun — the second token), and the O(len^2)
     // levenshtein verifier runs only within blocks — never all-pairs. At
     // 100 TB the name table is the distinct-values dictionary (tiny
     // relative to the fact data) and the block join is one shuffle of it;

@@ -568,8 +568,9 @@ object LlmData {
     // grayscale PNG heatmaps, REAL javax.imageio decode, 64-bit
     // average-hash, SimHash-style banded blocking + exact hamming verify.
     // The corpus carries no natural image dups, so the query PLANTS them:
-    // the first 10 vectors re-enter (id + 1e6) with one dim nudged by
-    // 0.01 — a perceptually-invisible edit. Measured margins: planted
+    // the first 10 vectors re-enter (id + 1e12, above any real vec_id
+    // at any scale) with one dim nudged by 0.01 — a perceptually-
+    // invisible edit. Measured margins: planted
     // pairs land at hamming <= 2, the closest background pair at 15, so
     // the <= 6 cut returns exactly the planted set. Rows-only (the oracle
     // engine has no image codec); ground truth asserted in LlmDataSpec.
@@ -579,7 +580,7 @@ object LlmData {
       val base = emb(s, dir).select(col("vec_id"), col("embedding"))
         .as[(Long, Seq[Float])]
       val planted = base.filter(_._1 < 10)
-        .map { case (id, v) => (id + 1000000L, v.updated(0, v.head + 0.01f)) }
+        .map { case (id, v) => (id + 1000000000000L, v.updated(0, v.head + 0.01f)) }
       base.union(planted)
         .mapPartitions(_.map { case (id, v) =>
           (id, Multimodal.pngFromVector(v.toArray)) })

@@ -815,7 +815,11 @@ object Relational {
         .agg(sum(cents).as("c"))
         .withColumn("n7", count(lit(1)).over(w))
         .withColumn("s7", sum(col("c")).over(w))
-        .withColumn("ss7", sum((col("c") * col("c")).cast("decimal(30,0)")).over(w))
+        // square in DECIMAL, not Long: daily cents can exceed 3e9 one SF
+        // step up, and a Long*Long square wraps silently while the
+        // oracle's HUGEINT square stays exact
+        .withColumn("ss7", sum(col("c").cast("decimal(15,0)") *
+          col("c").cast("decimal(15,0)")).over(w))
         .filter(col("n7") === 7)
         // all-double from here (each decimal casts once, correctly
         // rounded, identically in both engines — no decimal division,
@@ -897,7 +901,7 @@ object Relational {
           when(pmod(col("key"), lit(31)) === 0, col("price") + lit(1).cast("decimal(18,2)"))
             .otherwise(col("price")).as("price"))
         .unionByName(base.filter(pmod(col("key"), lit(53)) === 0)
-          .select((col("key") + 10000000L).as("key"), col("price")))
+          .select((col("key") + 1000000000000L).as("key"), col("price")))
       base.as("o").join(newSnap.as("n"), Seq("key"), "full_outer")
         .withColumn("op",
           when(col("o.price").isNull, "insert")
@@ -1178,10 +1182,12 @@ object Relational {
       // decimal(30,4) multiplication). Only the SUM BUFFERS stay decimal:
       // sum(y_cents^2) reaches ~6e19 at sf0.1 and would wrap int64, and a
       // decimal sum of long inputs rides the compact representation until
-      // it genuinely outgrows it. The final doubles are identical bit for
-      // bit to the all-decimal form (and the unchanged oracle): each
-      // cast-then-divide produces the nearest double of the same exact
-      // rational the decimal cast produced.
+      // it genuinely outgrows it. The oracle MIRRORS the cast-then-divide
+      // (sum -> double -> /scale) step for step: once a sum exceeds 2^53
+      // the two roundings differ from a single decimal->double rounding
+      // in the last ulp, so determinism comes from both engines doing the
+      // IDENTICAL correctly-rounded ops, not from pretending the double
+      // rounding away.
       val xc = (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
       val yc = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
       val n = col("n").cast("double")
@@ -1871,7 +1877,7 @@ object Relational {
         |              ELSE price END AS price
         |  FROM base WHERE key % 97 <> 0
         |  UNION ALL
-        |  SELECT key + 10000000, price FROM base WHERE key % 53 = 0
+        |  SELECT key + 1000000000000, price FROM base WHERE key % 53 = 0
         |)
         |SELECT coalesce(o.key, n.key) AS key,
         |       CASE WHEN o.key IS NULL THEN 'insert'
@@ -1922,11 +1928,14 @@ object Relational {
     "agg_stats_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS sx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS sy,
+        |    CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |                  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sxx,
+        |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS syy,
+        |    CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sxy
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |SELECT l_returnflag, n,

@@ -248,10 +248,10 @@ class LlmDataSpec extends SparkSpec {
   test("image near-dup pipeline finds exactly the planted perceptual dups") {
     val pairs = SparkEntry.queries("multimodal_image_neardup")(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
-    // exactly the 10 planted (id, id+1e6) pairs, nothing from background
+    // exactly the 10 planted (id, id+1e12) pairs, nothing from background
     assert(pairs.length == 10, s"got ${pairs.toSeq}")
     pairs.foreach { case ((a, b), ham) =>
-      assert(b == a + 1000000L, s"unexpected pair ($a,$b)")
+      assert(b == a + 1000000000000L, s"unexpected pair ($a,$b)")
       assert(a < 10 && ham <= 6)
     }
   }
