@@ -716,6 +716,40 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
+    // ---- chi-square independence test --------------------------------------
+    // Statistical testing as a first-class op: status x priority
+    // contingency table, chi2 = sum (o-e)^2/e with e = rowT*colT/N. Each
+    // term keeps an INTEGER numerator ((o*N - rt*ct)^2, exact in int64 at
+    // any SF where counts fit 2^31) and divides in a fixed mirrored order;
+    // the 15 per-cell terms then fold IN KEY ORDER through a sorted-array
+    // aggregate — a plain sum(double) folds in partition order and is not
+    // reproducible in the last ulp. All inputs are O(cells) after one
+    // aggregate pass over the fact table.
+    "chisq_status_priority" -> ((s, dir) => {
+      val obs = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy(col("st")).agg(sum(col("o")).as("rt"))
+      val colT = obs.groupBy(col("pr")).agg(sum(col("o")).as("ct"))
+      val tot = obs.agg(sum(col("o")).as("n"),
+        (countDistinct(col("st")) - 1).as("dr"),
+        (countDistinct(col("pr")) - 1).as("dc"))
+      val cells = obs.join(broadcast(rowT), "st").join(broadcast(colT), "pr")
+        .crossJoin(broadcast(tot))
+        .select(concat(col("st"), lit("|"), col("pr")).as("k"),
+          (((col("o") * col("n") - col("rt") * col("ct")) *
+            (col("o") * col("n") - col("rt") * col("ct"))).cast("double") /
+            (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+            .as("term"),
+          col("n"), (col("dr") * col("dc")).as("dof"))
+      cells.groupBy(col("n"), col("dof"))
+        .agg(collect_list(struct(col("k"), col("term"))).as("terms"))
+        .select(
+          aggregate(array_sort(col("terms")), lit(0.0),
+            (acc, x) => acc + x("term")).as("chi2"),
+          col("dof"), col("n"))
+    }),
+
     // ---- event transition matrix -------------------------------------------
     // Markov-style transition counts between consecutive events per user:
     // lag over (user, time) — one shuffle on user_id, the same partition
@@ -1763,6 +1797,26 @@ object Relational {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
         |       count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "chisq_status_priority" ->
+      """WITH obs AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pr, count(*) AS o
+        |  FROM orders GROUP BY st, pr
+        |), rt AS (SELECT st, sum(o) AS rt FROM obs GROUP BY st),
+        |ct AS (SELECT pr, sum(o) AS ct FROM obs GROUP BY pr),
+        |tot AS (SELECT sum(o) AS n,
+        |               count(DISTINCT st) - 1 AS dr,
+        |               count(DISTINCT pr) - 1 AS dc FROM obs),
+        |cells AS (
+        |  SELECT obs.st || '|' || obs.pr AS k,
+        |         CAST((obs.o * n - rt.rt * ct.ct) * (obs.o * n - rt.rt * ct.ct) AS DOUBLE)
+        |           / CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n AS DOUBLE) AS term,
+        |         n, dr * dc AS dof
+        |  FROM obs JOIN rt USING (st) JOIN ct USING (pr) CROSS JOIN tot
+        |)
+        |SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list(term ORDER BY k)), (a, b) -> a + b) AS chi2,
+        |       CAST(dof AS BIGINT) AS dof, CAST(n AS BIGINT) AS n
+        |FROM cells GROUP BY dof, n""".stripMargin,
     "event_transition_matrix" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS to_type,
