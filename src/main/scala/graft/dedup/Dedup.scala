@@ -113,9 +113,20 @@ object Dedup {
     shBandCache.clear(); bandOnlyCache.clear(); ccCache.clear()
   }
 
+  /** Drop memo entries whose session has stopped: the RDD blocks go with
+    * the session, but without this sweep the map entries would pin the
+    * stopped SparkSession (and its analyzed plans) for the JVM lifetime —
+    * a slow leak in one-session-per-job deployments. Runs on every memo
+    * access; O(entries), which is O(jobs this JVM ran).
+    */
+  private def purgeStopped[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V])
+                                (session: K => org.apache.spark.sql.SparkSession): Unit =
+    m.keySet.removeIf(k => session(k).sparkContext.isStopped)
+
   private def shingleBandIndex(docs: DataFrame, fkey: String,
                                sets: DataFrame => DataFrame,
-                               nBands: Int, r: Int): (DataFrame, DataFrame) =
+                               nBands: Int, r: Int): (DataFrame, DataFrame) = {
+    purgeStopped(shBandCache)(_._1)
     shBandCache.computeIfAbsent(
       (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
         s"$fkey/$nBands/$r"),
@@ -129,6 +140,7 @@ object Dedup {
           .localCheckpoint(eager = false)
         (sh, bands)
       })
+  }
 
   /** Band index WITHOUT the raw-set table: one narrow pass
     * set→signature→band-explosion, only the (id, band, bh) rows are
@@ -142,7 +154,8 @@ object Dedup {
     */
   private def bandIndexOnly(docs: DataFrame, fkey: String,
                             sets: DataFrame => DataFrame,
-                            nBands: Int, r: Int): DataFrame =
+                            nBands: Int, r: Int): DataFrame = {
+    purgeStopped(bandOnlyCache)(_._1)
     bandOnlyCache.computeIfAbsent(
       (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
         s"$fkey/$nBands/$r"),
@@ -151,6 +164,7 @@ object Dedup {
           posexplode(bandHashes(minhashSignature(col("s")), nBands, r)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
         .localCheckpoint(eager = false))
+  }
 
   private def wordSets(idCol: String, textCol: String)(docs: DataFrame): DataFrame =
     docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
@@ -312,10 +326,12 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession,
       Int, Int), DataFrame]()
 
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    purgeStopped(ccCache)(_._1)
     ccCache.computeIfAbsent(
       (pairs.sparkSession, pairs.queryExecution.analyzed.semanticHash(), maxIter),
       _ => ccConverge(pairs, maxIter))
+  }
 
   private def ccConverge(pairs: DataFrame, maxIter: Int): DataFrame = {
     var e = pairs.select(

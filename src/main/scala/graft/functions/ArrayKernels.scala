@@ -65,13 +65,18 @@ case class DotProductF(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // every local must be freshName'd: cosine() instantiates THREE of
+      // these kernels in one Project, and with non-nullable inputs the
+      // unwrapped codegen branch would redeclare a fixed `acc` in the same
+      // scope — a janino compile error and a silent interpreted fallback
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -187,20 +192,26 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
+      // fixed local names collide if the kernel appears twice in one
+      // generated scope (non-nullable inputs skip the braced null guard)
+      val ca = ctx.freshName("a")
+      val cb = ctx.freshName("b")
+      val cm = ctx.freshName("m")
+      val cv = ctx.freshName("v")
       val P = ArrayKernels.P
       val MP = ArrayKernels.MP
       s"""
          |int $n = $hs.numElements();
          |long[] $out = new long[$k];
          |for (int $i = 0; $i < $k; $i++) {
-         |  long a = (2L * $i + 1) * ${MP}L % ${P}L;
-         |  long b = (2L * $i + 2) * ${MP}L % ${P}L;
-         |  long m = Long.MAX_VALUE;
+         |  long $ca = (2L * $i + 1) * ${MP}L % ${P}L;
+         |  long $cb = (2L * $i + 2) * ${MP}L % ${P}L;
+         |  long $cm = Long.MAX_VALUE;
          |  for (int $j = 0; $j < $n; $j++) {
-         |    long v = (a * $hs.getLong($j) + b) % ${P}L;
-         |    if (v < m) m = v;
+         |    long $cv = ($ca * $hs.getLong($j) + $cb) % ${P}L;
+         |    if ($cv < $cm) $cm = $cv;
          |  }
-         |  $out[$i] = m;
+         |  $out[$i] = $cm;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -242,21 +253,26 @@ case class SimHash48(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val t = ctx.freshName("t")
       val n = ctx.freshName("n")
+      // freshName'd for the same one-scope-twice reason as MinHashSig
+      val acc = ctx.freshName("acc")
+      val ca = ctx.freshName("a")
+      val cb = ctx.freshName("b")
+      val vote = ctx.freshName("vote")
       val P = ArrayKernels.P
       val MP = ArrayKernels.MP
       s"""
          |int $n = $hs.numElements();
-         |long acc = 0L;
+         |long $acc = 0L;
          |for (int $j = ${Dedup48.SIMBITS - 1}; $j >= 0; $j--) {
-         |  long a = (2L * $j + 101) * ${MP}L % ${P}L;
-         |  long b = (2L * $j + 102) * ${MP}L % ${P}L;
-         |  long vote = 0L;
+         |  long $ca = (2L * $j + 101) * ${MP}L % ${P}L;
+         |  long $cb = (2L * $j + 102) * ${MP}L % ${P}L;
+         |  long $vote = 0L;
          |  for (int $t = 0; $t < $n; $t++) {
-         |    vote += ((a * $hs.getLong($t) + b) % ${P}L % 2L == 1L) ? 1L : -1L;
+         |    $vote += (($ca * $hs.getLong($t) + $cb) % ${P}L % 2L == 1L) ? 1L : -1L;
          |  }
-         |  acc = acc * 2L + ((vote > 0L) ? 1L : 0L);
+         |  $acc = $acc * 2L + (($vote > 0L) ? 1L : 0L);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

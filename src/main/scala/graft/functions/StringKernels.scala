@@ -96,8 +96,23 @@ object StringKernels {
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) " +
+        s"graft.functions.ShingleHashes.compute($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashes {
+  /** Codegen entry point — a STATIC loop like the sibling kernels, so the
+    * generated per-row call allocates nothing but the output array (the
+    * previous shim built a throwaway expression instance per row).
+    */
+  def compute(arr: ArrayData, n: Int): GenericArrayData = {
     val nTok = arr.numElements()
     val count = nTok - n + 1
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
@@ -125,19 +140,6 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     while (it.hasNext) { out(idx) = it.next(); idx += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) " +
-        s"graft.functions.ShingleHashes.compute($a, $n);")
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-object ShingleHashes {
-  /** Codegen entry point (static call keeps generated code tiny). */
-  def compute(arr: ArrayData, n: Int): GenericArrayData =
-    ShingleHashes(null, n).nullSafeEval(arr).asInstanceOf[GenericArrayData]
 }
 
 case class PolyHash(child: Expression) extends UnaryExpression {

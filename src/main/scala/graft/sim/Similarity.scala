@@ -77,8 +77,10 @@ object Similarity {
   def quantizeInt8(emb: DataFrame, dim: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val P = graft.text.TextOps.P
-    val sdot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    // dotHof with the casts already no-ops: x/r are double arrays here, so
+    // this is the ONE sequential-fold dot definition, not a second copy
+    // whose fold order could drift from the oracle independently
+    val sdot = (a: Column, b: Column) => dotHof(a, b)
     emb.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("x"))
       .withColumn("maxabs", array_max(transform(col("x"), e => abs(e))))
       .filter(col("maxabs") > 0)
@@ -96,6 +98,22 @@ object Similarity {
           lit(0L), (acc, e) => (acc + e) % lit(P)).as("q_checksum"))
   }
 
+  /** The shared tail of every top-k search: exact cosine on candidate
+    * (q_id, q_vec, n_id, n_vec) rows, deterministic rank
+    * (sim DESC, neighbor id ASC), rank <= k. ONE definition so the
+    * tie-break contract and output schema cannot drift between the
+    * exact/LSH/IVF variants (each used to carry its own copy).
+    */
+  private def topKBySim(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    cands.filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (`queries` is a
     * small DataFrame broadcast against the corpus). Deterministic rank:
     * (sim DESC, neighbor id ASC).
@@ -104,13 +122,7 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    q.join(c, col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+    topKBySim(q.crossJoin(c), k)
   }
 
   /** Approximate top-k: probe only the query's sign-LSH bucket.
@@ -128,13 +140,7 @@ object Similarity {
       signBucket(col(vecCol), bits).as("bucket")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       signBucket(col(vecCol), bits).as("bucket"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+    topKBySim(q.join(c, Seq("bucket")), k)
   }
 
   /** Radius (range) search: every corpus vector with `cosine >= minCos`
@@ -283,13 +289,7 @@ object Similarity {
     val queriesAssigned = broadcast(queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("centroid", explode(nearestCentroids(col("q_vec"), cents, nprobe))))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    queriesAssigned.join(corpusAssigned, Seq("centroid"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+    topKBySim(queriesAssigned.join(corpusAssigned, Seq("centroid")), k)
   }
 
   // --------------------------------------------------------------------------
@@ -349,13 +349,7 @@ object Similarity {
     val q = broadcast(queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("centroid", explode(nearestCentroids(col("q_vec"), cents, nprobe))))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    q.join(lists, Seq("centroid"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("sim"))
+    topKBySim(q.join(lists, Seq("centroid")), k)
   }
 
   /** Embedding near-duplicate pairs: sign-LSH blocking, then exact cosine

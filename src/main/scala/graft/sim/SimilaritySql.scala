@@ -10,8 +10,12 @@ object SimilaritySql {
     s"list_sum(list_transform(range(1, ${dim + 1}), i -> " +
       s"CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)))"
 
+  // NULLIF guard: Spark's non-ANSI divide returns NULL on a zero norm and
+  // downstream filters drop the row; DuckDB's IEEE mode would return NaN,
+  // which its ordering ranks ABOVE every real similarity — the NULLIF
+  // makes the oracle NULL out exactly where the engine does.
   def cosine(a: String, b: String, dim: Int): String =
-    s"(${dot(a, b, dim)}) / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)}))"
+    s"(${dot(a, b, dim)}) / NULLIF(sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)}), 0)"
 
   def signBucket(v: String, planeBits: Int = 6): String =
     (0 until planeBits).map(i =>
@@ -59,7 +63,7 @@ object SimilaritySql {
        |)
        |SELECT vec_id, scale,
        |  list_max(list_transform(range(1, ${dim + 1}), i -> abs(x[i] - r[i]))) AS max_abs_err,
-       |  ${sdot("x", "r")} / (sqrt(${sdot("x", "x")}) * sqrt(${sdot("r", "r")})) AS cos_recon,
+       |  ${sdot("x", "r")} / NULLIF(sqrt(${sdot("x", "x")}) * sqrt(${sdot("r", "r")}), 0) AS cos_recon,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(range(1, ${dim + 1}), i -> ((q[i] * i) % $P + $P) % $P)),
        |    (a, b) -> (a + b) % $P) AS q_checksum

@@ -24,9 +24,8 @@ object TextSql {
     s"list_transform($arr, s -> ${polyHash("s")})"
 
   def shingles(toks: String, n: Int): String = {
-    val join = (1 to n).map(k => s"t[i+${k - 1}]").mkString(" || ' ' || ")
+    val join = (1 to n).map(k => s"$toks[i+${k - 1}]").mkString(" || ' ' || ")
     s"list_transform(range(1, greatest(len($toks) - ${n - 2}, 1)), i -> $join)"
-      .replace("t[i+", s"$toks[i+")
   }
 
   def shingleHashes(text: String, n: Int = 3): String =
@@ -61,8 +60,10 @@ object TextSql {
         s"CAST(list_sum(list_transform($toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len($toks)",
       "stopword_ratio" -> s"CAST($stopHits AS DOUBLE) / len($toks)",
       "type_token_ratio" -> s"CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks)",
-      "digit_ratio" -> s"CAST(len(regexp_extract_all($text, '[0-9]')) AS DOUBLE) / length($text)",
-      "upper_ratio" -> s"CAST(len(regexp_extract_all($text, '[A-Z]')) AS DOUBLE) / length($text)")
+      // NULLIF: an empty document divides by zero — NULL in Spark's
+      // non-ANSI mode, NaN in DuckDB's IEEE mode; mirror the NULL
+      "digit_ratio" -> s"CAST(len(regexp_extract_all($text, '[0-9]')) AS DOUBLE) / NULLIF(length($text), 0)",
+      "upper_ratio" -> s"CAST(len(regexp_extract_all($text, '[A-Z]')) AS DOUBLE) / NULLIF(length($text), 0)")
   }
 
   def qualityScore(text: String): String = {
