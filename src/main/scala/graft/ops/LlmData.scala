@@ -69,6 +69,19 @@ object LlmData {
   val BoilerplateTokens = 10
   val BoilerplateMinDocs = 2
 
+  /** Stride-chunking of a (doc_id, toks) frame: explode chunk starts,
+    * slice the token window — the ONE chunk-start/width definition shared
+    * by text_chunking and the composed training pipeline (the two used to
+    * carry copies whose off-by-one fixes could drift apart). Output keeps
+    * (doc_id, chunk_id, ctoks).
+    */
+  private def chunkToks(d: DataFrame, chunk: Int, stride: Int): DataFrame =
+    d.select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          floor((size(col("toks")) - 1) / lit(stride)).cast("long"))).as("ci"))
+      .select(col("doc_id"), col("ci").as("chunk_id"),
+        slice(col("toks"), (col("ci") * stride + 1).cast("int"), lit(chunk)).as("ctoks"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -----------------------------------------------------
     "text_token_stats" -> ((s, dir) =>
@@ -153,14 +166,10 @@ object LlmData {
     // shuffle until the ORDER BY.
     "text_chunking" -> ((s, dir) => {
       val (chunk, stride) = (ChunkTokens, ChunkStride)
-      docs(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        // last chunk starts at floor((n-1)/stride)*stride — always < n
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0L),
-            floor((size(col("toks")) - 1) / lit(stride)).cast("long"))).as("ci"))
-        .select(col("doc_id"), col("ci").as("chunk_id"),
-          slice(col("toks"), (col("ci") * stride + 1).cast("int"), lit(chunk)).as("ctoks"))
+      // last chunk starts at floor((n-1)/stride)*stride — always < n
+      chunkToks(docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+          chunk, stride)
         .select(col("doc_id"), col("chunk_id"),
           size(col("ctoks")).cast("long").as("n_tokens"),
           concat_ws(" ", col("ctoks")).as("chunk_text"))
@@ -400,12 +409,7 @@ object LlmData {
       val kept = d.join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
         .filter(TextOps.qualityScore(col("text"), col("toks")) >= QualityMin)
-      kept
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0L),
-            floor((size(col("toks")) - 1) / lit(stride)).cast("long"))).as("ci"))
-        .select(col("doc_id"), col("ci").as("chunk_id"),
-          slice(col("toks"), (col("ci") * stride + 1).cast("int"), lit(chunk)).as("ctoks"))
+      chunkToks(kept.select(col("doc_id"), col("toks")), chunk, stride)
         .filter(pmod(TextOps.polyHash(
             concat_ws("_", col("doc_id"), col("chunk_id"))),
           lit(ChunkSampleMod)) < ChunkSampleKeep)

@@ -137,6 +137,23 @@ object Relational {
         col(probeKey) === col(buildKey), "left_semi")
   }
 
+  /** SCD2 interval construction shared by orders_scd2_intervals and
+    * scd2_point_lookup: per customer, each order opens a version valid
+    * until the next order's date (exclusive), the last one open-ended at
+    * the 9999-12-31 sentinel. ONE definition so the tiebreak and sentinel
+    * cannot drift between the builder and its consumers.
+    */
+  private def scd2Intervals(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+      coalesce(date_format(lead(col("o_orderdate"), 1).over(seq), "yyyy-MM-dd"),
+        lit("9999-12-31")).as("valid_to"),
+      lead(col("o_orderkey"), 1).over(seq).isNull.cast("int").as("is_current"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship: F1 ∧ F2 + O1 over orders --------------------------------
     "recent_created_orders" -> ((s, dir) =>
@@ -703,18 +720,9 @@ object Relational {
     // per customer partition — a single shuffle on the key, no self-join
     // (the naive FROM o a JOIN o b ON a.custkey = b.custkey AND b.date >
     // a.date ... formulation is quadratic per customer).
-    "orders_scd2_intervals" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val seq = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      Tables.load(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
-          coalesce(date_format(lead(col("o_orderdate"), 1).over(seq), "yyyy-MM-dd"),
-            lit("9999-12-31")).as("valid_to"),
-          lead(col("o_orderkey"), 1).over(seq).isNull.cast("int").as("is_current"))
-        .orderBy("o_custkey", "valid_from", "o_orderkey")
-    }),
+    "orders_scd2_intervals" -> ((s, dir) =>
+      scd2Intervals(Tables.load(s, dir, "orders"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")),
 
     // ---- chi-square independence test --------------------------------------
     // Statistical testing as a first-class op: status x priority
@@ -899,14 +907,8 @@ object Relational {
     // user's first order keep a null version — the honest temporal-join
     // contract.
     "scd2_point_lookup" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val seq = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val iv = Tables.load(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
-          coalesce(date_format(lead(col("o_orderdate"), 1).over(seq), "yyyy-MM-dd"),
-            lit("9999-12-31")).as("valid_to"))
+      val iv = scd2Intervals(Tables.load(s, dir, "orders"))
+        .drop("is_current")
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd").as("d"))

@@ -208,6 +208,11 @@ private class KafkaLogDataWriter(path: String, topicOpt: Option[String],
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    // PrintWriter swallows IOExceptions into an internal flag — without
+    // this check a disk-full partial write would COMMIT as success and
+    // silently drop messages, breaking even at-least-once
+    if (out.checkError())
+      throw new java.io.IOException(s"write failed for part-$fileTag.jsonl")
     new WriterCommitMessage {}
   }
   override def abort(): Unit = out.close()

@@ -80,14 +80,17 @@ object KafkaSink {
     */
   def isReachable(bootstrap: String, timeoutMs: Int = 1000): Boolean =
     bootstrap.split(",").exists { server =>
-      val parts = server.trim.split(":")
-      val (host, port) = (parts(0), if (parts.length > 1) parts(1).toInt else 9092)
       val s = new java.net.Socket()
       try {
+        // parse inside the try: a malformed or IPv6 bootstrap entry must
+        // degrade the probe to false, not crash the driver the probe
+        // exists to protect
+        val parts = server.trim.split(":")
+        val (host, port) = (parts(0), if (parts.length > 1) parts(1).toInt else 9092)
         s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
         true
       } catch {
-        case _: java.io.IOException => false
+        case scala.util.control.NonFatal(_) => false
       } finally s.close()
     }
 }

@@ -38,7 +38,11 @@ object StatefulOps {
           val next = batch.foldLeft(prev) { (p, e) =>
             UserProfile(user,
               p.n_events + 1,
-              p.total_cents + math.round(e.value * 100),
+              // HALF_UP away from zero like the batch oracle's round():
+              // Scala math.round goes toward +infinity and diverges on
+              // negative half-cent values
+              p.total_cents + (if (e.value >= 0) math.round(e.value * 100)
+                else -math.round(-e.value * 100)),
               math.min(p.first_event, e.event_id),
               math.max(p.last_event, e.event_id))
           }

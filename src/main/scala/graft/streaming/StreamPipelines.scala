@@ -152,8 +152,7 @@ object StreamPipelines {
     */
   def runFileEtlUpsert(spark: SparkSession, inPath: String, schema: StructType,
                        outPath: String, checkpoint: String): Unit = {
-    val raw = parquetSource(spark, inPath, schema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = normalizeTs(parquetSource(spark, inPath, schema), schema)
     val q = tumblingCounts(raw.withWatermark("ts", "1 hour"))
       .withColumn("d", substring(col("w_start"), 1, 10))
       .writeStream
@@ -172,15 +171,22 @@ object StreamPipelines {
     */
   def runFileEtl(spark: SparkSession, inPath: String, schema: StructType,
                  outPath: String, checkpoint: String): Unit = {
-    val raw = parquetSource(spark, inPath, schema)
-    // normalize a legacy nanos-as-long ts (see Tables.events)
-    val src = schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.LongType) =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val src = normalizeTs(parquetSource(spark, inPath, schema), schema)
     val agg = tumblingCounts(src.withWatermark("ts", "1 hour"))
     val q = parquetSink(agg, outPath, checkpoint).start()
     q.awaitTermination()
   }
+
+  /** Normalize a legacy nanos-as-long `ts` to a real timestamp, ONLY when
+    * the schema says the column is a long (see Tables.events) — the ONE
+    * definition both file-ETL entry points share, so a TimestampType
+    * schema can never hit an integral `div` on a timestamp (the
+    * unconditional copy in the upsert path used to fail analysis there).
+    */
+  private def normalizeTs(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
 }

@@ -27,9 +27,13 @@ object XmlDocument {
     df.withColumn("__ord", monotonically_increasing_id())
       .map { row =>
         val ord = row.getLong(row.fieldIndex("__ord"))
+        // select data fields BY NAME (as assemblePerKey does): positional
+        // dropRight would strip a real column if the input already carried
+        // one named __ord (withColumn replaces in place, not appends)
+        val keep = row.schema.zipWithIndex.filter(_._1.name != "__ord")
         val productRow = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-          row.toSeq.dropRight(1).toArray,
-          org.apache.spark.sql.types.StructType(row.schema.dropRight(1)))
+          keep.map { case (_, i) => row.get(i) }.toArray,
+          org.apache.spark.sql.types.StructType(keep.map(_._1)))
         (ord, "  <product>\n" + XmlRender.renderProduct(productRow, "    ", rules) + "  </product>\n")
       }
   }

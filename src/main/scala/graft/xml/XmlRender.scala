@@ -52,9 +52,11 @@ object XmlRender {
 
   /** Python `str()` parity for the scalar types a JSON document can carry.
     * Java's `Double.toString` agrees with CPython's shortest-round-trip
-    * repr across the price-like range the reference exercises (`55.0`,
-    * `18.5`, `39.99`); scientific-notation edge cases (|v| >= 1e16) are
-    * normalized to Python's `e+NN`/`e-NN` exponent form.
+    * repr on the positional range BOTH engines print positionally — but
+    * the two switch to scientific notation at different magnitudes (Java
+    * at >= 1e7 and < 1e-3, CPython at >= 1e16 and < 1e-4), so Java's
+    * exponent form is re-expanded to positional digits inside
+    * [1e-4, 1e16) and normalized to Python's `e+NN`/`e-NN` style outside.
     */
   def pystr(v: Any): String = v match {
     case null => "None"
@@ -71,12 +73,20 @@ object XmlRender {
     if (d.isNegInfinity) return "-inf"
     val s = java.lang.Double.toString(d)
     if (!s.contains("E")) s
-    else { // 1.1E22 → 1.1e+22, 1.0E-7 → 1e-07 (Python style)
-      val Array(m, e) = s.split("E")
-      val exp = e.toInt
-      val mantissa = if (m.endsWith(".0")) m.dropRight(2) else m
-      val sign = if (exp < 0) "-" else "+"
-      f"${mantissa}e$sign${math.abs(exp)}%02d"
+    else {
+      val a = math.abs(d)
+      if (a >= 1e-4 && a < 1e16) {
+        // Java went scientific where Python stays positional: rebuild the
+        // positional form from the same shortest-round-trip digits
+        val plain = new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+        if (plain.contains('.')) plain else plain + ".0"
+      } else { // 1.1E22 → 1.1e+22, 1.0E-7 → 1e-07 (Python style)
+        val Array(m, e) = s.split("E")
+        val exp = e.toInt
+        val mantissa = if (m.endsWith(".0")) m.dropRight(2) else m
+        val sign = if (exp < 0) "-" else "+"
+        f"${mantissa}e$sign${math.abs(exp)}%02d"
+      }
     }
   }
 

@@ -71,6 +71,21 @@ class XmlRenderSpec extends SparkSpec {
     assert(XmlRender.pystr(null) == "None")
   }
 
+  test("python str() float parity at the notation thresholds (CPython-validated)") {
+    // Java switches to scientific at 1e7 / 1e-3, CPython at 1e16 / 1e-4 —
+    // every expected string below is the verbatim CPython str() output
+    assert(XmlRender.pystr(12345678.5) == "12345678.5")
+    assert(XmlRender.pystr(1e7) == "10000000.0")
+    assert(XmlRender.pystr(123456789012345.6) == "123456789012345.6")
+    assert(XmlRender.pystr(1e15) == "1000000000000000.0")
+    assert(XmlRender.pystr(1e16) == "1e+16")
+    assert(XmlRender.pystr(0.0005) == "0.0005")
+    assert(XmlRender.pystr(0.001) == "0.001")
+    assert(XmlRender.pystr(9.9e-5) == "9.9e-05")
+    assert(XmlRender.pystr(1e22) == "1e+22")
+    assert(XmlRender.pystr(-12345678.5) == "-12345678.5")
+  }
+
   test("escape=true fixes the reference's raw-ampersand bug") {
     val s = StructType(Seq(StructField("name", StringType)))
     val raw = XmlRender.renderProduct(row(s, "A&B <Co>"), "")
