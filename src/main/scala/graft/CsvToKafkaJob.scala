@@ -49,12 +49,17 @@ object CsvToKafkaJob {
         .filter(col("articleStatus") === lit(status) &&
           col("b2bReadinessDate") >= lit(threshold))
         .orderBy(col("b2bReadinessDate").desc, col("ean"))
-      val messages = KafkaSink.toMessages(recent)
+      // pin the message batch once: the publish, the count, and the
+      // degraded-mode sample all read the SAME materialized rows instead
+      // of re-scanning a CSV that may have changed between actions
+      val messages = KafkaSink.toMessages(recent).localCheckpoint()
+      val n = messages.count()
       if (KafkaSink.isReachable(bootstrap)) {
-        KafkaSink.write(recent, topic, bootstrap)
-        println(s"[csv-to-kafka] published ${recent.count()} messages to $topic")
+        // env-tuned producer knobs (S5) actually reach the producer —
+        // GraftConfig.producerOptions overrides the reference defaults
+        KafkaSink.writeMessages(messages, topic, conf.producerOptions)
+        println(s"[csv-to-kafka] published $n messages to $topic")
       } else {
-        val n = messages.count()
         println(s"[csv-to-kafka] kafka unreachable at $bootstrap — processed $n rows, sample:")
         messages.limit(3).collect().foreach(r => println("  " + r.getString(0)))
       }

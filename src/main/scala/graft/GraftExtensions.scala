@@ -28,29 +28,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_poly_hash"),
       info("graft_poly_hash", "polynomial codepoint hash mod 1e9+7"),
-      (args: Seq[Expression]) => PolyHash(args.head)))
+      (args: Seq[Expression]) => PolyHash(GraftExtensions.arity("graft_poly_hash", args, 1).head)))
     e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "distinct word n-gram shingle hashes; args: (tokens, n)"),
-      (args: Seq[Expression]) => ShingleHashes(args(0),
-        foldableInt("graft_shingle_hashes", args(1)))))
+      (args: Seq[Expression]) => { GraftExtensions.arity("graft_shingle_hashes", args, 2)
+        ShingleHashes(args(0), foldableInt("graft_shingle_hashes", args(1))) }))
     e.injectFunction((FunctionIdentifier("graft_char_grams"),
       info("graft_char_grams", "char k-gram rolling hashes; args: (text, k)"),
-      (args: Seq[Expression]) => CharGramHashes(args(0),
-        foldableInt("graft_char_grams", args(1)))))
+      (args: Seq[Expression]) => { GraftExtensions.arity("graft_char_grams", args, 2)
+        CharGramHashes(args(0), foldableInt("graft_char_grams", args(1))) }))
     e.injectFunction((FunctionIdentifier("graft_winnow"),
       info("graft_winnow", "winnowing fingerprints; args: (grams, w)"),
-      (args: Seq[Expression]) => Winnow(args(0),
-        foldableInt("graft_winnow", args(1)))))
+      (args: Seq[Expression]) => { GraftExtensions.arity("graft_winnow", args, 2)
+        Winnow(args(0), foldableInt("graft_winnow", args(1))) }))
     e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "minhash signature; args: (shingleHashes, k)"),
-      (args: Seq[Expression]) => MinHashSig(args(0),
-        foldableInt("graft_minhash_sig", args(1)))))
+      (args: Seq[Expression]) => { GraftExtensions.arity("graft_minhash_sig", args, 2)
+        MinHashSig(args(0), foldableInt("graft_minhash_sig", args(1))) }))
     e.injectFunction((FunctionIdentifier("graft_simhash48"),
       info("graft_simhash48", "48-bit simhash of a token-hash array"),
-      (args: Seq[Expression]) => SimHash48(args.head)))
+      (args: Seq[Expression]) => SimHash48(
+        GraftExtensions.arity("graft_simhash48", args, 1).head)))
     e.injectFunction((FunctionIdentifier("graft_dot_f"),
       info("graft_dot_f", "double-precision dot product of float arrays"),
-      (args: Seq[Expression]) => DotProductF(args(0), args(1))))
+      (args: Seq[Expression]) => { GraftExtensions.arity("graft_dot_f", args, 2)
+        DotProductF(args(0), args(1)) }))
   }
 }
 
@@ -61,6 +63,20 @@ object GraftExtensions {
     * non-integral argument must fail analysis with the function name, not a
     * NullPointerException deep in `eval`.
     */
+  /** Arity guard: a short argument list must fail ANALYSIS with the
+    * function name (the same principle [[foldableInt]] applies to bad
+    * literals), not escape as an IndexOutOfBoundsException from a builder.
+    */
+  private[graft] def arity(fn: String, args: Seq[Expression], n: Int): Seq[Expression] = {
+    if (args.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> s"`$fn`", "expectedNum" -> n.toString,
+          "actualNum" -> args.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"),
+        None)
+    args
+  }
+
   private[graft] def foldableInt(fn: String, e: Expression): Int = {
     def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
       "NON_FOLDABLE_ARGUMENT",
@@ -87,15 +103,19 @@ object GraftExtensions {
     val r = spark.sessionState.functionRegistry
     def asInt(fn: String)(e: Expression): Int = foldableInt(fn, e)
     r.createOrReplaceTempFunction("graft_poly_hash",
-      (args: Seq[Expression]) => PolyHash(args.head), "scala_udf")
+      (args: Seq[Expression]) => PolyHash(arity("graft_poly_hash", args, 1).head), "scala_udf")
     r.createOrReplaceTempFunction("graft_shingle_hashes",
-      (args: Seq[Expression]) => ShingleHashes(args(0), asInt("graft_shingle_hashes")(args(1))), "scala_udf")
+      (args: Seq[Expression]) => { arity("graft_shingle_hashes", args, 2)
+        ShingleHashes(args(0), asInt("graft_shingle_hashes")(args(1))) }, "scala_udf")
     r.createOrReplaceTempFunction("graft_char_grams",
-      (args: Seq[Expression]) => CharGramHashes(args(0), asInt("graft_char_grams")(args(1))), "scala_udf")
+      (args: Seq[Expression]) => { arity("graft_char_grams", args, 2)
+        CharGramHashes(args(0), asInt("graft_char_grams")(args(1))) }, "scala_udf")
     r.createOrReplaceTempFunction("graft_winnow",
-      (args: Seq[Expression]) => Winnow(args(0), asInt("graft_winnow")(args(1))), "scala_udf")
+      (args: Seq[Expression]) => { arity("graft_winnow", args, 2)
+        Winnow(args(0), asInt("graft_winnow")(args(1))) }, "scala_udf")
     r.createOrReplaceTempFunction("graft_minhash_sig",
-      (args: Seq[Expression]) => MinHashSig(args(0), asInt("graft_minhash_sig")(args(1))), "scala_udf")
+      (args: Seq[Expression]) => { arity("graft_minhash_sig", args, 2)
+        MinHashSig(args(0), asInt("graft_minhash_sig")(args(1))) }, "scala_udf")
     r.createOrReplaceTempFunction("graft_simhash48",
       (args: Seq[Expression]) => SimHash48(args.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_dot_f",

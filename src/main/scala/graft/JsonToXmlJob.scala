@@ -15,18 +15,22 @@ import graft.xml.{XmlDocument, XmlRules}
   * ordered X2 fold → single-object write. No temp-file stage; the
   * source/sink URIs replace the reference's boto3 download/upload plumbing.
   *
-  * Usage: JsonToXmlJob [input.json] [output.xml] [--escape]
+  * Usage: JsonToXmlJob [input.json] [output.xml] [--escape] [--s3-out]
   *
   * Defaults come from [[GraftConfig]] (S5): input = the reference's
-  * `s3://S3_BUCKET/S3_JSON_KEY` object, output = `OUTPUT_XML_PATH` —
-  * positional args override env (and any Hadoop FS URI works for either).
+  * `s3://S3_BUCKET/S3_JSON_KEY` object, output = `OUTPUT_XML_PATH`
+  * locally or `s3a://S3_BUCKET/S3_XML_KEY` with `--s3-out` (the
+  * reference's upload target) — positional args override env (and any
+  * Hadoop FS URI works for either).
   */
 object JsonToXmlJob {
   def main(args: Array[String]): Unit = {
     val conf = GraftConfig.fromEnv()
     val positional = args.filterNot(_.startsWith("--"))
     val in = positional.lift(0).getOrElse(s"s3a://${conf.s3Bucket}/${conf.s3JsonKey}")
-    val out = positional.lift(1).getOrElse(conf.outputXmlPath)
+    val out = positional.lift(1).getOrElse(
+      if (args.contains("--s3-out")) s"s3a://${conf.s3Bucket}/${conf.s3XmlKey}"
+      else conf.outputXmlPath)
     val rules = XmlRules.reference.copy(escape = args.contains("--escape"))
     val spark = GraftSession.builder(
         master = sys.env.getOrElse("SPARK_MASTER",
@@ -34,10 +38,14 @@ object JsonToXmlJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // pinned once: assemble and the count read the same materialized
+      // rows rather than re-parsing the multiLine JSON per action
       val df = Sources.jsonDocuments(spark, in, ProductSchemas.nested)
+        .localCheckpoint()
+      val n = df.count()
       val doc = XmlDocument.assemble(df, rules)
       XmlDocument.writeSingleObject(spark, out, doc)
-      println(s"[json-to-xml] wrote ${doc.length} chars, ${df.count()} products -> $out")
+      println(s"[json-to-xml] wrote ${doc.length} chars, $n products -> $out")
     } finally spark.stop()
   }
 }

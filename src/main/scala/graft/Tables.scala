@@ -32,14 +32,21 @@ object Tables {
     */
   def parquetRowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val files: Seq[org.apache.hadoop.fs.FileStatus] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.filter(f => f.isFile &&
-          f.getPath.getName.endsWith(".parquet"))
-      else Seq(fs.getFileStatus(p))
-    files.map { f =>
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    // RECURSE into subdirectories: a Hive-partitioned layout keeps its
+    // part files one level down, and a non-recursive listing would
+    // silently return 0 — which downstream sizing (LSH bucket counts)
+    // would accept as a real corpus size
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) Seq(st)
+      else fs.listStatus(p).toSeq
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .flatMap(f => if (f.isDirectory) walk(f.getPath)
+          else if (f.getPath.getName.endsWith(".parquet")) Seq(f) else Nil)
+    }
+    walk(root).map { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
       try reader.getRecordCount finally reader.close()

@@ -64,13 +64,20 @@ object Multimodal {
   case class DecodedMeta(asset_id: Long, width: Int, height: Int,
                          n_frames: Int, fingerprint: Long)
 
-  /** Deterministic payload fingerprint (rolling polynomial hash). */
-  def payloadHash(payload: Array[Byte]): Long = {
+  /** Rolling polynomial hash of a byte range — the ONE fingerprint kernel
+    * shared by whole-payload hashing and frame sampling (two inline copies
+    * could drift and break cross-operator comparability).
+    */
+  def hashRange(payload: Array[Byte], from: Int, until: Int): Long = {
     var h = 0L
-    var i = 0
-    while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+    var i = from
+    while (i < until) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
     h
   }
+
+  /** Deterministic payload fingerprint (rolling polynomial hash). */
+  def payloadHash(payload: Array[Byte]): Long =
+    hashRange(payload, 0, payload.length)
 
   /** Magic-byte sniff for the formats `javax.imageio` ships decoders for. */
   def looksLikeImage(b: Array[Byte]): Boolean =
@@ -202,9 +209,12 @@ object Multimodal {
     * codec batched per partition) -> 4x16-bit banded self-join (identical
     * blocking to SimHash: <=3 flipped bits CANNOT miss every band) ->
     * exact hamming verify. The corpus is never compared all-pairs; the
-    * quadratic term is bounded per band bucket.
+    * quadratic term is bounded per band bucket. The default threshold
+    * matches the banding guarantee: with 4 bands, <= 3 flipped bits
+    * CANNOT miss every band (pigeonhole) — a higher threshold would
+    * silently drop pairs whose flips straddle all four bands.
     */
-  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     val hashes = assets.select(col("asset_id"), col("payload"))
@@ -255,11 +265,8 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         val payload = Option(bytes).getOrElse(Array.emptyByteArray)
         (0 until payload.length by 64 * stride).iterator.map { off =>
-          var h = 0L
-          var i = off
-          val end = math.min(off + 64, payload.length)
-          while (i < end) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
-          Frame(id, off / 64, h)
+          Frame(id, off / 64,
+            hashRange(payload, off, math.min(off + 64, payload.length)))
         }
       }
   }

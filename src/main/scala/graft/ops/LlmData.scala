@@ -576,7 +576,7 @@ object LlmData {
     // at any scale) with one dim nudged by 0.01 — a perceptually-
     // invisible edit. Measured margins: planted
     // pairs land at hamming <= 2, the closest background pair at 15, so
-    // the <= 6 cut returns exactly the planted set. Rows-only (the oracle
+    // the banding-complete <= 3 cut returns exactly the planted set. Rows-only (the oracle
     // engine has no image codec); ground truth asserted in LlmDataSpec.
     "multimodal_image_neardup" -> ((s, dir) => {
       val spark = s

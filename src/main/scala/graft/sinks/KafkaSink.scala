@@ -56,6 +56,19 @@ object KafkaSink {
     * validated up front with the connector's own rules either way, so a
     * shape bug fails here and not at cluster submit time.
     */
+  /** Publish an ALREADY-SHAPED message frame with a caller-supplied full
+    * option map — the entry point that lets [[graft.GraftConfig]]'s
+    * env-tuned producer knobs (acks, retries, batching) actually reach
+    * the producer instead of the hard-coded reference defaults.
+    */
+  def writeMessages(msgs: DataFrame, topic: String,
+                    options: Map[String, String],
+                    format: String = "kafka"): Unit = {
+    KafkaLogSink.validateMessageSchema(msgs.schema, topicOption = true)
+    msgs.write.format(format).mode("append")
+      .options(options).option("topic", topic).save()
+  }
+
   def write(df: DataFrame, topic: String, bootstrap: String,
             keyCol: Option[String] = None, format: String = "kafka",
             extraOptions: Map[String, String] = Map.empty): Unit = {

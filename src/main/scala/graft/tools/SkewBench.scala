@@ -24,13 +24,17 @@ object SkewBench {
 
     // 90% of fact rows share one key; dimension too big to broadcast is
     // simulated by disabling broadcast outright.
+    // localCheckpoint RETURNS the pinned frame (the result was previously
+    // discarded, so every timed variant re-ran the scan + projection and
+    // the isolation premise failed)
     val fact = graft.Tables.events(spark, sfDir)
       .select(when(col("user_id") % 10 =!= 0, lit(0L))
         .otherwise(col("user_id")).as("k"),
         col("value"))
+      .localCheckpoint()
     val dim = spark.range(0, 2000).select(col("id").as("k"),
       sha2(col("id").cast("string"), 256).as("payload"))
-    fact.localCheckpoint(); dim.localCheckpoint() // isolate join cost
+      .localCheckpoint()
 
     def agg(j: org.apache.spark.sql.DataFrame) =
       j.groupBy(col("k")).agg(count(lit(1)).as("n"),
