@@ -724,6 +724,21 @@ object Relational {
       scd2Intervals(Tables.load(s, dir, "orders"))
         .orderBy("o_custkey", "valid_from", "o_orderkey")),
 
+    // ---- activity heatmap: day-of-week x hour ------------------------------
+    // The operational-dashboard matrix (when does traffic happen): one
+    // partial-agg'd groupBy over derived calendar keys, 168 output cells
+    // regardless of corpus size. ISO day numbering (1 = Monday) matches
+    // DuckDB's isodow directly.
+    "events_hourly_heatmap" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(dayofweek(col("ts")).as("dow_raw"), hour(col("ts")).as("hh"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        // Spark dayofweek: 1 = Sunday; shift to ISO 1 = Monday
+        .select((pmod(col("dow_raw") + 5, lit(7)) + 1).cast("long").as("dow"),
+          col("hh").cast("long").as("hh"), col("n_events"), col("total_value"))
+        .orderBy("dow", "hh")),
+
     // ---- chi-square independence test --------------------------------------
     // Statistical testing as a first-class op: status x priority
     // contingency table, chi2 = sum (o-e)^2/e with e = rowT*colT/N. Each
@@ -1799,6 +1814,12 @@ object Relational {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
         |       count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "events_hourly_heatmap" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+        |       CAST(hour(ts) AS BIGINT) AS hh,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY dow, hh ORDER BY dow, hh""".stripMargin,
     "chisq_status_priority" ->
       """WITH obs AS (
         |  SELECT o_orderstatus AS st, o_orderpriority AS pr, count(*) AS o
