@@ -9,6 +9,10 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args: bench only the named queries (dev loop for chasing a
+    // single regression without the 100-second full sweep). The driver
+    // contract (no args = every query) is unchanged.
+    val only = args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // AQE coalescing below defaultParallelism (parallelismFirst=false +
     // advisory size) now lives in GraftSession.builder so Bench, Verify,
@@ -22,9 +26,28 @@ object Bench {
     // land on whichever query happens to run first.
     spark.range(100).selectExpr("id", "sha2(cast(id as string), 256) as h")
       .write.format("noop").mode("overwrite").save()
+    // ...and the shuffle/aggregate/join/generator machinery: exchange
+    // write+read, hash + object-hash aggregation, a broadcast join, and a
+    // generator, on 20 K synthetic rows. Without this the first heavy
+    // query absorbs seconds of one-time Janino/JIT bootstrap for these
+    // code paths that belongs to the JVM, not the query (measured ~4.5 s
+    // cold-vs-warm on an identical pagerank run at sf0.1).
+    locally {
+      import org.apache.spark.sql.functions._
+      val dim = spark.range(0, 500).selectExpr("id AS e2")
+      spark.range(0, 20000).selectExpr("id % 500 AS k", "id AS v")
+        .repartition(4, col("k"))
+        .groupBy("k").agg(collect_set(col("v")).as("s"), sum(col("v")).as("sv"))
+        .select(explode(col("s")).as("e"), col("sv"))
+        .join(broadcast(dim), col("e") % 500 === col("e2"))
+        .groupBy(col("e2")).agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
     var failed = List.empty[String]
     var construct = Map.empty[String, Double]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column —
       // a bare count() would let Catalyst prune projections and

@@ -57,6 +57,20 @@ object Curation {
     when(h1 * h1 % lit(TextOps.P) % 2 === 0, 1.0).otherwise(-1.0)
   }
 
+  /** The raw JL-projected vector (ARRAY<DOUBLE> of length [[RpDim]]) — the
+    * library entry point for callers that feed the sketch into ANN
+    * indexing. The registered query wraps this in scalar checksums because
+    * the oracle comparator cannot hash a raw array column.
+    */
+  def randomProjection(emb: Column): Column = {
+    val x = transform(emb, e => e.cast("double"))
+    transform(sequence(lit(0), lit(RpDim - 1)), j =>
+      aggregate(
+        zip_with(x, sequence(lit(0), lit(LlmData.EmbDim - 1)),
+          (xi, i) => xi * signExpr(i, j)),
+        lit(0.0), (acc, v) => acc + v))
+  }
+
   private def prioAgg(df: DataFrame): DataFrame =
     df.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
@@ -172,19 +186,22 @@ object Curation {
     // matrix REGENERATED from a hash of (i, j) — nothing is stored or
     // broadcast, so the op is a pure narrow projection at any scale (the
     // standard cheap first stage before ANN indexing at 100 TB; distance
-    // preservation is asserted in CurationSpec). Sums fold sequentially
+    // preservation is asserted in CurationSpec). The registered query
+    // emits per-vector SCALARS — a position-weighted checksum and the
+    // squared norm — rather than the projected array itself (a raw array
+    // column is unhashable for the oracle comparator; the checksum pins
+    // every coordinate, the quantizeInt8 recipe). Sums fold sequentially
     // (exact order), so doubles hash-match the oracle bit for bit.
-    "emb_random_projection" -> ((s, dir) => {
-      val x = transform(col("embedding"), e => e.cast("double"))
-      val proj = transform(sequence(lit(0), lit(RpDim - 1)), j =>
-        aggregate(
-          zip_with(x, sequence(lit(0), lit(LlmData.EmbDim - 1)),
-            (xi, i) => xi * signExpr(i, j)),
-          lit(0.0), (acc, v) => acc + v))
+    "emb_random_projection" -> ((s, dir) =>
       Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), proj.as("proj"))
-        .orderBy("vec_id")
-    }),
+        .select(col("vec_id"), randomProjection(col("embedding")).as("p"))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("p"), sequence(lit(1), lit(RpDim)),
+              (pj, w) => pj * w.cast("double")),
+            lit(0.0), (acc, v) => acc + v).as("proj_checksum"),
+          aggregate(transform(col("p"), pj => pj * pj),
+            lit(0.0), (acc, v) => acc + v).as("proj_norm2"))
+        .orderBy("vec_id")),
 
     // ---- bounded-memory heavy hitters --------------------------------------
     // Top-k tokens via a Misra-Gries sketch + exact refine, NOT a full
@@ -279,14 +296,21 @@ object Curation {
     "emb_random_projection" -> {
       val mix = TextOps.MIX % TextOps.P
       val p = TextOps.P
-      s"""SELECT vec_id,
-         |  list_transform(range(0, $RpDim), j ->
-         |    list_sum(list_transform(range(0, ${LlmData.EmbDim}), i ->
-         |      CAST(embedding[i + 1] AS DOUBLE) *
-         |      (CASE WHEN ((i * $RpDim + j + 1) * $mix % $p)
-         |                 * ((i * $RpDim + j + 1) * $mix % $p) % $p % 2 = 0
-         |            THEN 1.0 ELSE -1.0 END)))) AS proj
-         |FROM embeddings ORDER BY vec_id""".stripMargin
+      s"""WITH proj AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, $RpDim), j ->
+         |      list_sum(list_transform(range(0, ${LlmData.EmbDim}), i ->
+         |        CAST(embedding[i + 1] AS DOUBLE) *
+         |        (CASE WHEN ((i * $RpDim + j + 1) * $mix % $p)
+         |                   * ((i * $RpDim + j + 1) * $mix % $p) % $p % 2 = 0
+         |              THEN 1.0 ELSE -1.0 END)))) AS p
+         |  FROM embeddings
+         |)
+         |SELECT vec_id,
+         |  list_sum(list_transform(range(0, $RpDim),
+         |    j -> p[j + 1] * CAST(j + 1 AS DOUBLE))) AS proj_checksum,
+         |  list_sum(list_transform(p, e -> e * e)) AS proj_norm2
+         |FROM proj ORDER BY vec_id""".stripMargin
     },
     "vocab_heavy_hitters" ->
       s"""SELECT token, count(*) AS n

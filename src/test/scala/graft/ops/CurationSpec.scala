@@ -72,8 +72,9 @@ class CurationSpec extends SparkSpec {
   }
 
   test("emb_random_projection: JL distance distortion is bounded on sample pairs") {
-    val proj = Curation.queries("emb_random_projection")(spark, sfDir)
+    val proj = Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") < 40)
+      .select(col("vec_id"), Curation.randomProjection(col("embedding")))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val orig = Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") < 40)
@@ -92,6 +93,20 @@ class CurationSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0.1 && r < 3.0), s"worst=${ratios.max}")
     val mean = ratios.sum / ratios.size
     assert(math.abs(mean - 1.0) < 0.15, s"mean=$mean")
+
+    // the registered scalar query (checksum + norm2) pins every coordinate
+    // of the raw projection: recompute both from the array client-side
+    // (left-to-right fold, same order as the Spark aggregate) and demand
+    // bit equality
+    val scal = Curation.queries("emb_random_projection")(spark, sfDir)
+      .filter(col("vec_id") < 40)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    ids.foreach { id =>
+      val p = proj(id)
+      val ck = p.zipWithIndex.foldLeft(0.0) { case (acc, (v, j)) => acc + v * (j + 1) }
+      val n2 = p.foldLeft(0.0)((acc, v) => acc + v * v)
+      assert(scal(id) == ((ck, n2)), s"vec $id scalar mismatch")
+    }
   }
 
   test("corpus_manifest checksum is order/partitioning independent and change-sensitive") {

@@ -146,6 +146,19 @@ class RelationalSpec extends SparkSpec {
     assert(bloom == plain)
   }
 
+  test("bloom mask is memoized: a second semantically-equal build constructs instantly") {
+    val c = graft.Tables.load(spark, sfDir, "customer")
+    val big = graft.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    Relational.bloomSemiJoin(c, "c_custkey", big, "o_custkey") // warm the memo
+    val big2 = graft.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    val t0 = System.nanoTime()
+    Relational.bloomSemiJoin(c, "c_custkey", big2, "o_custkey")
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 150.0, s"memoized mask construct took $ms ms")
+  }
+
   test("bloom pre-filter has no false negatives on a synthetic key set") {
     import spark.implicits._
     val probe = spark.range(0, 2000).toDF("pk")
@@ -257,6 +270,18 @@ class RelationalSpec extends SparkSpec {
     }
     val want = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
     assert(got.toSeq == want, s"spark=$got expected=$want")
+  }
+
+  test("pagerank shuffle-join mode is hash-identical to broadcast mode and reuses the memoized graph") {
+    val bc = graft.ops.Relational.pageRankParts(spark, sfDir).collect().toSeq
+    // second construction must hit the (session, dir) graph memo — the
+    // expensive edge self-join is not rebuilt (sub-second construct; the
+    // cold build is 5-10x that even at this SF)
+    val t0 = System.nanoTime()
+    val sh = graft.ops.Relational.pageRankParts(spark, sfDir, broadcastRanks = false)
+    val constructMs = (System.nanoTime() - t0) / 1e6
+    assert(constructMs < 1000.0, s"memoized construct took $constructMs ms")
+    assert(sh.collect().toSeq == bc)
   }
 
   test("HLL sliding distinct tracks the exact sliding distinct within 5%") {
