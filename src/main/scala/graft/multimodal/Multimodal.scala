@@ -12,10 +12,13 @@ import org.apache.spark.sql.types._
   * batching, deterministic output shape — is real and tested. The IMAGE
   * codec is real: payloads whose magic bytes say PNG/JPEG/GIF/BMP decode
   * through `javax.imageio` (in the JDK — no external libraries) to true
-  * width × height. Audio/video payloads remain STUBBED (no codec libs in
-  * this container): a deterministic fake derives pseudo-dimensions and
-  * pseudo-frames from the payload bytes. Swapping in a real A/V codec
-  * changes only the marked function body, not the plan shape.
+  * width × height. VIDEO METADATA is real for MP4/MOV: a pure-Scala
+  * ISO BMFF `moov/trak/tkhd` + `stsz` header parse ([[mp4Decode]]) yields
+  * true presentation dimensions and frame count with zero external deps.
+  * Only pixel-level A/V decode remains STUBBED (no codec libs in this
+  * container): a deterministic fake derives pseudo-dimensions from the
+  * payload bytes. Swapping in a real A/V codec changes only the marked
+  * function body, not the plan shape.
   *
   * Scale notes: payloads stay in executor memory one partition at a time;
   * `mapPartitions` amortizes per-batch codec setup exactly like a Pandas
@@ -99,12 +102,96 @@ object Multimodal {
       else Some(DecodedMeta(assetId, img.getWidth, img.getHeight, 1, payloadHash(payload)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB decode for non-image media: derives deterministic
-    * pseudo-dimensions from the payload — replace the body with a real
-    * A/V codec (e.g. jcodec) when available.
+  /** ISO BMFF (MP4/MOV) sniff: the first box is conventionally `ftyp`. */
+  def looksLikeMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** REAL video METADATA decode: a pure-Scala ISO/IEC 14496-12 box-tree
+    * walk (no codec library — the container header layout is public
+    * spec). Per `trak`: the `tkhd` track header carries 16.16 fixed-point
+    * presentation width/height, and the sample-table `stsz`/`stz2` box
+    * carries the sample (frame) count. The first track with non-zero
+    * dimensions is the video track. Returns None when no parseable
+    * moov/trak/tkhd exists (truncated or exotic container) — callers fall
+    * back to the stub. Frame PIXELS are not decoded (that genuinely needs
+    * a codec); dimensions + frame count cover the metadata-filter and
+    * frame-budgeting paths a curation pipeline runs before any decode.
+    */
+  def mp4Decode(assetId: Long, payload: Array[Byte]): Option[DecodedMeta] = {
+    if (!looksLikeMp4(payload)) return None
+    def be32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def boxType(o: Int): String =
+      new String(payload, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // boxes whose payload is itself a box sequence (pure containers only;
+    // `meta` is excluded — it carries a version/flags prefix)
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    // (size, headerLen) of the box at o, or None if malformed/truncated
+    def boxAt(o: Int, until: Int): Option[(Long, Int)] = {
+      if (o + 8 > until) return None
+      be32(o) match {
+        case 0 => Some(((until - o).toLong, 8)) // box runs to end of range
+        case 1 => if (o + 16 > until) None else Some((be64(o + 8), 16))
+        case n => Some((n, 8))
+      }
+    }
+    // depth-first: find direct/nested children of a given type
+    def children(from: Int, until: Int): Iterator[(String, Int, Int)] =
+      Iterator.unfold(from) { o =>
+        if (o >= until) None
+        else boxAt(o, until) match {
+          case Some((size, hdr)) if size >= hdr && o + size <= until =>
+            Some(((boxType(o), o + hdr, o + size.toInt), o + size.toInt))
+          case _ => None // malformed size: stop walking this level
+        }
+      }
+    def find(from: Int, until: Int, path: List[String]): Option[(Int, Int)] =
+      path match {
+        case Nil => Some((from, until))
+        case t :: rest =>
+          children(from, until).collectFirst { case (`t`, f, u) => (f, u) }
+            .flatMap { case (f, u) => find(f, u, rest) }
+      }
+    def tkhdDims(from: Int, until: Int): Option[(Int, Int)] = {
+      if (from >= until) return None
+      val v = payload(from) & 0xff
+      val widthOff = from + (if (v == 1) 88 else 76)
+      if (widthOff + 8 > until) return None
+      // 16.16 fixed point; integer part only
+      val w = (be32(widthOff) >> 16).toInt
+      val h = (be32(widthOff + 4) >> 16).toInt
+      if (w > 0 && h > 0) Some((w, h)) else None
+    }
+    def sampleCount(trakFrom: Int, trakUntil: Int): Option[Int] =
+      Iterator("stsz", "stz2").flatMap(b =>
+        find(trakFrom, trakUntil, List("mdia", "minf", "stbl", b))).nextOption()
+        .collect { case (f, u) if f + 12 <= u => be32(f + 8).toInt }
+    try {
+      val all = boxAt(0, payload.length).iterator
+        .flatMap(_ => children(0, payload.length))
+      all.collectFirst { case ("moov", mf, mu) =>
+        children(mf, mu).collect { case ("trak", tf, tu) =>
+          find(tf, tu, List("tkhd")).flatMap { case (f, u) => tkhdDims(f, u) }
+            .map { case (w, h) =>
+              DecodedMeta(assetId, w, h,
+                math.max(sampleCount(tf, tu).getOrElse(1), 1),
+                payloadHash(payload))
+            }
+        }.flatten.nextOption()
+      }.flatten
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB decode for media with neither an imageio codec nor a parseable
+    * BMFF header: derives deterministic pseudo-dimensions from the
+    * payload — replace the body with a real A/V codec (e.g. a jcodec-
+    * style library) when available. This is the LAST fallback; MP4/MOV
+    * containers get real dimensions from [[mp4Decode]].
     */
   def stubDecode(assetId: Long, payload: Array[Byte]): DecodedMeta = {
-    // STUB — a real implementation would parse the container header here.
+    // STUB — a real implementation would decode the bitstream here.
     val h = payloadHash(payload)
     val w = 16 + (h % 1024).toInt
     val ht = 16 + ((h / 1024) % 1024).toInt
@@ -125,7 +212,9 @@ object Multimodal {
         // A/V codec would init once per partition)
         it.map { case (id, bytes) =>
           val payload = Option(bytes).getOrElse(Array.emptyByteArray)
-          imageDecode(id, payload).getOrElse(stubDecode(id, payload))
+          imageDecode(id, payload)
+            .orElse(mp4Decode(id, payload))
+            .getOrElse(stubDecode(id, payload))
         }
       }
   }

@@ -535,17 +535,27 @@ object LlmData {
     // share an Aggregate (same Sort/ObjectAgg coupling measured on
     // profile_orders), and the branches schedule as independent stages.
     // Measured 1.8 s -> 0.5 s warm at sf0.1.
+    // Output shape is ORACLE-CHECKABLE end to end: the exact columns are
+    // compared value-exact, and the sketch estimates are folded into
+    // boolean within-tolerance flags whose oracle expectation is literal
+    // TRUE — if the HLL or KLL estimate ever drifts past the declared
+    // bound, the flag flips and the hash gate fails. (The raw estimates
+    // themselves can't be oracle-compared: DuckDB's sketches are not
+    // bit-compatible with Spark's.)
     "approx_sketches" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val approx = ev.agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"))
+        approx_count_distinct(col("user_id")).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap"))
       val exactU = ev.select(col("user_id")).distinct()
         .agg(count(lit(1)).as("exact_users"))
       val exactP = ev.agg(expr("percentile(value, 0.5)").as("exact_p50"))
       approx.crossJoin(exactU).crossJoin(exactP)
-        .select(col("approx_users"), col("exact_users"),
-          col("approx_p50"), col("exact_p50"))
+        .select(col("exact_users"), col("exact_p50"),
+          (abs(col("au") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("approx_users_ok"),
+          (abs(col("ap") - col("exact_p50")) <=
+            abs(col("exact_p50")) * lit(0.05) + lit(1e-9)).as("approx_p50_ok"))
     }),
 
     // ---- multimodal --------------------------------------------------------
@@ -595,6 +605,15 @@ object LlmData {
   )
 
   def oracle: Map[String, String] = Map(
+    // exact columns compared value-exact; the within-tolerance flags must
+    // come back literal TRUE (quantile_cont == Spark's interpolating
+    // percentile — dyadic-exact parity proven by agg_percentiles)
+    "approx_sketches" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |       quantile_cont("value", 0.5) AS exact_p50,
+        |       TRUE AS approx_users_ok,
+        |       TRUE AS approx_p50_ok
+        |FROM events""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(${TextSql.tokens("text")}) AS BIGINT) AS n_tokens,

@@ -205,12 +205,17 @@ class LlmDataSpec extends SparkSpec {
 
   test("approx sketches are within tolerance of exact values") {
     val r = SparkEntry.queries("approx_sketches")(spark, sfDir).head
-    val (approxU, exactU) = (r.getLong(0), r.getLong(1))
+    val (exactU, exactP) = (r.getLong(0), r.getDouble(1))
+    assert(exactU > 0 && !exactP.isNaN)
+    // the registered tolerance flags ARE the sketch-vs-exact contract
+    // (oracle expects literal TRUE for both)
+    assert(r.getBoolean(2), "HLL users estimate outside 5%")
+    assert(r.getBoolean(3), "KLL p50 estimate outside 5%")
+    // and the raw estimates recomputed directly agree with the flags
+    val ev = Tables.events(spark, sfDir)
+    val approxU = ev.agg(approx_count_distinct(col("user_id"))).head.getLong(0)
     assert(math.abs(approxU - exactU).toDouble / exactU < 0.05,
       s"HLL err: $approxU vs $exactU")
-    val (approxP, exactP) = (r.getDouble(2), r.getDouble(3))
-    assert(math.abs(approxP - exactP) / math.max(exactP, 1e-9) < 0.05,
-      s"p50 err: $approxP vs $exactP")
   }
 
   test("per-priority XML documents: one well-formed doc per key") {
@@ -284,6 +289,49 @@ class LlmDataSpec extends SparkSpec {
     // non-image payloads keep the deterministic stub path
     val stub = Multimodal.stubDecode(3L, "not an image".getBytes("UTF-8"))
     assert(out(2) == stub)
+  }
+
+  test("mp4 payloads decode to TRUE tkhd dimensions and stsz frame count") {
+    import spark.implicits._
+    // minimal ISO BMFF fixture built from the public spec layout
+    def be32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def box(tpe: String, content: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(content.length + 8)
+      bb.putInt(content.length + 8).put(tpe.getBytes("US-ASCII")).put(content)
+      bb.array()
+    }
+    def tkhd(w: Int, h: Int, version: Int): Array[Byte] = {
+      val c = new Array[Byte](if (version == 1) 96 else 84)
+      c(0) = version.toByte
+      val off = if (version == 1) 88 else 76
+      System.arraycopy(be32(w.toLong << 16), 0, c, off, 4)
+      System.arraycopy(be32(h.toLong << 16), 0, c, off + 4, 4)
+      box("tkhd", c)
+    }
+    def trak(w: Int, h: Int, frames: Int, version: Int = 0): Array[Byte] = {
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(frames.toLong))
+      box("trak", tkhd(w, h, version) ++
+        box("mdia", box("minf", box("stbl", stsz))))
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    // audio track (zero dims) FIRST — the walker must skip to the video one
+    val mp4v0 = ftyp ++ box("moov", trak(0, 0, 9999) ++ trak(320, 240, 48))
+    val mp4v1 = ftyp ++ box("moov", trak(1920, 1080, 24, version = 1))
+    val d0 = Multimodal.mp4Decode(1L, mp4v0).get
+    assert(d0.width == 320 && d0.height == 240 && d0.n_frames == 48)
+    val d1 = Multimodal.mp4Decode(2L, mp4v1).get
+    assert(d1.width == 1920 && d1.height == 1080 && d1.n_frames == 24)
+    // not BMFF / truncated → None (callers fall back to the stub)
+    assert(Multimodal.mp4Decode(3L, "plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.mp4Decode(4L, mp4v0.take(40)).isEmpty)
+    // the decode() operator dispatches mp4 payloads to the real parser
+    val assets = Seq((1L, "video/mp4", mp4v0),
+      (2L, "application/octet-stream", "not media".getBytes("UTF-8")))
+      .toDF("asset_id", "media_type", "payload")
+    val out = Multimodal.decode(assets).collect().sortBy(_.asset_id)
+    assert(out(0).width == 320 && out(0).height == 240 && out(0).n_frames == 48)
+    assert(out(1) == Multimodal.stubDecode(2L, "not media".getBytes("UTF-8")))
   }
 
   test("frame sampling emits stride-spaced frame indices per asset") {
