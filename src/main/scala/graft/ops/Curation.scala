@@ -39,6 +39,18 @@ object Curation {
   val TrainPct = 80
   val ValPct = 90
 
+  /** Temperature-sampled mixture target size. The temperature is FIXED at
+    * alpha = 0.5 and applied as `sqrt` — IEEE-754 requires sqrt correctly
+    * rounded, so both engines compute identical weights; a general
+    * `pow(n, alpha)` has no such guarantee across libms and would break
+    * the hash gate (the same reasoning that keeps idf rational in
+    * text_tfidf_top_terms).
+    */
+  val TempTarget = 100
+
+  /** Embedding-outlier report size. */
+  val OutlierK = 10
+
   private def weightCol: Column =
     least(expr("n_chars div 100") + 1, lit(WeightCap))
 
@@ -203,6 +215,94 @@ object Curation {
             lit(0.0), (acc, v) => acc + v).as("proj_norm2"))
         .orderBy("vec_id")),
 
+    // ---- temperature-sampled domain mixture --------------------------------
+    // The data-mixing step of every multi-source training corpus: source s
+    // contributes quota_s = floor(Target * sqrt(n_s) / sum sqrt(n_s)) docs
+    // — sqrt (alpha = 0.5) UPWEIGHTS small sources relative to
+    // proportional sampling, the standard temperature trick. WHICH docs
+    // fill a quota is a pure function of the stable doc id (rank by doc-id
+    // hash within source), so the mixture is reproducible across engines
+    // and reprocessing. The sqrt-weight total folds IN SOURCE ORDER
+    // through a sorted-array aggregate (engine-reproducible double sum,
+    // O(sources) rows). Scale shape: count + broadcast quotas; the rank
+    // window partitions BY SOURCE over (doc_id, source) pairs only — at
+    // extreme per-source cardinality swap the rank for a per-source hash
+    // THRESHOLD from an approx quantile (trades exact quota for no sort).
+    "sample_temperature" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", sqrt(col("n_docs").cast("double")))
+      val tot = counts
+        .agg(aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+          lit(0.0), (acc, x) => acc + x("w")).as("tot_w"))
+      val quota = counts.crossJoin(tot)
+        .select(col("source"),
+          floor(lit(TempTarget) * col("w") / col("tot_w")).cast("long").as("quota"))
+      val byHash = Window.partitionBy(col("source"))
+        .orderBy(pmod(TextOps.polyHash(col("doc_id").cast("string")),
+          lit(1000000L)), col("doc_id"))
+      d.select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(byHash))
+        .join(broadcast(quota), "source")
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("quota"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-label embedding centroids -------------------------------------
+    // Dataset cartography over the vector table: one centroid per label
+    // per dimension. The mean folds members in vec-id order (sort_array +
+    // sequential aggregate — the kmeansCentroids exactFold recipe), so the
+    // double sum is bit-identical to the oracle's
+    // `list_sum(list(x ORDER BY vec_id))`. One exchange of (label, dim)
+    // cells; members materialize per aggregation buffer, so at extreme
+    // per-label cardinality swap in the plain-avg scale mode exactly as
+    // kmeansCentroids(exactFold = false) does (last-ulp tolerance instead
+    // of hash-exact).
+    "emb_label_centroids" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast("long").as("dim"),
+          struct(col("vec_id"), col("col").cast("double").as("x")).as("m"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sort_array(collect_list(col("m"))).as("ms"))
+        .select(col("label"), col("dim"), size(col("ms")).cast("long").as("n"),
+          (aggregate(col("ms"), lit(0.0), (acc, m) => acc + m.getField("x"))
+            / size(col("ms"))).as("centroid"))
+        .orderBy("label", "dim")),
+
+    // ---- embedding outliers ------------------------------------------------
+    // The farthest-from-centroid report that catches corrupt/mislabeled
+    // vectors before they poison ANN indexes or dedup thresholds. Global
+    // per-dimension centroid via the same vec-id-ordered fold as
+    // emb_label_centroids, assembled into an ordered array by a
+    // dimension-sorted fold, broadcast, then squared L2 per vector folds
+    // SEQUENTIALLY over dimensions (fixed order — bit-exact cross-engine).
+    // Top-k is TakeOrderedAndProject: one narrow pass over the corpus
+    // plus an O(dims) broadcast, no global sort at any scale.
+    "emb_outliers" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cent = e.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("pos"),
+          struct(col("vec_id"), col("col").cast("double").as("x")).as("m"))
+        .groupBy(col("pos"))
+        .agg(sort_array(collect_list(col("m"))).as("ms"))
+        .select(col("pos"),
+          (aggregate(col("ms"), lit(0.0), (acc, m) => acc + m.getField("x"))
+            / size(col("ms"))).as("c"))
+        .agg(collect_list(struct(col("pos"), col("c"))).as("pc"))
+        .select(transform(array_sort(col("pc")), x => x("c")).as("cent"))
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          aggregate(
+            zip_with(transform(col("embedding"), x => x.cast("double")), col("cent"),
+              (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v).as("dist2"))
+        .orderBy(col("dist2").desc, col("vec_id")).limit(OutlierK)
+    }),
+
     // ---- bounded-memory heavy hitters --------------------------------------
     // Top-k tokens via a Misra-Gries sketch + exact refine, NOT a full
     // vocabulary groupBy: each map task keeps at most MgCapacity counters
@@ -312,6 +412,55 @@ object Curation {
          |  list_sum(list_transform(p, e -> e * e)) AS proj_norm2
          |FROM proj ORDER BY vec_id""".stripMargin
     },
+    "sample_temperature" -> {
+      val h = TextSql.polyHash("CAST(doc_id AS VARCHAR)")
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         sqrt(CAST(count(*) AS DOUBLE)) AS w
+         |  FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(w ORDER BY source)), (a, b) -> a + b) AS tot_w
+         |  FROM counts
+         |), quota AS (
+         |  SELECT source,
+         |         CAST(floor($TempTarget * w / tot_w) AS BIGINT) AS quota
+         |  FROM counts, tot
+         |), ranked AS (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ($h) % 1000000, doc_id) AS rn
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, quota
+         |FROM ranked JOIN quota USING (source)
+         |WHERE rn <= quota ORDER BY doc_id""".stripMargin
+    },
+    "emb_label_centroids" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, CAST(i.i AS BIGINT) AS dim,
+         |       count(*) AS n,
+         |       list_sum(list(CAST(embedding[i.i + 1] AS DOUBLE) ORDER BY vec_id))
+         |         / count(*) AS centroid
+         |FROM embeddings, range(0, ${LlmData.EmbDim}) i(i)
+         |GROUP BY label, i.i ORDER BY label, dim""".stripMargin,
+    "emb_outliers" ->
+      s"""WITH cells AS (
+         |  SELECT i.i AS pos,
+         |         list_sum(list(CAST(embedding[i.i + 1] AS DOUBLE) ORDER BY vec_id))
+         |           / count(*) AS c
+         |  FROM embeddings, range(0, ${LlmData.EmbDim}) i(i)
+         |  GROUP BY i.i
+         |), ca AS (
+         |  SELECT list(c ORDER BY pos) AS cent FROM cells
+         |)
+         |SELECT vec_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(0, ${LlmData.EmbDim}), j ->
+         |      (CAST(embedding[j + 1] AS DOUBLE) - cent[j + 1])
+         |        * (CAST(embedding[j + 1] AS DOUBLE) - cent[j + 1]))),
+         |    (a, b) -> a + b) AS dist2
+         |FROM embeddings, ca
+         |ORDER BY dist2 DESC, vec_id LIMIT $OutlierK""".stripMargin,
     "vocab_heavy_hitters" ->
       s"""SELECT token, count(*) AS n
          |FROM (SELECT UNNEST(${TextSql.tokens("text")}) AS token FROM documents)

@@ -69,6 +69,18 @@ object LlmData {
   val BoilerplateTokens = 10
   val BoilerplateMinDocs = 2
 
+  /** BM25 retrieval: Okapi constants, the fixed query term set, and the
+    * result budget. The idf factor is kept RATIONAL —
+    * `(N - df + 0.5) / (df + 0.5)` without the standard `ln` — the same
+    * no-transcendentals discipline as text_tfidf_top_terms (two libms are
+    * not guaranteed to round `ln` identically; ranking order is preserved
+    * because ln is monotone).
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms = Seq("spark", "hash", "join")
+  val Bm25TopK = 10
+
   /** Stride-chunking of a (doc_id, toks) frame: explode chunk starts,
     * slice the token window — the ONE chunk-start/width definition shared
     * by text_chunking and the composed training pipeline (the two used to
@@ -425,6 +437,44 @@ object LlmData {
       Dedup.containmentPairs(docs(s, dir), MinContainment)
         .orderBy("a", "b")),
 
+    // ---- BM25 retrieval over the corpus ------------------------------------
+    // Okapi BM25 for a fixed query term set: tf saturation (k1) and length
+    // normalization (b) over whitespace tokens, rational idf (see Bm25K1
+    // doc). Scale shape: the term filter lands right after the token
+    // explode, so only query-term postings ever aggregate (O(matched
+    // postings), not O(corpus tokens)); doc-frequency and average-length
+    // are O(terms)/O(1) broadcasts; the final top-k is
+    // TakeOrderedAndProject, never a global window. Per-doc score folds
+    // the <=|terms| contributions IN TERM ORDER through a sorted-array
+    // aggregate, so the double sum is engine-reproducible.
+    "text_bm25_topk" -> ((s, dir) => {
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      val oneMinusB = 1 - Bm25B // 0.25, exact in binary
+      val base = docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val lens = base.select(col("doc_id"),
+        size(col("toks")).cast("long").as("len"))
+      val avg = lens.agg((sum(col("len")).cast("double") / lit(n.toDouble))
+        .as("avglen"))
+      val tf = base.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(avg))
+        .withColumn("idf",
+          (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        .withColumn("contrib",
+          col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(oneMinusB) + lit(Bm25B) * (col("len") / col("avglen")))))
+        .groupBy(col("doc_id"))
+        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x("contrib")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
+    }),
+
     // per-doc top terms by tf * (N/df): idf kept RATIONAL (no log) so the
     // score is an exact integer ratio in double — engine-identical without
     // depending on two libms rounding ln() the same way
@@ -739,6 +789,41 @@ object LlmData {
          |WHERE (${TextSql.polyHash(
               "CAST(doc_id AS VARCHAR) || '_' || CAST(ci AS VARCHAR)")}) % $ChunkSampleMod < $ChunkSampleKeep
          |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_bm25_topk" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH base AS (
+         |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents
+         |), lens AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base
+         |), n AS (SELECT count(*) AS n FROM documents),
+         |avg AS (
+         |  SELECT CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) AS avglen
+         |  FROM (SELECT sum(len) AS sl FROM lens), n
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, UNNEST(toks) AS term FROM base)
+         |  WHERE term IN $termList GROUP BY doc_id, term
+         |), dfx AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), contrib AS (
+         |  -- every fractional literal CAST to DOUBLE: DuckDB parses bare
+         |  -- 2.2/1.2/0.5 as DECIMAL and computes exact decimal products
+         |  -- where Spark rounds binary doubles (caught: tf * 2.2 = 6.6
+         |  -- exactly in decimal, 6.6000000000000005 in ieee754)
+         |  SELECT doc_id, term,
+         |    ((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+         |       / (df + CAST(0.5 AS DOUBLE)))
+         |      * (tf * CAST(${Bm25K1 + 1} AS DOUBLE))
+         |      / (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1 - Bm25B} AS DOUBLE)
+         |           + CAST($Bm25B AS DOUBLE) * (len / avglen))) AS c
+         |  FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id), n, avg
+         |)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+         |    (a, b) -> a + b) AS score
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
     "text_tfidf_top_terms" ->
       s"""WITH tf AS (
          |  SELECT doc_id, term, count(*) AS tf

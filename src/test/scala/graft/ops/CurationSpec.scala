@@ -109,6 +109,74 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sample_temperature upweights small sources relative to proportional sampling") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Curation.queries("sample_temperature")(spark, sfDir).collect()
+    val taken = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // quotas actually bind: total near (<=) the target, every source present
+    assert(out.length <= Curation.TempTarget)
+    assert(taken.keySet == counts.keySet)
+    // quotas replicate the sqrt-temperature formula exactly (client-side,
+    // same source-ordered fold). With near-uniform sources this is ~flat;
+    // the sqrt upweighting property itself is pinned on a skewed synthetic
+    // mixture below.
+    val totW = counts.toSeq.sortBy(_._1).foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
+    counts.foreach { case (src, nd) =>
+      val want = math.floor(Curation.TempTarget * math.sqrt(nd.toDouble) / totW).toLong
+      assert(taken(src).toLong == want, s"$src quota ${taken(src)} vs $want")
+    }
+    // skewed mixture: small source gains share, big source loses it
+    import spark.implicits._
+    val skew = (1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small"))
+    skew.toDF("doc_id", "source")
+      .write.mode("overwrite").parquet("/tmp/graft_temp_skew/documents.parquet")
+    val dir2 = "/tmp/graft_temp_skew"
+    val out2 = Curation.queries("sample_temperature")(spark, dir2).collect()
+    val t2 = out2.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(t2("small").toDouble / out2.length > 0.1)  // corpus share 10%
+    assert(t2("big").toDouble / out2.length < 0.9)    // corpus share 90%
+    // deterministic: identical under re-evaluation
+    val again = Curation.queries("sample_temperature")(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("emb_label_centroids matches a client-side mean per (label, dim)") {
+    val rows = Curation.queries("emb_label_centroids")(spark, sfDir)
+      .filter(col("dim") === 0).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3)))).toMap
+    val raw = Tables.load(spark, sfDir, "embeddings")
+      .select(col("label").cast("long"), col("vec_id"),
+        element_at(col("embedding"), 1).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    raw.groupBy(_._1).foreach { case (label, vs) =>
+      val (n, got) = rows(label)
+      assert(n == vs.length)
+      // same fold order as the query: vec_id ascending
+      val want = vs.sortBy(_._2).foldLeft(0.0)((a, v) => a + v._3) / vs.length
+      assert(got == want, s"label $label: $got vs $want")
+    }
+  }
+
+  test("emb_outliers: reported top-1 is the true farthest vector from the centroid") {
+    val out = Curation.queries("emb_outliers")(spark, sfDir).collect()
+    assert(out.length == Curation.OutlierK)
+    val dists = out.map(r => r.getLong(0) -> r.getDouble(1))
+    // descending, tie-broken by id
+    assert(dists.sortBy { case (id, d) => (-d, id) }.toSeq == dists.toSeq)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dim = vecs.head._2.length
+    val cent = (0 until dim).map(j =>
+      vecs.toSeq.sortBy(_._1).foldLeft(0.0)((a, v) => a + v._2(j)) / vecs.size)
+    val far = vecs.map { case (id, v) =>
+      id -> v.zip(cent).foldLeft(0.0) { case (a, (x, c)) => a + (x - c) * (x - c) }
+    }.maxBy { case (id, d) => (d, -id) }
+    assert(dists.head._1 == far._1)
+  }
+
   test("corpus_manifest checksum is order/partitioning independent and change-sensitive") {
     val base = Curation.queries("corpus_manifest")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap

@@ -203,6 +203,35 @@ class LlmDataSpec extends SparkSpec {
     assert(out.nonEmpty && out.forall(r => langs.contains(r.getString(2))))
   }
 
+  test("bm25 top-k matches an independent in-memory replication") {
+    val got = SparkEntry.queries("text_bm25_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == LlmData.Bm25TopK)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = docs.length
+    val avglen = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = LlmData.Bm25Terms.map(t =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scores = docs.flatMap { case (id, toks) =>
+      val contribs = LlmData.Bm25Terms.sorted.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val idf = (n.toDouble - df(t) + 0.5) / (df(t) + 0.5)
+          Some(idf * (tf * (LlmData.Bm25K1 + 1)) /
+            (tf + LlmData.Bm25K1 * ((1 - LlmData.Bm25B) +
+              LlmData.Bm25B * (toks.length / avglen))))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some(id -> contribs.foldLeft(0.0)(_ + _))
+    }
+    val want = scores.sortBy { case (id, s) => (-s, id) }.take(LlmData.Bm25TopK)
+    assert(got.toSeq == want.toSeq, s"got=${got.toSeq} want=${want.toSeq}")
+  }
+
   test("approx sketches are within tolerance of exact values") {
     val r = SparkEntry.queries("approx_sketches")(spark, sfDir).head
     val (exactU, exactP) = (r.getLong(0), r.getDouble(1))
