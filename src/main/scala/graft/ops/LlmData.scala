@@ -81,6 +81,9 @@ object LlmData {
   val Bm25Terms = Seq("spark", "hash", "join")
   val Bm25TopK = 10
 
+  /** binaryfile_ingest writes this many payload objects per run. */
+  val BinFileDocs = 50
+
   /** Stride-chunking of a (doc_id, toks) frame: explode chunk starts,
     * slice the token window — the ONE chunk-start/width definition shared
     * by text_chunking and the composed training pipeline (the two used to
@@ -618,6 +621,32 @@ object LlmData {
           col("meta.source").as("source"))
         .orderBy("asset_id")),
 
+    // ---- binary-object lake round trip -------------------------------------
+    // Media-lake ingestion proven lossless: payloads written as one file
+    // per asset from the EXECUTORS (Hadoop FS API — file:// here, s3a://
+    // on a cluster unchanged), read back through Spark's built-in
+    // `binaryFile` source, and emitted as (name, size, hex). The oracle
+    // recomputes all three from the documents table WITHOUT touching the
+    // files, so the hash gate proves write→read byte fidelity end to end.
+    // Scratch namespaced by (applicationId, sf) — concurrent runs and
+    // mixed scale factors never collide. At 100 TB: binaryFile scans
+    // parallelize per file and prune `content` when only metadata is
+    // selected; zero-padded names keep listings ordered.
+    "binaryfile_ingest" -> ((s, dir) => {
+      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_${s.sparkContext.applicationId}/binf_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      graft.sources.Sources.writeBinaryFiles(
+        docs(s, dir).filter(col("doc_id") < BinFileDocs)
+          .select(format_string("doc_%05d.bin", col("doc_id")).as("fname"),
+            encode(col("text"), "UTF-8").as("payload")),
+        scratch)
+      s.read.format("binaryFile").load(scratch)
+        .select(element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length"), hex(col("content")).as("content_hex"))
+        .orderBy("fname")
+    }),
+
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.assetsFromText(
         docs(s, dir), "doc_id", "text", "source"))
@@ -789,6 +818,12 @@ object LlmData {
          |WHERE (${TextSql.polyHash(
               "CAST(doc_id AS VARCHAR) || '_' || CAST(ci AS VARCHAR)")}) % $ChunkSampleMod < $ChunkSampleKeep
          |ORDER BY doc_id, chunk_id""".stripMargin,
+    "binaryfile_ingest" ->
+      s"""SELECT printf('doc_%05d.bin', doc_id) AS fname,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS length,
+         |       hex(encode(text)) AS content_hex
+         |FROM documents WHERE doc_id < $BinFileDocs
+         |ORDER BY fname""".stripMargin,
     "text_bm25_topk" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
       s"""WITH base AS (

@@ -56,4 +56,31 @@ object Sources {
     */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** Distributed raw-object writer: one file per row, written from the
+    * EXECUTORS through the Hadoop FileSystem API (`file://` here, `s3a://`
+    * or HDFS on a cluster with zero code change) — the shape of a media
+    * lake materialization where payload objects live beside the metadata
+    * table. Pairs with Spark's built-in `binaryFile` source for the
+    * read-back (path/length/content), proven lossless end to end by the
+    * `binaryfile_ingest` oracle, which recomputes the expected
+    * (name, size, hex) triple from the source table alone.
+    */
+  def writeBinaryFiles(df: DataFrame, dir: String,
+                       nameCol: String = "fname",
+                       payloadCol: String = "payload"): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(nameCol), col(payloadCol))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        // executor-side FS handle; default Hadoop conf resolves file://
+        // and any fs.* defaults shipped via spark-defaults on a cluster
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        it.foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, r.getString(0)), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+  }
 }

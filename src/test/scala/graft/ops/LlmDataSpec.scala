@@ -320,6 +320,22 @@ class LlmDataSpec extends SparkSpec {
     assert(out(2) == stub)
   }
 
+  test("binaryfile ingest round-trips payload bytes through real files") {
+    val out = SparkEntry.queries("binaryfile_ingest")(spark, sfDir).collect()
+    assert(out.length == LlmData.BinFileDocs)
+    // the file for doc 0 exists on disk and holds exactly the text bytes
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${spark.sparkContext.applicationId}/binf_${new java.io.File(sfDir).getName}")
+    val f = new java.io.File(scratch, "doc_00000.bin")
+    assert(f.isFile)
+    val want = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).head.getAs[String]("text").getBytes("UTF-8")
+    assert(java.nio.file.Files.readAllBytes(f.toPath).sameElements(want))
+    // deterministic under re-run (files overwritten in place)
+    val again = SparkEntry.queries("binaryfile_ingest")(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("mp4 payloads decode to TRUE tkhd dimensions and stsz frame count") {
     import spark.implicits._
     // minimal ISO BMFF fixture built from the public spec layout
