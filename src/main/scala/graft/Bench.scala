@@ -11,8 +11,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional args: bench only the named queries (dev loop for chasing a
     // single regression without the 100-second full sweep). The driver
-    // contract (no args = every query) is unchanged.
+    // contract (no args = every query) is unchanged. Unknown names fail
+    // loudly — a typo would otherwise bench NOTHING and print a 0-second
+    // "all clear".
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // AQE coalescing below defaultParallelism (parallelismFirst=false +
     // advisory size) now lives in GraftSession.builder so Bench, Verify,

@@ -78,6 +78,29 @@ object Tables {
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
 
+  /** Per-session scratch directory for round-trip queries, namespaced by
+    * applicationId so two concurrent runs on one machine (bench alongside
+    * tests) never overwrite each other's scratch between a write and the
+    * read-back. The ONE definition — queries and specs must share it or a
+    * namespacing change silently breaks whichever copy lags. Each per-app
+    * root registers a JVM shutdown hook that deletes it recursively, so
+    * iterating runs don't accumulate dataset copies in java.io.tmpdir.
+    */
+  private val scratchRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def scratchDir(spark: SparkSession, name: String): String = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${spark.sparkContext.applicationId}")
+    if (scratchRoots.add(root.getAbsolutePath))
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          val sub = f.listFiles(); if (sub != null) sub.foreach(rm); f.delete()
+        }
+        rm(root)
+      }
+    new java.io.File(root, name).getAbsolutePath
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

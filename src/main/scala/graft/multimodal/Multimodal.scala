@@ -125,9 +125,10 @@ object Multimodal {
     def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
     def boxType(o: Int): String =
       new String(payload, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // boxes whose payload is itself a box sequence (pure containers only;
-    // `meta` is excluded — it carries a version/flags prefix)
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    // NOTE: descent happens only along explicit find() paths, and every
+    // box type on those paths (moov/trak/mdia/minf/stbl) is a PURE
+    // container in ISO BMFF — none is a full-box like `meta`, whose
+    // version/flags prefix would misparse as a child header.
     // (size, headerLen) of the box at o, or None if malformed/truncated
     def boxAt(o: Int, until: Int): Option[(Long, Int)] = {
       if (o + 8 > until) return None

@@ -633,9 +633,8 @@ object LlmData {
     // parallelize per file and prune `content` when only metadata is
     // selected; zero-padded names keep listings ordered.
     "binaryfile_ingest" -> ((s, dir) => {
-      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_${s.sparkContext.applicationId}/binf_${new java.io.File(dir).getName}")
-        .getAbsolutePath
+      val scratch =
+        Tables.scratchDir(s, s"binf_${new java.io.File(dir).getName}")
       graft.sources.Sources.writeBinaryFiles(
         docs(s, dir).filter(col("doc_id") < BinFileDocs)
           .select(format_string("doc_%05d.bin", col("doc_id")).as("fname"),

@@ -55,14 +55,11 @@ object Relational {
     */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** Per-session scratch directory for round-trip queries. Namespaced by
-    * the Spark applicationId so two concurrent runs on one machine (bench
-    * alongside tests) never overwrite each other's scratch between the
-    * write and the read-back.
+  /** Per-session scratch for round-trip queries — see [[Tables.scratchDir]]
+    * (the one shared definition, with shutdown-hook cleanup).
     */
   private def scratchDir(s: SparkSession, name: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${s.sparkContext.applicationId}/$name").getAbsolutePath
+    Tables.scratchDir(s, name)
 
   /** Edge + out-degree working set for [[pageRankParts]], memoized per
     * (session, dataset dir) — the self-join edge build is the dominant
@@ -231,10 +228,19 @@ object Relational {
     * runtime filter computed for an ingested batch should be computed once
     * and reused by every query probing against it (same `semanticHash`
     * keying as the dedup/pagerank memos). 512 bytes per entry at the
-    * default width — the map is effectively free.
+    * default width — the map is effectively free. Two guards:
+    *   - the cached entry keeps its canonicalized plan, and a hit is
+    *     honored only when `sameResult` confirms it (semanticHash is
+    *     32-bit — a collision must compute fresh, never serve another
+    *     plan's mask: a wrong mask means silent bloom FALSE NEGATIVES);
+    *   - like every session memo here, it assumes the underlying data is
+    *     immutable within the session. After rewriting the build-side
+    *     files in place, call [[clearBloomMaskCache]] (the plan — and so
+    *     the key — does not change when only the data under it does).
     */
   private val bloomMaskCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, String), Seq[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, String),
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Seq[Long])]()
 
   def clearBloomMaskCache(): Unit = bloomMaskCache.clear()
 
@@ -265,17 +271,21 @@ object Relational {
     // Spark's InjectRuntimeFilter, explicit; at scale, compute once per
     // ingested batch and reuse.
     bloomMaskCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    val maskArr = bloomMaskCache.computeIfAbsent(
-      (build.sparkSession, build.queryExecution.analyzed.semanticHash(),
-        s"$buildKey/$mBits/$kHashes"),
-      _ => build.select(col(buildKey).cast("long").as("k")).distinct()
+    def buildMask(): Seq[Long] =
+      build.select(col(buildKey).cast("long").as("k")).distinct()
         .agg(collect_list(col("k")).as("ks"))
         .select(aggregate(col("ks"), array_repeat(lit(0L), words), (acc, k) => {
           val ps = positions(k)
           transform(acc, (w, wi) => ps.foldLeft(w)((ww, p) =>
             ww.bitwiseOR(when(word(p) === wi, bit(p)).otherwise(lit(0L)))))
         }).as("bloom"))
-        .head().getSeq[Long](0))
+        .head().getSeq[Long](0)
+    val plan = build.queryExecution.analyzed
+    val cached = bloomMaskCache.computeIfAbsent(
+      (build.sparkSession, plan.semanticHash(), s"$buildKey/$mBits/$kHashes"),
+      _ => (plan, buildMask()))
+    // 32-bit hash collision: never serve another plan's mask
+    val maskArr = if (cached._1.sameResult(plan)) cached._2 else buildMask()
     val bloomLit = typedlit(maskArr)
     val mightContain = positions(col(probeKey)).map(p =>
       element_at(bloomLit, word(p) + 1).bitwiseAND(bit(p)) =!= 0L)

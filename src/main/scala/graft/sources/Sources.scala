@@ -70,16 +70,38 @@ object Sources {
                        nameCol: String = "fname",
                        payloadCol: String = "payload"): Unit = {
     import org.apache.spark.sql.functions.col
+    // Ship the SESSION's Hadoop conf to the executors as a plain Map (the
+    // Configuration object itself is not Serializable, and a fresh
+    // `new Configuration()` would silently drop spark.hadoop.* settings —
+    // s3a credentials/endpoints — that only exist session-side).
+    val confMap = {
+      val hc = df.sparkSession.sessionState.newHadoopConf()
+      val it = hc.iterator(); val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     df.select(col(nameCol), col(payloadCol))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-        // executor-side FS handle; default Hadoop conf resolves file://
-        // and any fs.* defaults shipped via spark-defaults on a cluster
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val hconf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.foreach { case (k, v) => hconf.set(k, v) }
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+        // write-to-temp + rename per object, temp name scoped by task
+        // attempt: a retried or speculative attempt never interleaves
+        // bytes into the final path (a reader sees the old object or the
+        // new one, not a torn write). Rename is atomic on HDFS/file://;
+        // for strict exactly-once on eventually-consistent stores use a
+        // committer-backed format instead.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         it.foreach { r =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(dir, r.getString(0)), true)
+          val target = new org.apache.hadoop.fs.Path(dir, r.getString(0))
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s".${r.getString(0)}.$attempt.tmp")
+          val out = fs.create(tmp, true)
           try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          fs.delete(target, false)
+          if (!fs.rename(tmp, target))
+            throw new java.io.IOException(s"rename $tmp -> $target failed")
         }
       }
   }

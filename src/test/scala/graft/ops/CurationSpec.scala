@@ -130,9 +130,12 @@ class CurationSpec extends SparkSpec {
     // skewed mixture: small source gains share, big source loses it
     import spark.implicits._
     val skew = (1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small"))
+    // applicationId-namespaced like every other scratch path — a fixed
+    // /tmp dir would race a concurrently-running second JVM
+    val dir2 = new java.io.File(
+      Tables.scratchDir(spark, "temp_skew")).getAbsolutePath
     skew.toDF("doc_id", "source")
-      .write.mode("overwrite").parquet("/tmp/graft_temp_skew/documents.parquet")
-    val dir2 = "/tmp/graft_temp_skew"
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
     val out2 = Curation.queries("sample_temperature")(spark, dir2).collect()
     val t2 = out2.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(t2("small").toDouble / out2.length > 0.1)  // corpus share 10%

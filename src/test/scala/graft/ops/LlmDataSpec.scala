@@ -324,8 +324,8 @@ class LlmDataSpec extends SparkSpec {
     val out = SparkEntry.queries("binaryfile_ingest")(spark, sfDir).collect()
     assert(out.length == LlmData.BinFileDocs)
     // the file for doc 0 exists on disk and holds exactly the text bytes
-    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${spark.sparkContext.applicationId}/binf_${new java.io.File(sfDir).getName}")
+    val scratch = new java.io.File(Tables.scratchDir(spark,
+      s"binf_${new java.io.File(sfDir).getName}"))
     val f = new java.io.File(scratch, "doc_00000.bin")
     assert(f.isFile)
     val want = Tables.load(spark, sfDir, "documents")

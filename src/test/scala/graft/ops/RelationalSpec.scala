@@ -146,17 +146,20 @@ class RelationalSpec extends SparkSpec {
     assert(bloom == plain)
   }
 
-  test("bloom mask is memoized: a second semantically-equal build constructs instantly") {
+  test("bloom mask is memoized: a second semantically-equal build runs zero jobs") {
     val c = graft.Tables.load(spark, sfDir, "customer")
     val big = graft.Tables.load(spark, sfDir, "orders")
       .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
     Relational.bloomSemiJoin(c, "c_custkey", big, "o_custkey") // warm the memo
     val big2 = graft.Tables.load(spark, sfDir, "orders")
       .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
-    val t0 = System.nanoTime()
+    // a memo hit needs NO Spark job (the mask .head() action is skipped) —
+    // job-count is load-independent where a wall-clock bound is not
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
     Relational.bloomSemiJoin(c, "c_custkey", big2, "o_custkey")
-    val ms = (System.nanoTime() - t0) / 1e6
-    assert(ms < 150.0, s"memoized mask construct took $ms ms")
+    Thread.sleep(1000) // status store is fed by the async listener bus
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
+    assert(after == before, s"memoized construct ran jobs: ${after -- before}")
   }
 
   test("bloom pre-filter has no false negatives on a synthetic key set") {
@@ -274,13 +277,15 @@ class RelationalSpec extends SparkSpec {
 
   test("pagerank shuffle-join mode is hash-identical to broadcast mode and reuses the memoized graph") {
     val bc = graft.ops.Relational.pageRankParts(spark, sfDir).collect().toSeq
-    // second construction must hit the (session, dir) graph memo — the
-    // expensive edge self-join is not rebuilt (sub-second construct; the
-    // cold build is 5-10x that even at this SF)
-    val t0 = System.nanoTime()
+    // second construction must hit the (session, dir) graph memo: the
+    // eager-checkpointed edge build is NOT re-run, so plan construction
+    // launches no Spark job (job-count is load-independent where a
+    // wall-clock bound is not)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
     val sh = graft.ops.Relational.pageRankParts(spark, sfDir, broadcastRanks = false)
-    val constructMs = (System.nanoTime() - t0) / 1e6
-    assert(constructMs < 1000.0, s"memoized construct took $constructMs ms")
+    Thread.sleep(1000) // status store is fed by the async listener bus
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
+    assert(after == before, s"memoized construct ran jobs: ${after -- before}")
     assert(sh.collect().toSeq == bc)
   }
 
