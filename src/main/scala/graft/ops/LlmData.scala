@@ -455,16 +455,20 @@ object LlmData {
       val oneMinusB = 1 - Bm25B // 0.25, exact in binary
       val base = docs(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val lens = base.select(col("doc_id"),
-        size(col("toks")).cast("long").as("len"))
-      val avg = lens.agg((sum(col("len")).cast("double") / lit(n.toDouble))
-        .as("avglen"))
-      val tf = base.select(col("doc_id"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(Bm25Terms: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val avg = base
+        .agg((sum(size(col("toks")).cast("long")).cast("double") / lit(n.toDouble))
+          .as("avglen"))
+      // doc length rides ALONG the postings (max(len) is constant per
+      // doc) — no separate per-doc length join; the term filter runs
+      // INSIDE the generator so only query-term postings are ever emitted
+      val tf = base
+        .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+          explode(filter(col("toks"),
+            t => Bm25Terms.map(b => t === lit(b)).reduce(_ || _))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(dfreq), "term")
-        .join(lens, "doc_id")
         .crossJoin(broadcast(avg))
         .withColumn("idf",
           (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -834,8 +838,9 @@ object LlmData {
          |  SELECT CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) AS avglen
          |  FROM (SELECT sum(len) AS sl FROM lens), n
          |), tf AS (
-         |  SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, UNNEST(toks) AS term FROM base)
+         |  SELECT doc_id, term, count(*) AS tf, max(len) AS len
+         |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+         |               UNNEST(toks) AS term FROM base)
          |  WHERE term IN $termList GROUP BY doc_id, term
          |), dfx AS (
          |  SELECT term, count(*) AS df FROM tf GROUP BY term
@@ -850,7 +855,7 @@ object LlmData {
          |      * (tf * CAST(${Bm25K1 + 1} AS DOUBLE))
          |      / (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1 - Bm25B} AS DOUBLE)
          |           + CAST($Bm25B AS DOUBLE) * (len / avglen))) AS c
-         |  FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id), n, avg
+         |  FROM tf JOIN dfx USING (term), n, avg
          |)
          |SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
