@@ -289,6 +289,28 @@ class RelationalSpec extends SparkSpec {
     assert(sh.collect().toSeq == bc)
   }
 
+  test("triangle counts match an independent in-memory closure") {
+    val got = SparkEntry.queries("graph_triangle_counts")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val parts = grp.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.toSet
+    val nbrs = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val want = nbrs.toSeq.map { case (n, nb) =>
+      val t = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => nbrs(a).contains(b) }.toLong
+      val d = nb.size.toLong
+      (n, t, d, 2.0 * t / (d * (d - 1)).toDouble)
+    }.filter(_._2 > 0)
+      .sortBy { case (n, t, _, _) => (-t, n) }.take(20)
+    assert(got.toSeq == want, s"spark=${got.toSeq} expected=$want")
+  }
+
   test("HLL sliding distinct tracks the exact sliding distinct within 5%") {
     val exact = SparkEntry.queries("sliding_distinct_users")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
