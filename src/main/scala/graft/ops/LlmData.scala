@@ -482,6 +482,62 @@ object LlmData {
         .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
     }),
 
+    // ---- bigram LM quality scoring -----------------------------------------
+    // CCNet-style language-model filtering: train bigram transition counts
+    // over the corpus, score each document by its mean in-model transition
+    // probability P(w2|w1) = (c12 + 1) / (c1 + V) with add-one smoothing —
+    // "how typical is this document of the corpus" (low scorers are the
+    // quality/outlier cut; a held-out reference model swaps in by
+    // replacing the two count tables). The mean PROBABILITY stands in for
+    // log-domain perplexity deliberately: per-term it is an exact
+    // integer-ratio double (the same no-transcendentals discipline as
+    // tfidf/BM25 — two libms need not round ln identically), and per doc
+    // the <=len contributions fold IN POSITION ORDER through a
+    // sorted-array aggregate, so the sum is engine-reproducible.
+    // Scale shape: the model counts are map-side-combined groupBys over
+    // the posting stream (c12 over the stream, c1 folded from c12 —
+    // O(distinct bigrams), not O(postings)), and scoring joins the model
+    // BACK as broadcasts (AQE picks BHJ from the count tables' runtime
+    // size at test SF; at 100 TB prune the model to the heavy-hitter
+    // vocab first — vocab_heavy_hitters is the companion sketch — so the
+    // broadcast stays bounded and the stream still never shuffles before
+    // the per-doc aggregate). V — every token of a >=2-token doc is an
+    // endpoint of some bigram, so vocab = distinct bigram endpoints — is
+    // a 1-row broadcast. A held-out reference model swaps in by
+    // replacing the two count tables. Measured alternatives at sf0.1:
+    // stacked window-count aggregates over one w1 exchange (no
+    // join-backs, but two full-stream sorts — 40% slower) and an eager
+    // posting-stream localCheckpoint (kills the tokenize re-runs across
+    // the three consumer branches, but the materialization costs more
+    // than the parallel re-scans it saves at this row width).
+    "text_lm_score" -> ((s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), posexplode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))))
+        .select(col("doc_id"), col("pos"),
+          col("col")("0").as("w1"), col("col")("1").as("w2"))
+      val v = bi.select(explode(array(col("w1"), col("w2"))).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      bi.join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("pos"),
+          ((col("c12") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+            lit(0.0), (acc, x) => acc + x("p")).as("psum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("psum") / col("n_bigrams").cast("double")).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     // per-doc top terms by tf * (N/df): idf kept RATIONAL (no log) so the
     // score is an exact integer ratio in double — engine-identical without
     // depending on two libms rounding ln() the same way
@@ -863,6 +919,33 @@ object LlmData {
          |FROM contrib GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
+    // same add-one-smoothed bigram model; p is an exact integer-ratio
+    // double and the per-doc sum folds in position order (list_reduce
+    // over list(p ORDER BY pos)) exactly like the Spark sorted-array fold
+    "text_lm_score" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents
+         |  WHERE len(${TextSql.tokens("text")}) >= 2
+         |), bi AS (
+         |  SELECT doc_id, pos, toks[pos + 1] AS w1, toks[pos + 2] AS w2
+         |  FROM (SELECT doc_id, toks,
+         |               UNNEST(range(0, len(toks) - 1)) AS pos FROM base)
+         |), c12 AS (
+         |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+         |), c1 AS (
+         |  SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
+         |), v AS (
+         |  SELECT count(DISTINCT t) AS v
+         |  FROM (SELECT UNNEST(toks) AS t FROM base)
+         |), p AS (
+         |  SELECT doc_id, pos,
+         |         CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS p
+         |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+         |    (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS lm_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf_top_terms" ->
       s"""WITH tf AS (
          |  SELECT doc_id, term, count(*) AS tf

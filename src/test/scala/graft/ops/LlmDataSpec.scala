@@ -232,6 +232,30 @@ class LlmDataSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, s"got=${got.toSeq} want=${want.toSeq}")
   }
 
+  test("bigram LM score matches an independent in-memory model") {
+    val got = SparkEntry.queries("text_lm_score")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .filter(_._2.length >= 2)
+    val bis = docs.flatMap { case (_, t) =>
+      t.sliding(2).map(w => (w(0), w(1))) }
+    val c12 = bis.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = docs.flatMap(_._2).toSet.size.toLong
+    val want = docs.map { case (id, t) =>
+      val ps = t.sliding(2).map { w =>
+        val pair = (w(0), w(1))
+        (c12(pair) + 1).toDouble / (c1(w(0)) + v).toDouble
+      }.toSeq
+      (id, ps.length.toLong, ps.foldLeft(0.0)(_ + _) / ps.length.toDouble)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // a doc of corpus-common transitions must outscore one of rare ones
+    assert(want.map(_._3).max > want.map(_._3).min)
+  }
+
   test("approx sketches are within tolerance of exact values") {
     val r = SparkEntry.queries("approx_sketches")(spark, sfDir).head
     val (exactU, exactP) = (r.getLong(0), r.getDouble(1))
