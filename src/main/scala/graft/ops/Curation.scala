@@ -51,6 +51,9 @@ object Curation {
   /** Embedding-outlier report size. */
   val OutlierK = 10
 
+  /** Balanced sharding: number of output shards in shard_manifest. */
+  val ShardCount = 8
+
   private def weightCol: Column =
     least(expr("n_chars div 100") + 1, lit(WeightCap))
 
@@ -191,6 +194,41 @@ object Curation {
             .when(col("bucket") < ValPct, "val")
             .otherwise("test").as("split"))
         .orderBy("doc_id")),
+
+    // ---- balanced shard assignment -----------------------------------------
+    // Writing N training shards balanced by token budget: rank docs by
+    // (tokens DESC, id) and assign serpentine over the rank — block b of N
+    // consecutive ranks sweeps shards left-to-right when b is even,
+    // right-to-left when odd, so each shard gets one doc per block and
+    // alternating sweep direction cancels the within-block size gradient
+    // (plain round-robin systematically hands shard 0 the larger doc of
+    // every block). Deterministic — reassembling the corpus reproduces the
+    // identical sharding. The global row_number is the honest cost: ONE
+    // doc-level range-partitioned sort (rows, not tokens — cheap relative
+    // to the payload write it schedules). At 100 TB the zero-shuffle
+    // alternative is hash sharding (split_train_test's recipe), which
+    // gives ±O(√(docs/N)) balance by concentration but no guarantee;
+    // serpentine bounds the shard spread by one max-doc per block.
+    // Output is the per-shard manifest a shard writer would verify
+    // against: doc count, token budget, and the largest single doc.
+    "shard_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("rk", (row_number().over(
+          Window.orderBy(col("n_tokens").desc, col("doc_id"))) - 1)
+          .cast("long"))
+      ranked
+        .withColumn("shard",
+          when(expr(s"rk div $ShardCount") % 2 === 0, col("rk") % ShardCount)
+            .otherwise(lit(ShardCount - 1) - col("rk") % ShardCount))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(col("n_tokens")).as("max_doc_tokens"))
+        .orderBy("shard")
+    }),
 
     // ---- random-projection embedding sketch --------------------------------
     // Johnson-Lindenstrauss sign projection 64 -> RpDim: each output
@@ -393,6 +431,24 @@ object Curation {
          |            ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // identical serpentine rule; sums cast back to BIGINT (DuckDB sums
+    // BIGINT into HUGEINT)
+    "shard_manifest" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         CAST(len(${TextSql.tokens("text")}) AS BIGINT) AS n_tokens,
+         |         row_number() OVER (ORDER BY
+         |           CAST(len(${TextSql.tokens("text")}) AS BIGINT) DESC,
+         |           doc_id) - 1 AS rk
+         |  FROM documents
+         |)
+         |SELECT CASE WHEN (rk // $ShardCount) % 2 = 0
+         |            THEN rk % $ShardCount
+         |            ELSE ${ShardCount - 1} - rk % $ShardCount END AS shard,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       max(n_tokens) AS max_doc_tokens
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     "emb_random_projection" -> {
       val mix = TextOps.MIX % TextOps.P
       val p = TextOps.P

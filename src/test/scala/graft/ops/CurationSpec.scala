@@ -263,6 +263,32 @@ class CurationSpec extends SparkSpec {
     assert(sameBlock == blocked)
   }
 
+  test("shard_manifest: serpentine replication, full coverage, bounded spread") {
+    val got = Curation.queries("shard_manifest")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = Curation.ShardCount
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").length.toLong)
+    val want = docs.sortBy { case (id, t) => (-t, id) }.zipWithIndex
+      .map { case ((_, t), rk) =>
+        val pos = rk % n
+        val shard = if ((rk / n) % 2 == 0) pos else n - 1 - pos
+        shard.toLong -> t
+      }
+      .groupBy(_._1).toSeq
+      .map { case (s, ts) =>
+        (s, ts.length.toLong, ts.map(_._2).sum, ts.map(_._2).max) }
+      .sortBy(_._1)
+    assert(got.toSeq == want)
+    // every doc landed somewhere, and the token spread across shards is
+    // bounded by a single max-size document
+    assert(got.map(_._2).sum == docs.length.toLong)
+    val totals = got.map(_._3)
+    assert(totals.max - totals.min <= docs.map(_._2).max,
+      s"spread ${totals.max - totals.min} exceeds max doc")
+  }
+
   test("source_jaccard_matrix: full pair coverage, estimates in [0,1]") {
     val m = Curation.queries("source_jaccard_matrix")(spark, sfDir).collect()
     val nSources = Tables.load(spark, sfDir, "documents")
