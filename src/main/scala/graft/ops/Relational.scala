@@ -1052,6 +1052,41 @@ object Relational {
         .orderBy("day")
     }),
 
+    // ---- exponential smoothing (EWMA) --------------------------------------
+    // The forecasting/monitoring companion to the z-score detector above:
+    // y_t = 0.75·y_{t-1} + 0.25·x_t (y_0 = x_0) over one year of daily
+    // revenue per priority. A recurrence has NO windowed-sum form, and a
+    // closed-form power expansion rounds differently than the recurrence —
+    // so each day's value is computed by folding the day-ordered prefix
+    // with the exact same multiply-add sequence in both engines (prefix
+    // re-folds are O(days²) per key — trivial against a bounded calendar;
+    // the state-ordered fold is the same discipline as chisq/BM25). The
+    // fold runs over the AGGREGATED daily table — O(days·priorities) rows
+    // at any corpus size — never the fact stream; gaps stay gaps
+    // (compose timeseries_gapfill upstream for a dense calendar). Alpha
+    // 0.25 and its complement are binary-exact literals.
+    "ewma_daily_revenue" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      daily.groupBy(col("priority"))
+        .agg(array_sort(collect_list(struct(col("d"), col("rev")))).as("xs"))
+        .select(col("priority"),
+          explode(transform(sequence(lit(1), size(col("xs"))), t => struct(
+            element_at(col("xs"), t)("d").as("d"),
+            element_at(col("xs"), t)("rev").as("revenue"),
+            aggregate(slice(col("xs"), lit(2), t - 1),
+              element_at(col("xs"), lit(1))("rev"),
+              (a, x) => a * lit(0.75) + x("rev") * lit(0.25)).as("ewma"))))
+            .as("r"))
+        .select(col("priority"), col("r")("d").as("d"),
+          col("r")("revenue").as("revenue"), col("r")("ewma").as("ewma"))
+        .orderBy("priority", "d")
+    }),
+
     // ---- cohort retention ---------------------------------------------------
     // Users bucketed by signup week, activity tracked by week offset — the
     // (cohort, offset) -> distinct-user matrix every product warehouse
@@ -2107,6 +2142,29 @@ object Relational {
         |  FROM win WHERE n7 = 7
         |)
         |SELECT day, revenue, z FROM z WHERE abs(z) > 2.0 ORDER BY day""".stripMargin,
+    // identical recurrence via per-day prefix folds: list_reduce seeds the
+    // accumulator with the first element (= y_0 = x_0), matching the
+    // Spark aggregate's element_at(xs, 1) init; identical multiply-add
+    // order gives bit-equal doubles
+    "ewma_daily_revenue" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2
+        |), series AS (
+        |  SELECT priority, list(d ORDER BY d) AS ds, list(rev ORDER BY d) AS xs
+        |  FROM daily GROUP BY priority
+        |)
+        |SELECT priority, UNNEST(ds) AS d, UNNEST(xs) AS revenue,
+        |       UNNEST(list_transform(range(1, len(xs) + 1), t ->
+        |         list_reduce(list_slice(xs, 1, t),
+        |           (a, x) -> a * CAST(0.75 AS DOUBLE)
+        |                       + x * CAST(0.25 AS DOUBLE)))) AS ewma
+        |FROM series ORDER BY priority, d""".stripMargin,
     "cohort_retention" ->
       """WITH cohorts AS (
         |  SELECT user_id,

@@ -325,6 +325,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("ewma matches the sequential recurrence and smooths the series") {
+    val got = SparkEntry.queries("ewma_daily_revenue")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val days = rows.sortBy(_._2)
+      // y_0 = x_0; y_t = 0.75*y_{t-1} + 0.25*x_t, replayed sequentially
+      var y = days.head._3
+      assert(days.head._4 == y)
+      days.tail.foreach { case (_, _, x, e) =>
+        y = y * 0.75 + x * 0.25
+        assert(e == y, s"ewma drift at $x: $e != $y")
+      }
+      // smoothing: the ewma series varies less than the raw series
+      def variance(xs: Seq[Double]): Double = {
+        val m = xs.sum / xs.size
+        xs.map(v => (v - m) * (v - m)).sum / xs.size
+      }
+      assert(variance(days.map(_._4).toSeq) <= variance(days.map(_._3).toSeq))
+    }
+  }
+
   test("dq constraint suite: six checks, all passing on the generated data") {
     val rows = SparkEntry.queries("dq_constraint_checks")(spark, sfDir).collect()
     assert(rows.length == 6)
