@@ -1052,6 +1052,30 @@ object Relational {
         .orderBy("day")
     }),
 
+    // ---- rolling median (exact order statistic over a sliding frame) -------
+    // The robust companion to the z-score window: median of the trailing
+    // 7 daily revenues. No engine exposes median as a running-decomposable
+    // window aggregate, so the frame is collected per row — O(7) values,
+    // bounded by the frame, never by the corpus — sorted, and the middle
+    // element SELECTED. Selection creates no new floats (vs mean/std,
+    // which must round), so parity is value-exact by construction; the
+    // oracle mirrors the same sorted-frame pick rather than calling
+    // DuckDB's median() (same value for odd frames, but the mirrored form
+    // stays exact if the frame ever goes even/interpolating). Runs over
+    // the aggregated daily table (O(days) rows at any corpus size).
+    "rolling_median_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      Tables.load(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("frame", collect_list(col("revenue")).over(w))
+        .filter(size(col("frame")) === 7)
+        .select(col("day"), col("revenue"),
+          element_at(array_sort(col("frame")), 4).as("med7"))
+        .orderBy("day")
+    }),
+
     // ---- exponential smoothing (EWMA) --------------------------------------
     // The forecasting/monitoring companion to the z-score detector above:
     // y_t = 0.75·y_{t-1} + 0.25·x_t (y_0 = x_0) over one year of daily
@@ -2142,6 +2166,22 @@ object Relational {
         |  FROM win WHERE n7 = 7
         |)
         |SELECT day, revenue, z FROM z WHERE abs(z) > 2.0 ORDER BY day""".stripMargin,
+    // same sorted-frame middle-element pick (not median(): the mirrored
+    // selection stays exact even for interpolating frames)
+    "rolling_median_revenue" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders GROUP BY 1
+        |), win AS (
+        |  SELECT day, revenue, list(revenue) OVER
+        |           (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |           AS frame
+        |  FROM daily
+        |)
+        |SELECT day, revenue, list_sort(frame)[4] AS med7
+        |FROM win WHERE len(frame) = 7 ORDER BY day""".stripMargin,
     // identical recurrence via per-day prefix folds: list_reduce seeds the
     // accumulator with the first element (= y_0 = x_0), matching the
     // Spark aggregate's element_at(xs, 1) init; identical multiply-add

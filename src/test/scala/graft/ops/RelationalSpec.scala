@@ -325,6 +325,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rolling median matches sorted-frame selection in memory") {
+    val got = SparkEntry.queries("rolling_median_revenue")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val daily = graft.Tables.load(spark, sfDir, "orders").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("o_orderdate")
+          .toLocalDate.toString,
+        // mirror dsum: each double price rounds to cents in decimal(18,2)
+        BigDecimal(r.getDouble(r.fieldIndex("o_totalprice")))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).toSeq
+      .map { case (d, rows) => d -> rows.map(_._2).sum.toDouble }
+      .sortBy(_._1)
+    val want = daily.sliding(7).map { frame =>
+      (frame.last._1, frame.last._2, frame.map(_._2).sorted.apply(3))
+    }.toSeq
+    assert(got.toSeq == want, s"first diff: ${
+      got.toSeq.zip(want).find { case (a, b) => a != b }}")
+  }
+
   test("ewma matches the sequential recurrence and smooths the series") {
     val got = SparkEntry.queries("ewma_daily_revenue")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
