@@ -3,7 +3,10 @@ package graft
 /** Plan-audit entrypoint: prints the formatted physical plan for each named
   * query (all queries when no names given) against `SPARK_GRAFT_SF_DIR`.
   * The dev loop behind PLANS.md — check pushdown/exchange/codegen shape
-  * without running the query.
+  * without a full run. NB "construct-time" work still executes: queries
+  * with eager builds (the memoized graph checkpoint, parquet-footer row
+  * counts, round-trip scratch writes) run those jobs during plan
+  * construction, so explaining everything at a large SF is not free.
   */
 object Explain {
   def main(args: Array[String]): Unit = {

@@ -203,11 +203,14 @@ object Curation {
     // alternating sweep direction cancels the within-block size gradient
     // (plain round-robin systematically hands shard 0 the larger doc of
     // every block). Deterministic — reassembling the corpus reproduces the
-    // identical sharding. The global row_number is the honest cost: ONE
-    // doc-level range-partitioned sort (rows, not tokens — cheap relative
-    // to the payload write it schedules). At 100 TB the zero-shuffle
-    // alternative is hash sharding (split_train_test's recipe), which
-    // gives ±O(√(docs/N)) balance by concentration but no guarantee;
+    // identical sharding. The global row_number is the honest cost — and
+    // an unpartitioned window plans Exchange SinglePartition, so the
+    // doc-level sort runs on ONE task (rows, not tokens — fine to ~10⁸
+    // docs, cheap relative to the payload write it schedules). Past that,
+    // distribute the rank: range-partition on n_tokens and add per-part
+    // offsets from a tiny count pass (the two-phase zipWithIndex shape),
+    // or drop to hash sharding (split_train_test's recipe), which gives
+    // ±O(√(docs/N)) balance by concentration but no guarantee;
     // serpentine bounds the shard spread by one max-doc per block.
     // Output is the per-shard manifest a shard writer would verify
     // against: doc count, token budget, and the largest single doc.

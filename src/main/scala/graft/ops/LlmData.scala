@@ -501,25 +501,27 @@ object LlmData {
     // size at test SF; at 100 TB prune the model to the heavy-hitter
     // vocab first — vocab_heavy_hitters is the companion sketch — so the
     // broadcast stays bounded and the stream still never shuffles before
-    // the per-doc aggregate). V — every token of a >=2-token doc is an
-    // endpoint of some bigram, so vocab = distinct bigram endpoints — is
-    // a 1-row broadcast. A held-out reference model swaps in by
-    // replacing the two count tables. Measured alternatives at sf0.1:
-    // stacked window-count aggregates over one w1 exchange (no
-    // join-backs, but two full-stream sorts — 40% slower) and an eager
-    // posting-stream localCheckpoint (kills the tokenize re-runs across
-    // the three consumer branches, but the materialization costs more
-    // than the parallel re-scans it saves at this row width).
+    // the per-doc aggregate). V (vocab size, a 1-row broadcast) scans the
+    // token arrays directly — same distinct set as the bigram endpoints
+    // (every token of a >=2-token doc is an endpoint of some bigram) at
+    // one explode per token instead of two per bigram. Measured
+    // alternatives at sf0.1: stacked window-count aggregates over one w1
+    // exchange (no join-backs, but two full-stream sorts — 40% slower)
+    // and an eager posting-stream localCheckpoint (kills the tokenize
+    // re-runs across the three consumer branches, but the
+    // materialization costs more than the parallel re-scans it saves at
+    // this row width).
     "text_lm_score" -> ((s, dir) => {
-      val bi = docs(s, dir)
+      val base = docs(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
+      val bi = base
         .select(col("doc_id"), posexplode(arrays_zip(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1))))
         .select(col("doc_id"), col("pos"),
           col("col")("0").as("w1"), col("col")("1").as("w2"))
-      val v = bi.select(explode(array(col("w1"), col("w2"))).as("t"))
+      val v = base.select(explode(col("toks")).as("t"))
         .agg(countDistinct(col("t")).as("v"))
       val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
