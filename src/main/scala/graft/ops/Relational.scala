@@ -1052,6 +1052,38 @@ object Relational {
         .orderBy("day")
     }),
 
+    // ---- double-correlated EXISTS / NOT EXISTS (decorrelated) --------------
+    // TPC-H Q21's shape on this schema: suppliers whose lineitems were
+    // the ONLY returned ('R') items in orders that involved other
+    // suppliers — one correlated EXISTS (another supplier present) and
+    // one correlated NOT EXISTS (no other supplier returned). The Spark
+    // side ships the DECORRELATED form: one map-side-combined per-order
+    // aggregate (distinct suppliers, distinct returned suppliers)
+    // replaces both correlated probes, then one join on l_orderkey —
+    // two fact-table passes and a fact self-join become one aggregate
+    // pass + one co-partitioned join (AQE broadcasts the O(orders)
+    // aggregate at test SF). The ORACLE deliberately keeps the literal
+    // EXISTS/NOT-EXISTS formulation: two independently derived query
+    // shapes must hash-match, which checks the decorrelation itself.
+    // Equivalence: l1 is 'R', so "another supplier exists" = n_supp >= 2
+    // and "no other returned supplier" = n_bad = 1 (l1's supplier is
+    // always counted in n_bad). Top-k is TakeOrderedAndProject.
+    "sql_sole_problem_supplier" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val per = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_bad"))
+      li.filter(col("l_returnflag") === "R")
+        .join(per, "l_orderkey")
+        .filter(col("n_supp") >= 2 && col("n_bad") === 1)
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
+
     // ---- rolling median (exact order statistic over a sliding frame) -------
     // The robust companion to the z-score window: median of the trailing
     // 7 daily revenues. No engine exposes median as a running-decomposable
@@ -2166,6 +2198,22 @@ object Relational {
         |  FROM win WHERE n7 = 7
         |)
         |SELECT day, revenue, z FROM z WHERE abs(z) > 2.0 ORDER BY day""".stripMargin,
+    // the literal correlated form — independent derivation from the
+    // decorrelated Spark plan; hash equality checks the rewrite
+    "sql_sole_problem_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     // same sorted-frame middle-element pick (not median(): the mirrored
     // selection stays exact even for interpolating frames)
     "rolling_median_revenue" ->

@@ -325,6 +325,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("sole-problem-supplier decorrelation matches the naive correlated scan") {
+    val got = SparkEntry.queries("sql_sole_problem_supplier")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val names = graft.Tables.load(spark, sfDir, "supplier")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byOrder = li.groupBy(_._1)
+    val waiting = li.filter { case (o, s, rf) =>
+      rf == "R" &&
+        byOrder(o).exists(l2 => l2._2 != s) &&
+        !byOrder(o).exists(l3 => l3._2 != s && l3._3 == "R")
+    }
+    val want = waiting.groupBy(l => names(l._2))
+      .map { case (n, ls) => (n, ls.length.toLong) }.toSeq
+      .sortBy { case (n, w) => (-w, n) }.take(20)
+    assert(got.toSeq == want, s"got=${got.toSeq} want=$want")
+  }
+
   test("rolling median matches sorted-frame selection in memory") {
     val got = SparkEntry.queries("rolling_median_revenue")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
