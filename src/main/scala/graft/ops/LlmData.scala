@@ -611,6 +611,33 @@ object LlmData {
         corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
         .orderBy("a", "b")),
 
+    // ---- ANN index quality: recall@k of LSH vs exact -----------------------
+    // The measurement every ANN deployment runs before trusting an index:
+    // per query, how much of the exact cosine top-k does the sign-LSH
+    // bucket index recover. Both pipelines are the REGISTERED ones (same
+    // constants, same tie-breaks), so the report is the library auditing
+    // itself; the join is over two q×k result tables — negligible next
+    // to running the pipelines, and at 100 TB the recipe is identical on
+    // a sampled query set. n_hits/k is an exact integer ratio in one
+    // double division.
+    "ann_recall_report" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < AnnQueries)
+      val exact = Similarity.cosineTopK(e, q, AnnK)
+        .select(col("q_id"), col("n_id"))
+      val approx = Similarity.lshBucketTopK(e, q, AnnK,
+        corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
+        .select(col("q_id"), col("n_id"))
+      exact.join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0))).as("hits"))
+        .select(col("q_id"), col("hits").cast("long").as("n_hits"),
+          (col("hits").cast("double") / col("k").cast("double"))
+            .as("recall_at_k"))
+        .orderBy("q_id")
+    }),
+
     // multi-signal (ensemble) near-dup: text MinHash-LSH pairs FULL OUTER
     // embedding-cosine pairs over the shared id space, with a bitmask of
     // which signal(s) fired (1 = text, 2 = embedding, 3 = both). The
@@ -1078,6 +1105,18 @@ object LlmData {
     "emb_quantize_int8" -> SimilaritySql.quantizeInt8(EmbDim),
     "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
+    // composes the two registered pipelines as subqueries — the oracle
+    // recomputes BOTH top-k sets independently and re-derives the overlap
+    "ann_recall_report" ->
+      s"""SELECT e.q_id,
+         |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall_at_k
+         |FROM (${SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim)}) e
+         |LEFT JOIN (${SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim)}) a
+         |  ON e.q_id = a.q_id AND e.n_id = a.n_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
     "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim, IvfProbes),
     "emb_neardup_pairs" -> SimilaritySql.nearDupPairs(NearDupCos, EmbDim),
     "ann_range_search" -> SimilaritySql.rangeSearch(RangeMinCos, AnnQueries, EmbDim),

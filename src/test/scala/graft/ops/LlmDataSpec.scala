@@ -232,6 +232,24 @@ class LlmDataSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, s"got=${got.toSeq} want=${want.toSeq}")
   }
 
+  test("ann recall report equals the overlap of the two registered top-k sets") {
+    val got = SparkEntry.queries("ann_recall_report")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = SparkEntry.queries("ann_cosine_topk")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val approx = SparkEntry.queries("ann_lsh_topk")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    assert(got.map(_._1).toSet == exact.keySet)
+    got.foreach { case (q, hits, recall) =>
+      val inter = exact(q).intersect(approx.getOrElse(q, Set.empty)).size
+      assert(hits == inter.toLong, s"q=$q hits=$hits expected=$inter")
+      assert(recall == inter.toDouble / exact(q).size)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
   test("bigram LM score matches an independent in-memory model") {
     val got = SparkEntry.queries("text_lm_score")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
