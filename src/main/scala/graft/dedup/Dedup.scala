@@ -239,6 +239,42 @@ object Dedup {
       candidatePairs(bands, bands.filter(col("id") >= splitId)), sh, minJaccard)
   }
 
+  /** Estimator calibration for the MinHash sketch: every banded candidate
+    * pair (no threshold — sub-threshold candidates are the point) with
+    * the SKETCH estimate (matching signature coordinates / K, the
+    * unbiased MinHash Jaccard estimator) next to the exact set Jaccard
+    * and the absolute error. This is the audit a dedup deployment runs
+    * before trusting signatures alone (e.g. before dropping the exact
+    * verify pass at scale): the error column is the measured estimator
+    * noise at K = 32 (stddev ≈ √(J(1−J)/K) ≈ 0.09 worst case — the spec
+    * bounds the observed mean error). Reuses the session-memoized
+    * band/set index; the signature recompute is a narrow map over the
+    * O(candidates) join output.
+    */
+  def minhashCalibration(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val (sh, bands) = shingleBandIndex(docs, s"word/$idCol/$textCol",
+      wordSets(idCol, textCol), BANDS, R)
+    val sig = sh.select(col("id"), col("s"),
+      minhashSignature(col("s")).as("sig"))
+    candidatePairs(bands, bands)
+      .join(sig.select(col("id").as("a"), col("s").as("sha"),
+        col("sig").as("siga")), Seq("a"))
+      .join(sig.select(col("id").as("b"), col("s").as("shb"),
+        col("sig").as("sigb")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+      .withColumn("exact_jaccard", col("inter").cast("double") / col("uni"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+          m => m)).cast("double") / lit(K.toDouble))
+      .select(col("a"), col("b"), col("est_jaccard"), col("exact_jaccard"),
+        abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+      .orderBy("a", "b")
+  }
+
   /** Near-dup pairs by MinHash-LSH with exact-Jaccard verification:
     * shingle → sign → band → bucket self-join → verify `J(A,B) >= minJaccard`
     * on the true shingle sets. Returns (a, b, jaccard), a < b.

@@ -57,6 +57,42 @@ object DedupSql {
   def minhashPairs(minJaccard: Double, table: String = "documents"): String =
     jaccardPairs(TextSql.shingleHashes("text"), minJaccard, table)
 
+  /** Mirror of [[Dedup.minhashCalibration]]: every banded candidate pair
+    * with sketch estimate, exact Jaccard, and absolute error.
+    */
+  def minhashCalibration(table: String = "documents"): String = {
+    val setExpr = TextSql.shingleHashes("text")
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id, $setExpr AS sh
+       |  FROM $table
+       |  WHERE len($setExpr) > 0
+       |), sig AS (
+       |  SELECT id, sh, ${minhashSignature("sh")} AS sig FROM sh
+       |), bands AS (
+       |  SELECT id, UNNEST(${bandHashes(minhashSignature("sh"))}) AS b FROM sh
+       |), flat AS (
+       |  SELECT id, b.band AS band, b.bh AS bh FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM flat x JOIN flat y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+       |), j AS (
+       |  SELECT a, b, xa.sh AS sha, xb.sh AS shb, xa.sig AS siga, xb.sig AS sigb
+       |  FROM cand JOIN sig xa ON cand.a = xa.id JOIN sig xb ON cand.b = xb.id
+       |), m AS (
+       |  SELECT a, b,
+       |    CAST(len(list_filter(range(0, ${Dedup.K}),
+       |           i -> siga[i + 1] = sigb[i + 1])) AS DOUBLE)
+       |      / CAST(${Dedup.K} AS DOUBLE) AS est_jaccard,
+       |    CAST(len(list_filter(sha, v -> list_contains(shb, v))) AS DOUBLE) /
+       |    (len(sha) + len(shb) - len(list_filter(sha, v -> list_contains(shb, v))))
+       |      AS exact_jaccard
+       |  FROM j
+       |)
+       |SELECT a, b, est_jaccard, exact_jaccard,
+       |       abs(est_jaccard - exact_jaccard) AS abs_err
+       |FROM m ORDER BY a, b""".stripMargin
+  }
+
   def ngramJaccardPairs(minJaccard: Double, k: Int = Dedup.NGRAM_K,
                         table: String = "documents"): String =
     jaccardPairs(s"list_distinct(${TextSql.charGramHashes("text", k)})",

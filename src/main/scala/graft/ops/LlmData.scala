@@ -378,6 +378,11 @@ object LlmData {
       Dedup.minhashPairs(docs(s, dir), MinJaccard)
         .orderBy("a", "b")),
 
+    // sketch-vs-exact estimator audit over the banded candidates — see
+    // Dedup.minhashCalibration
+    "dedup_minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(docs(s, dir))),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), MaxHamming)
         .orderBy("a", "b")),
@@ -858,6 +863,7 @@ object LlmData {
          |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
     "dedup_exact" -> DedupSql.exact(),
     "dedup_minhash_pairs" -> DedupSql.minhashPairs(MinJaccard),
+    "dedup_minhash_calibration" -> DedupSql.minhashCalibration(),
     "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),

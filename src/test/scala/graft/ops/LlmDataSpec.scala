@@ -232,6 +232,21 @@ class LlmDataSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, s"got=${got.toSeq} want=${want.toSeq}")
   }
 
+  test("minhash calibration: estimator tracks exact jaccard within sketch noise") {
+    val rows = SparkEntry.queries("dedup_minhash_calibration")(spark, sfDir)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, exact, err) =>
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      assert(err == math.abs(est - exact))
+      // identical sets hash to identical signatures — no estimator noise
+      if (exact == 1.0) assert(est == 1.0)
+    }
+    // mean error stays within ~1.5 sigma of the K=32 sketch noise floor
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean <= 0.15, s"mean abs err $mean")
+  }
+
   test("ann recall report equals the overlap of the two registered top-k sets") {
     val got = SparkEntry.queries("ann_recall_report")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
