@@ -1052,6 +1052,43 @@ object Relational {
         .orderBy("day")
     }),
 
+    // ---- least-squares trend lines -----------------------------------------
+    // Closed-form linear regression of daily revenue (cents) on the epoch
+    // day, per priority: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Every
+    // SUM is integer/decimal-exact (Σxy in DECIMAL operands BEFORE the
+    // multiply — the anomaly-detector recipe; x < 2·10⁴ forever, so Σx²
+    // stays in int64 at any corpus size), and only the final formula runs
+    // in doubles, each exact sum cast once and the op order mirrored in
+    // the oracle — regression coefficients with zero float-fold drift.
+    // Two map-side-combined aggregates over the fact table; O(priorities)
+    // output.
+    "trend_daily_revenue" -> ((s, dir) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val dec15 = (c: Column) => c.cast("decimal(15,0)")
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("x"))
+        .agg(sum(cents).as("y"))
+      daily.groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(dec15(col("x")) * dec15(col("y"))).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("priority"), col("n"),
+          col("n").cast("double").as("nd"), col("sx").cast("double").as("sxd"),
+          col("sy").cast("double").as("syd"),
+          col("sxy").cast("double").as("sxyd"),
+          col("sxx").cast("double").as("sxxd"))
+        .select(col("priority"), col("n"), col("nd"), col("sxd"), col("syd"),
+          ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+            (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+            .as("slope_cents_per_day"))
+        .select(col("priority"), col("n"), col("slope_cents_per_day"),
+          ((col("syd") - col("slope_cents_per_day") * col("sxd")) / col("nd"))
+            .as("intercept_cents"))
+        .orderBy("priority")
+    }),
+
     // ---- double-correlated EXISTS / NOT EXISTS (decorrelated) --------------
     // TPC-H Q21's shape on this schema: suppliers whose lineitems were
     // the ONLY returned ('R') items in orders that involved other
@@ -2198,6 +2235,36 @@ object Relational {
         |  FROM win WHERE n7 = 7
         |)
         |SELECT day, revenue, z FROM z WHERE abs(z) > 2.0 ORDER BY day""".stripMargin,
+    // exact integer/decimal sums (HUGEINT re-cast; Σxy squares DECIMAL
+    // operands before multiplying), then the identical double formula
+    "trend_daily_revenue" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS x,
+        |         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           AS y
+        |  FROM orders GROUP BY 1, 2
+        |), sums AS (
+        |  SELECT priority, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS DECIMAL(15,0)) * CAST(y AS DECIMAL(15,0))) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY priority
+        |), d AS (
+        |  SELECT priority, n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |         CAST(sxx AS DOUBLE) AS sxxd
+        |  FROM sums
+        |), sl AS (
+        |  SELECT priority, n, nd, sxd, syd,
+        |         (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+        |           AS slope_cents_per_day
+        |  FROM d
+        |)
+        |SELECT priority, n, slope_cents_per_day,
+        |       (syd - slope_cents_per_day * sxd) / nd AS intercept_cents
+        |FROM sl ORDER BY priority""".stripMargin,
     // the literal correlated form — independent derivation from the
     // decorrelated Spark plan; hash equality checks the rewrite
     "sql_sole_problem_supplier" ->

@@ -325,6 +325,33 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("trend lines match exact integer sums fed through the same formula") {
+    val got = SparkEntry.queries("trend_daily_revenue")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val daily = graft.Tables.load(spark, sfDir, "orders").collect()
+      .map { r =>
+        val day = r.getAs[java.time.LocalDateTime]("o_orderdate")
+          .toLocalDate.toEpochDay
+        val cents = BigDecimal(r.getDouble(r.fieldIndex("o_totalprice")))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+        (r.getString(r.fieldIndex("o_orderpriority")), day, cents.toLongExact)
+      }
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((p, x), rows) => (p, x, rows.map(_._3).sum) }
+    val want = daily.groupBy(_._1).toSeq.map { case (p, ds) =>
+      val n = ds.length.toLong
+      val sx = ds.map(_._2).sum
+      val sy = ds.map(_._3).sum
+      val sxy = ds.map(d => BigInt(d._2) * BigInt(d._3)).sum
+      val sxx = ds.map(d => d._2 * d._2).sum
+      val (nd, sxd, syd, sxyd, sxxd) =
+        (n.toDouble, sx.toDouble, sy.toDouble, sxy.toDouble, sxx.toDouble)
+      val slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+      (p, n, slope, (syd - slope * sxd) / nd)
+    }.sortBy(_._1)
+    assert(got.toSeq == want, s"got=${got.toSeq} want=$want")
+  }
+
   test("sole-problem-supplier decorrelation matches the naive correlated scan") {
     val got = SparkEntry.queries("sql_sole_problem_supplier")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
