@@ -137,6 +137,29 @@ object LlmData {
         .orderBy("doc_id")
     }),
 
+    // ---- cross-source score calibration ------------------------------------
+    // Raw quality scores are not comparable across sources (a web crawl
+    // and a curated wiki have different score distributions), so mixing
+    // by a single global threshold systematically over/under-samples
+    // sources. The standard fix before mixing is rank normalization:
+    // percent_rank WITHIN source maps every score onto [0, 1] by its
+    // within-source quantile. percent_rank = (rank−1)/(n−1) is an exact
+    // integer ratio in one double division (deterministic under ties via
+    // the doc_id tie-break); the window shuffles once on source and
+    // sorts within partitions — the same cost class as any per-source
+    // ranking at 100 TB (a source is the natural partition unit).
+    "quality_pct_rank_by_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text"), TextOps.tokens(col("text")))
+            .as("quality"))
+      d.withColumn("pct_rank", percent_rank().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("quality"), col("doc_id"))))
+        .orderBy("doc_id")
+    }),
+
     // Segment-level boilerplate removal (CCNet-style line dedup, with
     // fixed token windows as the segment unit since the corpus is
     // unlined): a segment that appears verbatim in >= BoilerplateMinDocs
@@ -842,6 +865,16 @@ object LlmData {
          |  ${TextSql.qualityScore("text")} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // same (rank-1)/(n-1) integer ratio; identical tie-break on doc_id
+    "quality_pct_rank_by_source" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ${TextSql.qualityScore("text")} AS quality
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, quality,
+         |       percent_rank() OVER (PARTITION BY source
+         |                            ORDER BY quality, doc_id) AS pct_rank
+         |FROM q ORDER BY doc_id""".stripMargin,
     // CTE-staged: inlining grams into the winnow lambda makes DuckDB
     // recompute string_split per window element — O(n^2·k) per doc (the
     // same re-inlining trap the Spark side hits with HOFs).

@@ -232,6 +232,19 @@ class LlmDataSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, s"got=${got.toSeq} want=${want.toSeq}")
   }
 
+  test("per-source percent rank calibrates scores onto [0,1] within each source") {
+    val rows = SparkEntry.queries("quality_pct_rank_by_source")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, src) =>
+      val ranked = src.sortBy(r => (r._2, r._3))
+      assert(ranked.head._3 == 0.0)
+      if (src.length > 1) assert(ranked.last._3 == 1.0)
+      // rank order follows quality order (ties broken deterministically)
+      ranked.map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b); case _ => }
+    }
+  }
+
   test("minhash calibration: estimator tracks exact jaccard within sketch noise") {
     val rows = SparkEntry.queries("dedup_minhash_calibration")(spark, sfDir)
       .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
