@@ -704,6 +704,48 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // ---- CDC apply: ordered changelog with tombstones ----------------------
+    // merge_upsert handles one batch of upserts; this is the FULL CDC
+    // shape: a sequenced change feed where a key can receive several
+    // operations (update → delete → re-insert, synthesized at %5/%10/%20)
+    // and LAST-WRITER-WINS decides, deletes dropping the row. The
+    // compaction window (row_number by seq DESC) runs over the FEED —
+    // O(changes), never the snapshot — then one full-outer join applies
+    // the survivors; tombstone rows vanish in a filter. This is the
+    // snapshot+changelog merge every table format (Delta/Hudi/Iceberg
+    // MoR) performs, expressed in pure Catalyst: at 100 TB the join is
+    // the one snapshot-sized shuffle, and bucketing both sides on the
+    // key (TableSink.writeBucketed) makes it exchange-free.
+    "cdc_apply_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.load(s, dir, "orders")
+      val ops = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), lit(1L).as("seq"),
+          lit("upsert").as("op"), lit("U").as("status"),
+          (col("o_totalprice") * 1.2).as("price"))
+        .unionAll(orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").as("k"), lit(2L).as("seq"),
+            lit("delete").as("op"), lit(null).cast("string").as("status"),
+            lit(null).cast("double").as("price")))
+        .unionAll(orders.filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey").as("k"), lit(3L).as("seq"),
+            lit("upsert").as("op"), lit("R").as("status"),
+            (col("o_totalprice") * 1.3).as("price")))
+      val last = ops.withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+        .filter(col("rn") === 1).drop("rn", "seq")
+      orders.join(last, col("o_orderkey") === col("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "delete")
+        .select(coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+          when(col("op").isNull, col("o_orderstatus")).otherwise(col("status"))
+            .as("o_orderstatus"),
+          when(col("op").isNull, col("o_totalprice")).otherwise(col("price"))
+            .as("o_totalprice"),
+          when(col("op").isNull, lit("keep")).otherwise(lit("upsert"))
+            .as("action"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- declarative data-quality constraint suite (Deequ-style) -----------
     // Profiling (profile_orders) measures; this VALIDATES: each named
     // constraint yields an exact metric and a boolean verdict, emitted as a
@@ -1999,6 +2041,35 @@ object Relational {
         |       CASE WHEN t.o_orderkey IS NULL THEN 'insert'
         |            WHEN b.k IS NULL THEN 'keep' ELSE 'update' END AS action
         |FROM orders t FULL OUTER JOIN batch b ON t.o_orderkey = b.k
+        |ORDER BY o_orderkey""".stripMargin,
+    // identical feed synthesis + last-writer-wins compaction + tombstone
+    // filter
+    "cdc_apply_orders" ->
+      """WITH ops AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'upsert' AS op, 'U' AS status,
+        |         o_totalprice * 1.2 AS price
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'delete', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'upsert', 'R', o_totalprice * 1.3
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |), last AS (
+        |  SELECT k, op, status, price FROM (
+        |    SELECT k, op, status, price,
+        |           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM ops
+        |  ) WHERE rn = 1
+        |)
+        |SELECT COALESCE(t.o_orderkey, l.k) AS o_orderkey,
+        |       CASE WHEN l.op IS NULL THEN t.o_orderstatus ELSE l.status END
+        |         AS o_orderstatus,
+        |       CASE WHEN l.op IS NULL THEN t.o_totalprice ELSE l.price END
+        |         AS o_totalprice,
+        |       CASE WHEN l.op IS NULL THEN 'keep' ELSE 'upsert' END AS action
+        |FROM orders t FULL OUTER JOIN last l ON t.o_orderkey = l.k
+        |WHERE l.op IS NULL OR l.op <> 'delete'
         |ORDER BY o_orderkey""".stripMargin,
     "dq_constraint_checks" ->
       """WITH s AS (

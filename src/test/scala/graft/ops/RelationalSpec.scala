@@ -325,6 +325,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("cdc apply: last writer wins, tombstones drop, re-inserts survive") {
+    val rows = SparkEntry.queries("cdc_apply_orders")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
+    val keys = graft.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    keys.foreach { k =>
+      if (k % 20 == 0)     // update -> delete -> re-insert: last op wins
+        assert(rows(k) == ("R", "upsert"), s"k=$k ${rows.get(k)}")
+      else if (k % 10 == 0) // update -> delete: tombstone drops the row
+        assert(!rows.contains(k), s"k=$k should be deleted")
+      else if (k % 5 == 0)  // single update applies
+        assert(rows(k) == ("U", "upsert"), s"k=$k ${rows.get(k)}")
+      else                  // untouched rows survive unchanged
+        assert(rows(k)._2 == "keep", s"k=$k ${rows.get(k)}")
+    }
+    assert(rows.size == keys.length - keys.count(k => k % 10 == 0 && k % 20 != 0))
+  }
+
   test("trend lines match exact integer sums fed through the same formula") {
     val got = SparkEntry.queries("trend_daily_revenue")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
