@@ -248,16 +248,21 @@ object Dedup {
     * verify pass at scale): the error column is the measured estimator
     * noise at K = 32 (stddev ≈ √(J(1−J)/K) ≈ 0.09 worst case — the spec
     * bounds the observed mean error). Reuses the session-memoized
-    * band/set index; the signature recompute is a narrow map over the
-    * O(candidates) join output.
+    * band/set index, and the K=32 signature recompute runs only for ids
+    * that appear in some candidate pair (semi-join first — a doc in no
+    * bucket collision never pays the signature kernel).
     */
   def minhashCalibration(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     val (sh, bands) = shingleBandIndex(docs, s"word/$idCol/$textCol",
       wordSets(idCol, textCol), BANDS, R)
-    val sig = sh.select(col("id"), col("s"),
-      minhashSignature(col("s")).as("sig"))
-    candidatePairs(bands, bands)
+    val cand = candidatePairs(bands, bands)
+    val sig = sh.join(
+        cand.select(col("a").as("id"))
+          .unionAll(cand.select(col("b").as("id"))).distinct(),
+        Seq("id"), "left_semi")
+      .select(col("id"), col("s"), minhashSignature(col("s")).as("sig"))
+    cand
       .join(sig.select(col("id").as("a"), col("s").as("sha"),
         col("sig").as("siga")), Seq("a"))
       .join(sig.select(col("id").as("b"), col("s").as("shb"),

@@ -27,8 +27,12 @@ class DeterminismSpec extends SparkSpec {
       try {
         val narrow = fn(spark, sfDir).collect().map(_.toSeq).toVector
         if (wide == narrow) None
-        else Some(s"$name: ${wide.length} vs ${narrow.length} rows, " +
-          s"first diff at ${wide.zip(narrow).indexWhere { case (a, b) => a != b }}")
+        else {
+          val i = wide.zip(narrow).indexWhere { case (a, b) => a != b }
+          val where = if (i >= 0) s"first diff at row $i"
+                      else "rows differ only past the shared prefix"
+          Some(s"$name: ${wide.length} vs ${narrow.length} rows, $where")
+        }
       } finally conf.set("spark.sql.shuffle.partitions", orig)
     }
     assert(diffs.isEmpty, diffs.mkString("; "))
