@@ -307,6 +307,82 @@ object Dedup {
       ngramSets(idCol, textCol, k)(docs), minJaccard)
   }
 
+  /** Duplicate-span window width (tokens) for [[substringSpans]]. */
+  val SPAN_K = 8
+
+  /** Exact substring-span dedup — the distributed shingle formulation of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22): every sliding [[SPAN_K]]-token window that appears
+    * verbatim in >= 2 distinct documents marks its token span as
+    * duplicated, and overlapping duplicated windows merge into maximal
+    * spans (window-function island detection). Unlike the whole-document
+    * near-dup families above, this catches PARTIAL duplication — quoted
+    * passages, shared boilerplate runs — inside otherwise-unique
+    * documents, which is what the suffix-array original removes.
+    *
+    * One row per document: (doc_id, n_toks, n_spans, dup_tokens, spans)
+    * where `spans` is a "start-end,start-end" 1-based inclusive interval
+    * list ('' when clean). Integer/string logic end to end — bit-exact
+    * against the oracle by construction, no float folds needed.
+    *
+    * Scale shape (100 TB): the position explode carries one row per
+    * token, the same cardinality every shingle op here pays; the single
+    * wide stage groups windows for the cross-document frequency filter.
+    * The group key here is the window STRING (zero collision risk,
+    * oracle-exact); at corpus scale group on `xxhash64(window)` first
+    * (8 bytes through the shuffle instead of ~60) and resolve the rare
+    * collisions inside buckets — the same escape documented on [[exact]].
+    * The span merge is a per-document window over only the duplicated
+    * positions (near-empty for clean docs). The suffix-array original is
+    * a single-machine construction; this is its shuffle-native analog.
+    */
+  def substringSpans(docs: DataFrame, k: Int = SPAN_K,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        col("toks"))
+    val pos = base.filter(col("n_toks") >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_toks") - (k - 1))).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos").cast("int"), lit(k)))
+          .as("sh"))
+    val dup = pos.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("sh"))
+    val dupPos = pos.join(dup, Seq("sh"), "leftsemi")
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("endp"))
+    // island detection: a new span starts where this window begins past
+    // everything any earlier window reached (positions are unique per doc)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("newIsl",
+        when(col("pos") > coalesce(
+          max(col("endp")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("islId", sum(col("newIsl")).over(byPos))
+      .groupBy(col("doc_id"), col("islId"))
+      .agg(min(col("pos")).as("s"), max(col("endp")).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("s"), col("e")))),
+            x => concat(x("s").cast("string"), lit("-"), x("e").cast("string"))),
+          ",").as("spans"))
+    base.select(col("doc_id"), col("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("spans"), lit("")).as("spans"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------------------
   // Connected components over the near-dup pair graph: the stage that turns
   // PAIRS into CLUSTERS so exactly one canonical document survives per

@@ -98,6 +98,52 @@ object DedupSql {
     jaccardPairs(s"list_distinct(${TextSql.charGramHashes("text", k)})",
       minJaccard, table, Dedup.NGRAM_BANDS, Dedup.NGRAM_R)
 
+  /** Mirror of [[Dedup.substringSpans]]: same sliding windows, same
+    * cross-document frequency filter, same island merge — pure integer
+    * logic, so the hash gate checks the span algebra itself.
+    */
+  def substringSpans(k: Int = Dedup.SPAN_K,
+                     table: String = "documents"): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table
+       |), p AS (
+       |  SELECT doc_id, toks,
+       |         UNNEST(range(1, CAST(len(toks) AS BIGINT) - ${k - 1} + 1)) AS pos
+       |  FROM t WHERE len(toks) >= $k
+       |), sh AS (
+       |  SELECT doc_id, pos, array_to_string(toks[pos:pos+${k - 1}], ' ') AS sh
+       |  FROM p
+       |), dup AS (
+       |  SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+       |), dp AS (
+       |  SELECT doc_id, pos, pos + ${k - 1} AS endp
+       |  FROM sh WHERE sh IN (SELECT sh FROM dup)
+       |), isl AS (
+       |  SELECT doc_id, pos, endp,
+       |         CASE WHEN pos > coalesce(max(endp) OVER (PARTITION BY doc_id
+       |                ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |              -1) THEN 1 ELSE 0 END AS new_isl
+       |  FROM dp
+       |), isl2 AS (
+       |  SELECT doc_id, pos, endp,
+       |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+       |  FROM isl
+       |), sp AS (
+       |  SELECT doc_id, isl_id, min(pos) AS s, max(endp) AS e
+       |  FROM isl2 GROUP BY doc_id, isl_id
+       |), perdoc AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+       |         string_agg(s || '-' || e, ',' ORDER BY s) AS spans
+       |  FROM sp GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+       |       coalesce(d.n_spans, 0) AS n_spans,
+       |       coalesce(d.dup_tokens, 0) AS dup_tokens,
+       |       coalesce(d.spans, '') AS spans
+       |FROM t LEFT JOIN perdoc d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle for [[Dedup.containmentPairs]] — same candidates, asymmetric
     * containment metric.
     */

@@ -414,6 +414,13 @@ object LlmData {
       Dedup.ngramJaccardPairs(docs(s, dir), MinJaccard)
         .orderBy("a", "b")),
 
+    // exact substring-span dedup (Lee et al. ACL'22, shingle formulation):
+    // per-doc maximal duplicated token intervals — catches PARTIAL
+    // duplication inside otherwise-unique documents. See
+    // Dedup.substringSpans for the 100 TB shape.
+    "dedup_substring_spans" -> ((s, dir) =>
+      Dedup.substringSpans(docs(s, dir))),
+
     // train/eval decontamination: flag TRAINING documents near-dup to any
     // benchmark document (source 'src0' plays the eval set) — the
     // pre-training hygiene step that keeps test sets out of the corpus.
@@ -899,6 +906,7 @@ object LlmData {
     "dedup_minhash_calibration" -> DedupSql.minhashCalibration(),
     "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
+    "dedup_substring_spans" -> DedupSql.substringSpans(),
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),
     "dedup_incremental" -> DedupSql.incrementalMinhashPairs(MinJaccard),
     "dedup_containment" -> DedupSql.containmentPairs(MinContainment),

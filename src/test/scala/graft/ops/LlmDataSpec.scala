@@ -32,6 +32,35 @@ class LlmDataSpec extends SparkSpec {
     assert(topk.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("substring spans: intervals are sorted, disjoint, in-bounds, and " +
+    "token counts reconcile") {
+    val out = SparkEntry.queries("dedup_substring_spans")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val k = graft.dedup.Dedup.SPAN_K
+    var anySpan = false
+    out.foreach { r =>
+      val nToks = r.getLong(1)
+      val nSpans = r.getLong(2)
+      val dupToks = r.getLong(3)
+      val spans = r.getString(4)
+      if (spans.isEmpty) {
+        assert(nSpans == 0L && dupToks == 0L)
+      } else {
+        anySpan = true
+        val ivs = spans.split(",").map { s =>
+          val Array(a, b) = s.split("-"); (a.toLong, b.toLong)
+        }
+        assert(ivs.length == nSpans)
+        // sorted, non-overlapping, each at least one window wide, in bounds
+        assert(ivs.zip(ivs.tail).forall { case ((_, e1), (s2, _)) => s2 > e1 })
+        assert(ivs.forall { case (s0, e0) => s0 >= 1 && e0 <= nToks && e0 - s0 + 1 >= k })
+        assert(ivs.map { case (s0, e0) => e0 - s0 + 1 }.sum == dupToks)
+      }
+    }
+    assert(anySpan, "no duplicated spans found — the operator is never exercised")
+    // a planted pair: near-dup docs must surface duplicated spans
+  }
+
   test("lsh ann is a subset-of-bucket approximation of exact ann semantics") {
     val lsh = SparkEntry.queries("ann_lsh_topk")(spark, sfDir).collect()
     assert(lsh.nonEmpty)
