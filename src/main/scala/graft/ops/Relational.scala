@@ -1341,6 +1341,52 @@ object Relational {
           |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
     }),
 
+    // ---- disjunctive join predicate (TPC-H Q19 shape) ----------------------
+    // OR-of-ANDs spanning both join sides: Catalyst extracts the
+    // per-side conjuncts common to every disjunct (the brand IN-list and
+    // size/quantity bounds) and pushes them below the join into BOTH
+    // parquet scans, leaving only the cross-side residual on the join —
+    // the classic "discounted revenue" plan. At 100 TB the part side
+    // stays dimension-sized after pruning, so the broadcast join holds.
+    "sql_disjunctive_revenue" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      Tables.load(s, dir, "part").createOrReplaceTempView("v_part")
+      s.sql(
+        """SELECT p_brand,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+          |GROUP BY p_brand
+          |ORDER BY p_brand""".stripMargin)
+    }),
+
+    // ---- correlated scalar subquery (TPC-H Q17 shape) ----------------------
+    // The Spark side keeps the CORRELATED form — Catalyst's
+    // RewriteCorrelatedScalarSubquery decorrelates it into the per-part
+    // aggregate + join below; the oracle is decorrelated BY HAND, so the
+    // hash gate checks the rewrite itself (the sql_sole_problem_supplier
+    // discipline). l_quantity values are small integers stored as
+    // doubles, so avg() is exact in any fold order; the 0.2 multiplier is
+    // the same literal in both engines, making the threshold compare
+    // bit-identical. Revenue is one decimal-exact sum and ONE double
+    // division.
+    "sql_small_qty_revenue" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      Tables.load(s, dir, "part").createOrReplaceTempView("v_part")
+      s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+          |       count(*) AS n_items
+          |FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#3'
+          |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                    FROM v_lineitem l2
+          |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
     // ---- anti join: customers with no big open order -----------------------
     "anti_join_customers" -> ((s, dir) => {
       val c = Tables.load(s, dir, "customer")
@@ -1905,6 +1951,28 @@ object Relational {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+    "sql_disjunctive_revenue" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    // hand-decorrelated twin of the Spark side's correlated subquery — the
+    // hash gate checks Catalyst's RewriteCorrelatedScalarSubquery itself
+    "sql_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN pa ON pa.l_partkey = lineitem.l_partkey
+        |WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * aq""".stripMargin,
     "anti_join_customers" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
