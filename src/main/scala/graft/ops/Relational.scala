@@ -845,6 +845,40 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- bucketed co-located join: layout kills the join exchange ----------
+    // Writes BOTH join sides hash-bucketed + sorted on the join key
+    // (TableSink.writeBucketed), then merge-joins them: the bucket layout
+    // satisfies the join's distribution AND ordering requirements, so the
+    // plan has NO exchange and NO sort under the join — the only shuffle
+    // left is the tiny partial-agg on priority (asserted down to one
+    // Exchange in RelationalSpec). This is the write-once/join-many
+    // contract that co-locates every repeated 100 TB fact-fact join; the
+    // merge hint pins the shape at test SF where the optimizer would
+    // otherwise broadcast the small side.
+    "bucketed_join_agg" -> ((s, dir) => {
+      val tag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val liT = s"li_bkt_$tag"
+      val oT = s"o_bkt_$tag"
+      Seq(liT, oT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.sinks.TableSink.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        liT, "l_orderkey", 8, Some("l_orderkey"))
+      graft.sinks.TableSink.writeBucketed(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        oT, "o_orderkey", 8, Some("o_orderkey"))
+      s.table(liT).hint("merge")
+        .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- PageRank: fixed-point integer iteration on a co-occurrence graph --
     // See [[pageRankParts]] — the registered query is the default
     // (broadcast-ranks) mode on a memoized edge/degree working set.
@@ -2266,6 +2300,15 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // plain join-agg over the original tables — the bucketed layout must
+    // be a pure plan optimization, invisible in the result
+    "bucketed_join_agg" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "orc_roundtrip_agg" ->
       """SELECT c_mktsegment, count(*) AS n_cust,

@@ -59,6 +59,19 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dimension join fell back to SMJ")
   }
 
+  test("bucketed_join_agg merge-joins with no exchange below the join") {
+    val df = SparkEntry.queries("bucketed_join_agg")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+    assert(!plan.contains("BroadcastExchange"), s"join got broadcast:\n$plan")
+    // the bucket layout satisfies the join's distribution requirement:
+    // the only shuffle in the whole plan is the post-join partial-agg one
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly one shuffle (the agg), got $shuffles:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("partitioned_scan_agg prunes to one partition directory") {
     val df = SparkEntry.queries("partitioned_scan_agg")(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
