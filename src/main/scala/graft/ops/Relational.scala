@@ -1256,6 +1256,52 @@ object Relational {
         .orderBy("priority", "d")
     }),
 
+    // ---- Holt double exponential smoothing (level + trend) -----------------
+    // The second-order recurrence the EWMA query can't express: coupled
+    // level/trend state l_t = a*x_t + (1-a)(l+b), b_t = g(l_t - l) +
+    // (1-g)b, initialized l_1 = x_1, b_1 = x_2 - x_1. The state is
+    // carried as a 2-element DOUBLE ARRAY through a sequential prefix
+    // fold with an identical multiply-add sequence in both engines —
+    // NOT a struct accumulator: DuckDB's list_reduce evaluates
+    // struct_pack fields sequentially, rebinding acc.l to the new level
+    // inside the trend expression (measured), so a struct state silently
+    // diverges; array state indexes the ORIGINAL accumulator in both
+    // engines. a = 0.5, g = 0.25 are exact binary fractions. Scale
+    // shape: identical to ewma_daily_revenue — O(days^2) fold work per
+    // group on O(days) rows, after the one daily-rollup shuffle.
+    "holt_daily_revenue" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val lvl = (acc: Column, x: Column) =>
+        lit(0.5) * x("rev") + lit(0.5) * (element_at(acc, 1) + element_at(acc, 2))
+      daily.groupBy(col("priority"))
+        .agg(array_sort(collect_list(struct(col("d"), col("rev")))).as("xs"))
+        .select(col("priority"),
+          explode(transform(sequence(lit(1), size(col("xs"))), t => struct(
+            element_at(col("xs"), t)("d").as("d"),
+            element_at(col("xs"), t)("rev").as("revenue"),
+            aggregate(slice(col("xs"), lit(2), t - 1),
+              array(element_at(col("xs"), lit(1))("rev"),
+                element_at(col("xs"), lit(2))("rev") -
+                  element_at(col("xs"), lit(1))("rev")),
+              (acc, x) => array(
+                lvl(acc, x),
+                lit(0.25) * (lvl(acc, x) - element_at(acc, 1)) +
+                  lit(0.75) * element_at(acc, 2))).as("hb"))))
+            .as("r"))
+        .select(col("priority"), col("r")("d").as("d"),
+          col("r")("revenue").as("revenue"),
+          element_at(col("r")("hb"), 1).as("level"),
+          element_at(col("r")("hb"), 2).as("trend"),
+          (element_at(col("r")("hb"), 1) + element_at(col("r")("hb"), 2))
+            .as("forecast_next"))
+        .orderBy("priority", "d")
+    }),
+
     // ---- cohort retention ---------------------------------------------------
     // Users bucketed by signup week, activity tracked by week offset — the
     // (cohort, offset) -> distinct-user matrix every product warehouse
@@ -2502,6 +2548,37 @@ object Relational {
         |           (a, x) -> a * CAST(0.75 AS DOUBLE)
         |                       + x * CAST(0.25 AS DOUBLE)))) AS ewma
         |FROM series ORDER BY priority, d""".stripMargin,
+    // array-encoded (level, trend) state — see the Spark-side comment on
+    // why the accumulator must NOT be a struct in DuckDB's list_reduce
+    "holt_daily_revenue" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2
+        |), series AS (
+        |  SELECT priority, list(d ORDER BY d) AS ds, list(rev ORDER BY d) AS xs
+        |  FROM daily GROUP BY priority
+        |), folded AS (
+        |  SELECT priority, ds, xs,
+        |         list_transform(range(1, len(xs) + 1), t ->
+        |           list_reduce(
+        |             list_prepend([xs[1], xs[2] - xs[1]],
+        |                          list_transform(xs[2:t], v -> [v, CAST(0.0 AS DOUBLE)])),
+        |             (acc, x) ->
+        |               [0.5*x[1] + 0.5*(acc[1] + acc[2]),
+        |                0.25*((0.5*x[1] + 0.5*(acc[1] + acc[2])) - acc[1])
+        |                  + 0.75*acc[2]])) AS hb
+        |  FROM series
+        |)
+        |SELECT priority, UNNEST(ds) AS d, UNNEST(xs) AS revenue,
+        |       UNNEST(list_transform(hb, h -> h[1])) AS level,
+        |       UNNEST(list_transform(hb, h -> h[2])) AS trend,
+        |       UNNEST(list_transform(hb, h -> h[1] + h[2])) AS forecast_next
+        |FROM folded ORDER BY priority, d""".stripMargin,
     "cohort_retention" ->
       """WITH cohorts AS (
         |  SELECT user_id,
