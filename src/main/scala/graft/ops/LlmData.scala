@@ -35,6 +35,11 @@ object LlmData {
   val AnnQueries = 8
   val IvfCentroids = 16
   val IvfProbes = 2
+  /** Product quantization: subspace count and per-subspace codebook size
+    * (64-dim vectors -> 8 subspaces of 8 dims, 16 centroids = 4-bit codes).
+    */
+  val PqM = 8
+  val PqKsub = 16
   val MinJaccard = 0.5
   /** With 4 LSH bands over 48 bits, <=3 flips cannot miss every band —
     * banded candidate generation is COMPLETE for this threshold
@@ -619,6 +624,11 @@ object LlmData {
       Similarity.quantizeInt8(emb(s, dir), EmbDim)
         .orderBy("vec_id")),
 
+    // product quantization: per-subspace codebooks + codes — the 32x
+    // storage cut behind billion-vector ADC search. See Similarity.pqCodes.
+    "emb_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(emb(s, dir), EmbDim, PqM, PqKsub)),
+
     // ---- similarity search -------------------------------------------------
     "ann_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1150,6 +1160,7 @@ object LlmData {
          |      WHERE len(toks) >= 2)
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $VocabTopN""".stripMargin,
     "emb_quantize_int8" -> SimilaritySql.quantizeInt8(EmbDim),
+    "emb_pq_codes" -> SimilaritySql.pqCodes(PqM, PqKsub, EmbDim),
     "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
     // composes the two registered pipelines as subqueries — the oracle

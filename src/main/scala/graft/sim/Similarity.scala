@@ -98,6 +98,119 @@ object Similarity {
           lit(0L), (acc, e) => (acc + e) % lit(P)).as("q_checksum"))
   }
 
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI'11): split each `dim`-vector into
+    * `m` contiguous subvectors, train an independent `ksub`-centroid
+    * codebook per subspace (the same deterministic seeded Lloyd as IVF —
+    * [[kmeansCentroids]], exact-fold mode), and encode every vector as
+    * its per-subspace nearest-centroid ids. Emits one row per
+    * (vec_id, subspace): the code and the squared reconstruction error
+    * of that subspace — all scalars, oracle-hashable.
+    *
+    * Scale shape (100 TB): codebooks are trained once (in practice on a
+    * sample) and broadcast; encoding is a single narrow corpus pass per
+    * subspace through the [[nearestCentroids]] kernel — zero shuffles.
+    * The m * log2(ksub)-bit codes replace dim * 32-bit floats (here 8
+    * bytes vs 256 — a 32x storage cut), which is what makes
+    * billion-vector ADC search RAM-resident. The per-subspace frames
+    * here share the one cached codebook per (corpus, subspace) via
+    * [[kmeansCentroidsCached]].
+    */
+  /** Subvector frame for subspace `mi`: (vec_id, vec) with `vec` the
+    * mi-th contiguous `sub`-dim slice.
+    */
+  private def subFrame(emb: DataFrame, mi: Int, sub: Int,
+                       idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+      slice(col(vecCol), mi * sub + 1, sub).as("vec"))
+
+  /** Per-subspace PQ codebooks: the deterministic seeded Lloyd of
+    * [[kmeansCentroids]] on each subvector frame, memoized per
+    * (corpus plan, subspace) via [[kmeansCentroidsCached]] so codes and
+    * ADC search share one training pass.
+    */
+  def pqCodebooks(emb: DataFrame, dim: Int, m: Int, ksub: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"
+                 ): IndexedSeq[Array[(Long, Array[Double])]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { mi =>
+      kmeansCentroidsCached(subFrame(emb, mi, sub, idCol, vecCol),
+        ksub, 1, "vec_id", "vec", exactFold = true)
+    }
+  }
+
+  def pqCodes(emb: DataFrame, dim: Int, m: Int, ksub: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(emb, dim, m, ksub, idCol, vecCol)
+    val parts = (0 until m).map { mi =>
+      val centsDf = books(mi).toSeq.toDF("c_id", "c_vec")
+      // err2 = |v|^2 - 2<v,c> + |c|^2, the oracle's exact operation order
+      subFrame(emb, mi, sub, idCol, vecCol)
+        .withColumn("code", element_at(nearestCentroids(col("vec"), books(mi), 1), 1))
+        .join(broadcast(centsDf), col("code") === col("c_id"))
+        .select(col("vec_id"), lit(mi.toLong).as("m"), col("code"),
+          (dotHof(col("vec"), col("vec")) - dotHof(col("vec"), col("c_vec")) * 2 +
+            dotHof(col("c_vec"), col("c_vec"))).as("err2"))
+    }
+    parts.reduce(_ union _).orderBy("vec_id", "m")
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: the search half of product
+    * quantization. Queries stay full-precision; each corpus vector is
+    * its codes, and the approximate distance is the sum over subspaces
+    * of the PRECOMPUTED query-to-centroid distance table (LUT) entries
+    * the codes select — corpus vectors are never touched at query time.
+    *
+    * The per-(query, neighbor) sum folds the `m` LUT entries in subspace
+    * order (sorted-array fold), bit-identical to the oracle's
+    * `list_reduce(list(d2q ORDER BY m))`. Rank is (adc ASC, n_id) —
+    * deterministic.
+    *
+    * Scale shape (100 TB): the LUT is nQueries * m * ksub doubles
+    * (KB-sized) and broadcasts; the codes table is the only large input
+    * and it joins the LUT without touching raw vectors — the whole
+    * search is one broadcast join + one grouped fold over m-row groups,
+    * shuffling only (q_id, n_id, partial) pairs. This is exactly why PQ
+    * search is RAM-resident at billions of vectors.
+    */
+  def pqAdcTopK(emb: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                m: Int, ksub: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(emb, dim, m, ksub, idCol, vecCol)
+    val codes = (0 until m).map { mi =>
+      subFrame(emb, mi, sub, idCol, vecCol)
+        .select(col("vec_id").as("n_id"), lit(mi.toLong).as("m"),
+          element_at(nearestCentroids(col("vec"), books(mi), 1), 1).as("code"))
+    }.reduce(_ union _)
+    val lut = (0 until m).map { mi =>
+      val centsDf = books(mi).toSeq.toDF("c_id", "c_vec")
+      subFrame(queries, mi, sub, idCol, vecCol)
+        .select(col("vec_id").as("q_id"), col("vec").as("qv"))
+        .crossJoin(centsDf)
+        .select(col("q_id"), lit(mi.toLong).as("m"), col("c_id"),
+          (dotHof(col("qv"), col("qv")) - dotHof(col("qv"), col("c_vec")) * 2 +
+            dotHof(col("c_vec"), col("c_vec"))).as("d2q"))
+    }.reduce(_ union _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    codes.join(broadcast(lut), Seq("m"))
+      .filter(col("code") === col("c_id") && col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("m"), col("d2q")))),
+        lit(0.0), (acc, x) => acc + x("d2q")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), col("adc"))
+      .orderBy("q_id", "rank")
+  }
+
   /** The shared tail of every top-k search: exact cosine on candidate
     * (q_id, q_vec, n_id, n_vec) rows, deterministic rank
     * (sim DESC, neighbor id ASC), rank <= k. ONE definition so the

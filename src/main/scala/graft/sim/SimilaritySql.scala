@@ -110,6 +110,56 @@ object SimilaritySql {
     * centroid id — the same arithmetic the codegen'd
     * [[graft.functions.NearestCentroids]] kernel runs.
     */
+  /** Mirrors [[Similarity.pqCodes]]: per subspace, the same seeded
+    * one-step Lloyd (exact member fold in m_id order), the same
+    * (d2, c_id) assignment tie-break, the same |v|^2 - 2<v,c> + |c|^2
+    * reconstruction error — stitched across subspaces with UNION ALL.
+    */
+  def pqCodes(m: Int, ksub: Int, dim: Int,
+              table: String = "embeddings"): String = {
+    val sub = dim / m
+    def subvec(x: String, mi: Int) =
+      s"($x)[${mi * sub + 1}:${(mi + 1) * sub}]"
+    def d2(v: String, c: String) =
+      s"(${dot(v, v, sub)}) - (${dot(v, c, sub)}) * 2 + (${dot(c, c, sub)})"
+    val ctes = (0 until m).map { mi =>
+      s"""cents0_$mi AS (
+         |  SELECT vec_id AS c_id, ${subvec("embedding", mi)} AS c_vec
+         |  FROM $table WHERE vec_id < $ksub
+         |), a0_$mi AS (
+         |  SELECT m_id, m_vec, centroid FROM (
+         |    SELECT v.vec_id AS m_id, ${subvec("v.embedding", mi)} AS m_vec,
+         |           c.c_id AS centroid,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${d2(subvec("v.embedding", mi), "c.c_vec")}, c.c_id) AS rn
+         |    FROM $table v, cents0_$mi c
+         |  ) WHERE rn = 1
+         |), coords_$mi AS (
+         |  SELECT centroid, j,
+         |         list_sum(list(CAST(m_vec[j] AS DOUBLE) ORDER BY m_id))
+         |           / count(*) AS coord
+         |  FROM a0_$mi CROSS JOIN range(1, ${sub + 1}) t(j)
+         |  GROUP BY centroid, j
+         |), cents1_$mi AS (
+         |  SELECT centroid AS c_id, list(coord ORDER BY j) AS c_vec
+         |  FROM coords_$mi GROUP BY centroid
+         |), enc_$mi AS (
+         |  SELECT vec_id, CAST($mi AS BIGINT) AS m, centroid AS code, err2
+         |  FROM (
+         |    SELECT v.vec_id, c.c_id AS centroid,
+         |           ${d2(subvec("v.embedding", mi), "c.c_vec")} AS err2,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${d2(subvec("v.embedding", mi), "c.c_vec")}, c.c_id) AS rn
+         |    FROM $table v, cents1_$mi c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }
+    val sel = (0 until m)
+      .map(mi => s"SELECT vec_id, m, code, err2 FROM enc_$mi")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${ctes.mkString(",\n")}\n$sel\nORDER BY vec_id, m"
+  }
+
   def ivfTopK(k: Int, nQueries: Int, nCentroids: Int, dim: Int, nprobe: Int = 1,
               refineIters: Int = 1, table: String = "embeddings"): String = {
     require(refineIters == 1, "oracle SQL is written for exactly one Lloyd step")
