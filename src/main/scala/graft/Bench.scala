@@ -72,8 +72,11 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Millisecond precision: full-precision doubles bloat the line ~2×
+    // and the driver's stdout capture keeps only a bounded tail.
+    def ms(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) =>
-      val mark = if (failed.contains(k)) "\"failed\"" else v.toString
+      val mark = if (failed.contains(k)) "\"failed\"" else ms(v)
       s"\"" + k + "\":" + mark
     }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -84,8 +87,19 @@ object Bench {
     val totalAll = if (results.nonEmpty) results.values.sum else 0.0
     // construction seconds only for queries where it is material (>0.2s)
     val cs = construct.filter(_._2 > 0.2)
-      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$totalOk,"unit":"sec","total_all":$totalAll,"queries":$qs,"construct":$cs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+      .map { case (k, v) => s"""\"$k\":${ms(v)}""" }.mkString("{", ",", "}")
+    // ONE JSON line (driver contract). The big per-query maps go FIRST and
+    // the headline fields LAST: a tail-bounded capture of this line then
+    // still retains metric/value/failures/sf even when the head is cut
+    // (observed driver-side in earlier rounds). Key order is irrelevant to
+    // any JSON parser, so a full capture reads identically.
+    val line = s"""{"queries":$qs,"construct":$cs,"failed":$failedJson,"metric":"total","value":${ms(totalOk)},"unit":"sec","total_all":${ms(totalAll)},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir"}"""
+    println(line)
+    // Durable full copy for when stdout capture truncates the line.
+    try {
+      val w = new java.io.PrintWriter("BENCH_LAST.json")
+      try w.println(line) finally w.close()
+    } catch { case _: java.io.IOException => () } // best-effort artifact
     spark.stop()
   }
 }

@@ -651,6 +651,17 @@ object LlmData {
         .orderBy("q_id", "rank")
     }),
 
+    // PQ asymmetric-distance search: the query half of product
+    // quantization (emb_pq_codes is the storage half) — queries stay
+    // full-precision, the corpus is codes-only, and distance is a sum of
+    // broadcast LUT entries. See Similarity.pqAdcTopK for the 100 TB
+    // shape (codes join a KB-sized LUT; raw vectors never touched).
+    "ann_pq_adc_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqAdcTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
+        EmbDim, PqM, PqKsub)
+    }),
+
     "emb_neardup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), NearDupCos,
         corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
@@ -1176,6 +1187,7 @@ object LlmData {
          |  ON e.q_id = a.q_id AND e.n_id = a.n_id
          |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
     "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim, IvfProbes),
+    "ann_pq_adc_topk" -> SimilaritySql.pqAdcTopK(AnnK, AnnQueries, PqM, PqKsub, EmbDim),
     "emb_neardup_pairs" -> SimilaritySql.nearDupPairs(NearDupCos, EmbDim),
     "ann_range_search" -> SimilaritySql.rangeSearch(RangeMinCos, AnnQueries, EmbDim),
     "dedup_ensemble_pairs" ->

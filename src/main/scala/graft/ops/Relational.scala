@@ -337,15 +337,27 @@ object Relational {
     // Spark's InjectRuntimeFilter, explicit; at scale, compute once per
     // ingested batch and reuse.
     bloomMaskCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    def buildMask(): Seq[Long] =
-      build.select(col(buildKey).cast("long").as("k")).distinct()
-        .agg(collect_list(col("k")).as("ks"))
-        .select(aggregate(col("ks"), array_repeat(lit(0L), words), (acc, k) => {
-          val ps = positions(k)
-          transform(acc, (w, wi) => ps.foldLeft(w)((ww, p) =>
-            ww.bitwiseOR(when(word(p) === wi, bit(p)).otherwise(lit(0L)))))
-        }).as("bloom"))
-        .head().getSeq[Long](0)
+    // Distributed mask build: each key contributes kHashes (word, bit)
+    // pairs, partial-aggregated map-side with bit_or and reduced to at
+    // most `words` groups — O(keys) parallel work, one shuffle of
+    // ≤ partitions×words rows, and a `words`-row collect. No distinct()
+    // (OR is idempotent) and no collect_list of the key set into a single
+    // row: the previous one-row fold evaluated O(keys × words × kHashes)
+    // `when`s in ONE task (~10 s at sf0.1) and would concentrate the whole
+    // key set in a single row at scale.
+    def buildMask(): Seq[Long] = {
+      val k = col(buildKey).cast("long")
+      val pairs = positions(k).map(p => struct(word(p).as("w"), bit(p).as("b")))
+      val partial = build
+        .where(k.isNotNull) // collect_list skipped nulls; keep that contract
+        .select(explode(array(pairs: _*)).as("pb"))
+        .groupBy(col("pb.w").as("w"))
+        .agg(call_function("bit_or", col("pb.b")).as("m"))
+        .collect()
+      val arr = Array.fill(words)(0L)
+      partial.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr.toSeq
+    }
     val plan = build.queryExecution.analyzed
     val cached = bloomMaskCache.computeIfAbsent(
       (build.sparkSession, plan.semanticHash(), s"$buildKey/$mBits/$kHashes"),
@@ -856,18 +868,25 @@ object Relational {
     // merge hint pins the shape at test SF where the optimizer would
     // otherwise broadcast the small side.
     "bucketed_join_agg" -> ((s, dir) => {
-      val tag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-      val liT = s"li_bkt_$tag"
-      val oT = s"o_bkt_$tag"
+      // External tables rooted in the per-app scratch dir: the catalog
+      // entries are session-ephemeral and the DATA lives under
+      // Tables.scratchDir, whose shutdown hook reclaims it — repeated
+      // bench/verify runs no longer accumulate copies in spark-warehouse.
+      // Fixed names are safe cross-JVM because the in-memory catalog is
+      // per-session and the storage path is applicationId-namespaced.
+      val liT = "graft_li_bkt"
+      val oT = "graft_o_bkt"
       Seq(liT, oT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       graft.sinks.TableSink.writeBucketed(
         Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-        liT, "l_orderkey", 8, Some("l_orderkey"))
+        liT, "l_orderkey", 8, Some("l_orderkey"),
+        path = Some(scratchDir(s, "bkt/lineitem")))
       graft.sinks.TableSink.writeBucketed(
         Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority")),
-        oT, "o_orderkey", 8, Some("o_orderkey"))
+        oT, "o_orderkey", 8, Some("o_orderkey"),
+        path = Some(scratchDir(s, "bkt/orders")))
       s.table(liT).hint("merge")
         .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))

@@ -134,10 +134,18 @@ object Similarity {
                  ): IndexedSeq[Array[(Long, Array[Double])]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).map { mi =>
-      kmeansCentroidsCached(subFrame(emb, mi, sub, idCol, vecCol),
-        ksub, 1, "vec_id", "vec", exactFold = true)
+    // The m subspace trainings are independent Spark actions — run them
+    // concurrently (Spark's scheduler interleaves the jobs) instead of
+    // serializing m driver round-trips. The memo (computeIfAbsent) keeps
+    // each training single-flight across threads.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until m).map { mi =>
+      Future(kmeansCentroidsCached(subFrame(emb, mi, sub, idCol, vecCol),
+        ksub, 1, "vec_id", "vec", exactFold = true))
     }
+    fs.map(Await.result(_, Duration.Inf))
   }
 
   def pqCodes(emb: DataFrame, dim: Int, m: Int, ksub: Int,

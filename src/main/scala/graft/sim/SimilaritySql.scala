@@ -117,12 +117,25 @@ object SimilaritySql {
     */
   def pqCodes(m: Int, ksub: Int, dim: Int,
               table: String = "embeddings"): String = {
+    val sel = (0 until m)
+      .map(mi => s"SELECT vec_id, m, code, err2 FROM enc_$mi")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${pqCtes(m, ksub, dim, table).mkString(",\n")}\n$sel\nORDER BY vec_id, m"
+  }
+
+  /** The shared PQ training CTEs (seeded one-step Lloyd per subspace →
+    * `cents1_$mi` codebooks, `enc_$mi` code assignments) used by both the
+    * [[pqCodes]] oracle and the [[pqAdcTopK]] search oracle — ONE
+    * definition so the codebook arithmetic cannot drift between them.
+    */
+  private def pqCtes(m: Int, ksub: Int, dim: Int,
+                     table: String): Seq[String] = {
     val sub = dim / m
     def subvec(x: String, mi: Int) =
       s"($x)[${mi * sub + 1}:${(mi + 1) * sub}]"
     def d2(v: String, c: String) =
       s"(${dot(v, v, sub)}) - (${dot(v, c, sub)}) * 2 + (${dot(c, c, sub)})"
-    val ctes = (0 until m).map { mi =>
+    (0 until m).map { mi =>
       s"""cents0_$mi AS (
          |  SELECT vec_id AS c_id, ${subvec("embedding", mi)} AS c_vec
          |  FROM $table WHERE vec_id < $ksub
@@ -154,10 +167,52 @@ object SimilaritySql {
          |  ) WHERE rn = 1
          |)""".stripMargin
     }
-    val sel = (0 until m)
-      .map(mi => s"SELECT vec_id, m, code, err2 FROM enc_$mi")
+  }
+
+  /** Mirrors [[Similarity.pqAdcTopK]]: reuses the [[pqCtes]] codebooks,
+    * builds the query-to-centroid LUT with the same
+    * |q|^2 - 2<q,c> + |c|^2 staged arithmetic, selects LUT entries by
+    * code, and folds the m per-subspace distances in subspace order
+    * (`list_reduce` over `list(d2q ORDER BY m)` == the engine's
+    * sorted-struct `aggregate` fold — bit-identical in IEEE double).
+    */
+  def pqAdcTopK(k: Int, nQueries: Int, m: Int, ksub: Int, dim: Int,
+                table: String = "embeddings"): String = {
+    val sub = dim / m
+    def subvec(x: String, mi: Int) =
+      s"($x)[${mi * sub + 1}:${(mi + 1) * sub}]"
+    def d2(v: String, c: String) =
+      s"(${dot(v, v, sub)}) - (${dot(v, c, sub)}) * 2 + (${dot(c, c, sub)})"
+    val lutCtes = (0 until m).map { mi =>
+      s"""lut_$mi AS (
+         |  SELECT q.vec_id AS q_id, CAST($mi AS BIGINT) AS m, c.c_id,
+         |         ${d2(subvec("q.embedding", mi), "c.c_vec")} AS d2q
+         |  FROM $table q, cents1_$mi c WHERE q.vec_id < $nQueries
+         |)""".stripMargin
+    }
+    val codesSel = (0 until m)
+      .map(mi => s"SELECT vec_id AS n_id, m, code FROM enc_$mi")
       .mkString("\nUNION ALL\n")
-    s"WITH ${ctes.mkString(",\n")}\n$sel\nORDER BY vec_id, m"
+    val lutSel = (0 until m)
+      .map(mi => s"SELECT q_id, m, c_id, d2q FROM lut_$mi")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${(pqCtes(m, ksub, dim, table) ++ lutCtes).mkString(",\n")},
+       |codes AS ($codesSel),
+       |lut AS ($lutSel),
+       |pairs AS (
+       |  SELECT l.q_id, c.n_id,
+       |         list_reduce(list_prepend(0.0, list(l.d2q ORDER BY l.m)),
+       |                     (a, b) -> a + b) AS adc
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.c_id
+       |  WHERE l.q_id <> c.n_id
+       |  GROUP BY l.q_id, c.n_id
+       |), ranked AS (
+       |  SELECT q_id, n_id, adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+       |  FROM pairs
+       |)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, adc FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
   def ivfTopK(k: Int, nQueries: Int, nCentroids: Int, dim: Int, nprobe: Int = 1,

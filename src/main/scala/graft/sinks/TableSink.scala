@@ -21,9 +21,15 @@ object TableSink {
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     nBuckets: Int, sortCol: Option[String] = None,
-                    mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode).bucketBy(nBuckets, bucketCol)
-    sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
+                    mode: SaveMode = SaveMode.Overwrite,
+                    path: Option[String] = None): Unit = {
+    // `path` makes the table EXTERNAL at that location — callers point it
+    // at a lifecycle-managed directory (e.g. Tables.scratchDir, reclaimed
+    // by its shutdown hook) instead of accumulating copies in the default
+    // spark-warehouse dir across runs.
+    val w0 = df.write.mode(mode).bucketBy(nBuckets, bucketCol)
+    val w1 = sortCol.fold(w0)(c => w0.sortBy(c))
+    path.fold(w1)(p => w1.option("path", p)).format("parquet").saveAsTable(table)
   }
 
   /** Partition-level upsert on plain parquet: dynamic partition overwrite

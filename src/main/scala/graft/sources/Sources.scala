@@ -85,23 +85,35 @@ object Sources {
         val hconf = new org.apache.hadoop.conf.Configuration(false)
         confMap.foreach { case (k, v) => hconf.set(k, v) }
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
-        // write-to-temp + rename per object, temp name scoped by task
-        // attempt: a retried or speculative attempt never interleaves
+        // write-to-temp + overwrite-rename per object, temp name scoped by
+        // task attempt: a retried or speculative attempt never interleaves
         // bytes into the final path (a reader sees the old object or the
-        // new one, not a torn write). Rename is atomic on HDFS/file://;
-        // for strict exactly-once on eventually-consistent stores use a
-        // committer-backed format instead.
+        // new one, not a torn write — and never a missing object: there is
+        // no delete-before-rename window). FileContext.rename(OVERWRITE)
+        // is the atomic replace on HDFS/file://; where FileContext is
+        // unavailable for the scheme, the plain-rename fallback treats
+        // "target exists" as success — content is deterministic per row,
+        // so a concurrent attempt's object is byte-identical.
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
+        val fc = try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+          new org.apache.hadoop.fs.Path(dir).toUri, hconf))
+        catch { case _: java.io.IOException => None }
         it.foreach { r =>
           val target = new org.apache.hadoop.fs.Path(dir, r.getString(0))
           val tmp = new org.apache.hadoop.fs.Path(dir,
             s".${r.getString(0)}.$attempt.tmp")
           val out = fs.create(tmp, true)
           try out.write(r.getAs[Array[Byte]](1)) finally out.close()
-          fs.delete(target, false)
-          if (!fs.rename(tmp, target))
-            throw new java.io.IOException(s"rename $tmp -> $target failed")
+          fc match {
+            case Some(ctx) =>
+              ctx.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            case None =>
+              if (!fs.rename(tmp, target)) {
+                if (fs.exists(target)) fs.delete(tmp, false) // lost a benign race
+                else throw new java.io.IOException(s"rename $tmp -> $target failed")
+              }
+          }
         }
       }
   }

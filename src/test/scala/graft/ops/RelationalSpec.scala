@@ -168,6 +168,7 @@ class RelationalSpec extends SparkSpec {
       .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
     // a memo hit needs NO Spark job (the mask .head() action is skipped) —
     // job-count is load-independent where a wall-clock bound is not
+    Thread.sleep(1000) // let the warm-up's jobs reach the async status store
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
     Relational.bloomSemiJoin(c, "c_custkey", big2, "o_custkey")
     Thread.sleep(1000) // status store is fed by the async listener bus
@@ -294,6 +295,7 @@ class RelationalSpec extends SparkSpec {
     // eager-checkpointed edge build is NOT re-run, so plan construction
     // launches no Spark job (job-count is load-independent where a
     // wall-clock bound is not)
+    Thread.sleep(1000) // let the warm-up's jobs reach the async status store
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
     val sh = graft.ops.Relational.pageRankParts(spark, sfDir, broadcastRanks = false)
     Thread.sleep(1000) // status store is fed by the async listener bus
