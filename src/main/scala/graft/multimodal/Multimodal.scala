@@ -15,10 +15,12 @@ import org.apache.spark.sql.types._
   * width × height. VIDEO METADATA is real for MP4/MOV: a pure-Scala
   * ISO BMFF `moov/trak/tkhd` + `stsz` header parse ([[mp4Decode]]) yields
   * true presentation dimensions and frame count with zero external deps.
-  * Only pixel-level A/V decode remains STUBBED (no codec libs in this
-  * container): a deterministic fake derives pseudo-dimensions from the
-  * payload bytes. Swapping in a real A/V codec changes only the marked
-  * function body, not the plan shape.
+  * AUDIO METADATA is real for WAV: a RIFF chunk walk ([[wavDecode]])
+  * yields true channels/rate/bits/sample-count. Only pixel/sample-level
+  * A/V decode remains STUBBED (no codec libs in this container): a
+  * deterministic fake derives pseudo-dimensions from the payload bytes.
+  * Swapping in a real A/V codec changes only the marked function body,
+  * not the plan shape.
   *
   * Scale notes: payloads stay in executor memory one partition at a time;
   * `mapPartitions` amortizes per-batch codec setup exactly like a Pandas
@@ -359,5 +361,95 @@ object Multimodal {
             hashRange(payload, off, math.min(off + 64, payload.length)))
         }
       }
+  }
+
+  // -------------------------------------------------------------------------
+  // Audio: REAL metadata via a pure-Scala RIFF/WAVE chunk walk. Like
+  // mp4Decode, the CONTAINER layout is public spec (RIFF little-endian
+  // chunks; PCM `fmt ` carries channels/rate/bits, `data` carries the
+  // sample bytes) — no codec library needed for the metadata a curation
+  // pipeline filters on (duration, channel count, sample rate) before any
+  // sample-level decode.
+
+  case class AudioMeta(asset_id: Long, channels: Long, sample_rate: Long,
+                       bits_per_sample: Long, n_samples: Long,
+                       duration_ms: Long)
+
+  /** Canonical 44-byte-header PCM WAV payload: RIFF/WAVE + `fmt ` (PCM,
+    * audioFormat=1) + `data` with `nSamples * channels * bits/8` bytes of
+    * deterministic content (a sawtooth over the byte range — not silence,
+    * so fingerprints differ per shape). The builder is the test-side
+    * inverse of [[wavDecode]].
+    */
+  def wavBuild(channels: Int, sampleRate: Int, bitsPerSample: Int,
+               nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataLen = nSamples * blockAlign
+    val byteRate = sampleRate * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < dataLen) { buf.put((i % 251).toByte); i += 1 }
+    buf.array()
+  }
+
+  def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** REAL audio METADATA decode: walk the RIFF chunk list, read PCM
+    * params from `fmt ` and the payload size from `data`;
+    * n_samples = dataLen / blockAlign, duration = n_samples·1000/rate
+    * (integer ms). Returns None for non-WAV or truncated payloads —
+    * callers fall back to the stub, same contract as [[mp4Decode]].
+    */
+  def wavDecode(assetId: Long, payload: Array[Byte]): Option[AudioMeta] = {
+    if (!looksLikeWav(payload)) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var channels = 0L; var rate = 0L; var bits = 0L; var dataLen = -1L
+    var off = 12
+    try {
+      while (off + 8 <= payload.length && (dataLen < 0 || channels == 0)) {
+        val tag = new String(payload, off, 4, "US-ASCII")
+        val len = buf.getInt(off + 4).toLong & 0xffffffffL
+        tag match {
+          case "fmt " if off + 24 <= payload.length =>
+            channels = buf.getShort(off + 10).toLong
+            rate = buf.getInt(off + 12).toLong & 0xffffffffL
+            bits = buf.getShort(off + 22).toLong
+          case "data" => dataLen = math.min(len, payload.length - off - 8L)
+          case _ => ()
+        }
+        off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      }
+      val blockAlign = channels * bits / 8
+      if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) None
+      else {
+        val n = dataLen / blockAlign
+        Some(AudioMeta(assetId, channels, rate, bits, n, n * 1000L / rate))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Audio metadata operator: batched per partition like [[decode]];
+    * non-WAV payloads are dropped (a lake scan keeps media it can type).
+    */
+  def audioMeta(assets: DataFrame): Dataset[AudioMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavDecode(id, Option(bytes).getOrElse(Array.emptyByteArray))
+      })
   }
 }

@@ -801,6 +801,31 @@ object LlmData {
         docs(s, dir), "doc_id", "text", "source"))
         .toDF().orderBy("asset_id", "frame_idx")),
 
+    // REAL audio-metadata round trip: per document, derive PCM params
+    // (channels/rate/bits/samples) from table columns, build a canonical
+    // RIFF/WAVE payload, and parse it back with the pure-Scala chunk walk
+    // — the oracle computes the expected metadata from the SAME column
+    // derivations without ever seeing the bytes, so the hash gate proves
+    // wavDecode inverts wavBuild on every row (the same contract as
+    // csv/orc round trips, applied to the audio container).
+    "multimodal_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val params = docs(s, dir).select(
+        col("doc_id"),
+        (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+        when(col("doc_id") % 3 === 0, 8000)
+          .when(col("doc_id") % 3 === 1, 16000)
+          .otherwise(44100).as("rate"),
+        when(col("doc_id") % 2 === 0, 8).otherwise(16).as("bits"),
+        (lit(1) + col("n_chars") % 400).cast("int").as("ns"))
+      params.as[(Long, Int, Int, Int, Int)]
+        .mapPartitions(_.map { case (id, ch, rate, bits, ns) =>
+          Multimodal.wavDecode(id, Multimodal.wavBuild(ch, rate, bits, ns))
+            .getOrElse(sys.error(s"unparseable built WAV for doc $id"))
+        })
+        .toDF().orderBy("asset_id")
+    }),
+
     // Perceptual image dedup end to end: embeddings rendered as 8x8
     // grayscale PNG heatmaps, REAL javax.imageio decode, 64-bit
     // average-hash, SimHash-style banded blocking + exact hamming verify.
@@ -1217,6 +1242,17 @@ object LlmData {
       """SELECT doc_id AS asset_id, 'application/octet-stream' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  lower(sha256(text)) AS sha256, source
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "multimodal_audio_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       ELSE 44100 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE doc_id % 2 WHEN 0 THEN 8 ELSE 16 END AS BIGINT) AS bits_per_sample,
+        |  CAST(1 + n_chars % 400 AS BIGINT) AS n_samples,
+        |  CAST(((1 + n_chars % 400) * 1000)
+        |       // CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |          ELSE 44100 END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY asset_id""".stripMargin,
     // multimodal_decode / multimodal_frames: the text-byte payloads all
     // take the STUB decode path, whose arithmetic (rolling 31-poly byte

@@ -131,10 +131,14 @@ object TableSink {
     * "created or already exists" — same contract).
     */
   def createIfNotExists(spark: SparkSession, table: String, schema: StructType,
-                        provider: String = "parquet"): Boolean = {
+                        provider: String = "parquet",
+                        options: Map[String, String] = Map.empty): Boolean = {
+    // a "path" option makes the table EXTERNAL at that location — callers
+    // point it at a lifecycle-managed dir (Tables.scratchDir) so repeated
+    // runs don't accumulate managed copies in spark-warehouse
     if (spark.catalog.tableExists(table)) false
     else try {
-      spark.catalog.createTable(table, provider, schema, Map.empty[String, String])
+      spark.catalog.createTable(table, provider, schema, options)
       true
     } catch {
       // lost a create race (concurrent job init) — same outcome as exists

@@ -478,6 +478,42 @@ class LlmDataSpec extends SparkSpec {
     assert(out(1) == Multimodal.stubDecode(2L, "not media".getBytes("UTF-8")))
   }
 
+  test("wav payloads decode to TRUE fmt params and sample count") {
+    import spark.implicits._
+    // round trip at several shapes, incl. bits=8 mono and 16-bit stereo
+    for ((ch, rate, bits, ns) <- Seq((1, 8000, 8, 1), (2, 44100, 16, 400),
+      (1, 16000, 16, 333), (2, 22050, 8, 100))) {
+      val m = Multimodal.wavDecode(7L,
+        Multimodal.wavBuild(ch, rate, bits, ns)).get
+      assert(m.channels == ch && m.sample_rate == rate &&
+        m.bits_per_sample == bits && m.n_samples == ns &&
+        m.duration_ms == ns * 1000L / rate)
+    }
+    // golden byte layout: the canonical header offsets from the RIFF spec
+    val b = Multimodal.wavBuild(2, 44100, 16, 10)
+    assert(b.length == 44 + 10 * 4)
+    assert(new String(b, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(b, 8, 4, "US-ASCII") == "WAVE")
+    assert(new String(b, 12, 4, "US-ASCII") == "fmt ")
+    assert(new String(b, 36, 4, "US-ASCII") == "data")
+    // a LIST chunk before fmt must be skipped (word-aligned walk)
+    val list = "LIST".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(5).array() ++
+      "INFOx".getBytes("US-ASCII") ++ Array[Byte](0) // odd len + pad
+    val shuffled = b.take(12) ++ list ++ b.drop(12)
+    val m2 = Multimodal.wavDecode(8L, shuffled).get
+    assert(m2.channels == 2 && m2.sample_rate == 44100 && m2.n_samples == 10)
+    // not RIFF / truncated before fmt → None
+    assert(Multimodal.wavDecode(9L, "plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.wavDecode(10L, b.take(10)).isEmpty)
+    // the audioMeta operator drops undecodable payloads
+    val assets = Seq((1L, b), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val out = Multimodal.audioMeta(assets).collect()
+    assert(out.map(_.asset_id).toSeq == Seq(1L))
+  }
+
   test("frame sampling emits stride-spaced frame indices per asset") {
     val frames = Multimodal.sampleFrames(
       Multimodal.assetsFromText(Tables.load(spark, sfDir, "documents"),
