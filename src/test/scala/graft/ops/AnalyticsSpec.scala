@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Ground-truth tests for the [[Analytics]] family: the DuckDB oracle
+  * proves engine parity; these specs prove the math is right, mostly by
+  * brute force at sf0.001.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("interval_concurrency: matches a driver-side brute-force sweep") {
+    val got = Analytics.queries("interval_concurrency")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+
+    val holdUs = Analytics.HoldMinutes * 60L * 1000000L
+    val dayUs = 86400L * 1000000L
+    val ts = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    // split each [t, t+hold) at day boundaries, then per-day brute sweep
+    val segs = ts.flatMap { t0 =>
+      val t1 = t0 + holdUs
+      (t0 / dayUs to (t1 - 1) / dayUs).map { d =>
+        (d, math.max(t0, d * dayUs), math.min(t1, (d + 1) * dayUs))
+      }
+    }
+    val expect = segs.groupBy(_._1).toVector.sortBy(_._1).map { case (d, ss) =>
+      val events = ss.flatMap(s => Seq((s._2, 1), (s._3, -1)))
+        // ends-before-starts at equal instants (half-open convention)
+        .sortBy { case (t, delta) => (t, delta) }
+      val running = events.scanLeft(0L) { case (acc, (_, dl)) => acc + dl }
+      (d, running.max, ss.length.toLong)
+    }
+    assert(got == expect)
+  }
+
+  test("autocorr_daily_revenue: matches driver-side Pearson on the series") {
+    val got = Analytics.queries("autocorr_daily_revenue")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1 to Analytics.AcLags))
+
+    val series = Tables.load(spark, sfDir, "orders")
+      .groupBy(unix_date(col("o_orderdate").cast("date")).cast("long").as("x"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("v"))
+      .orderBy("x").collect().map(_.getLong(1))
+    for ((lag, n, r) <- got) {
+      val pairs = series.drop(lag).zip(series.dropRight(lag))
+      assert(n == pairs.length)
+      val xs = pairs.map(_._1.toDouble); val ys = pairs.map(_._2.toDouble)
+      val nd = n.toDouble
+      val num = nd * xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum
+      val den = math.sqrt(nd * xs.map(x => x * x).sum - xs.sum * xs.sum) *
+        math.sqrt(nd * ys.map(y => y * y).sum - ys.sum * ys.sum)
+      assert(math.abs(r - num / den) < 1e-9, s"lag $lag: $r vs ${num / den}")
+      assert(r > -1.0 - 1e-12 && r < 1.0 + 1e-12)
+    }
+  }
+
+  test("countmin_heavy_terms: estimates dominate exact counts; top is exact") {
+    val rows = Analytics.queries("countmin_heavy_terms")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == Analytics.CmsTopK)
+    // CMS never undercounts
+    assert(rows.forall { case (_, exact, est) => est >= exact })
+    // exact column really is the exact top-k of the token stream
+    val direct = Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok")).limit(Analytics.CmsTopK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toVector
+    assert(rows.map(r => (r._1, r._2)).toVector == direct)
+  }
+
+  test("weekday_seasonality: indices average to 1 under day weighting") {
+    val rows = Analytics.queries("weekday_seasonality")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq.sorted == (0L to 6L))
+    val allDays = rows.map(_._2).sum
+    val allCents = rows.map(_._3).sum
+    // sum over weekdays of n_days * idx == total days (idx is a mean ratio)
+    val wsum = rows.map { case (_, nd, _, idx) => nd * idx }.sum
+    assert(math.abs(wsum - allDays) < 1e-6 * allDays)
+    // reconstruct: idx * overall_mean * n_days ~= weekday total cents
+    val overall = allCents.toDouble / allDays
+    for ((_, nd, cents, idx) <- rows)
+      assert(math.abs(idx * overall * nd - cents) < 1e-6 * cents)
+  }
+
+  test("grid_neighbor_join: equals the all-pairs O(n^2) answer") {
+    val got = Analytics.queries("grid_neighbor_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val P = graft.text.TextOps.P; val MIX = graft.text.TextOps.MIX
+    def poly(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+    def coord(h: Long, salt: Long): Long = {
+      val u = (h + salt) * MIX % P; u * u % P % Analytics.GridMod
+    }
+    val pts = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .map(k => (k, coord(poly(k.toString), 1), coord(poly(k.toString), 2)))
+    val expect = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts if a < b
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+      if d2 <= Analytics.GridR2
+    } yield (a, b, d2)).toSet
+    assert(got == expect, "grid neighborhood must be complete: every " +
+      "within-radius pair is found and nothing beyond the radius")
+  }
+
+  test("schema_drift_profile: deltas consistent, counts match direct query") {
+    val rows = Analytics.queries("schema_drift_profile")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 12)
+    assert(rows.forall { case (_, _, a, b, d) => d == b - a })
+    val ordersA = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(s"${Analytics.DriftYearA}-01-01")
+        .cast("timestamp") &&
+        col("o_orderdate") < lit(s"${Analytics.DriftYearA.toInt + 1}-01-01")
+          .cast("timestamp"))
+    val nA = ordersA.count()
+    assert(rows.find(r => r._1 == "o_custkey" && r._2 == "count").get._3 == nA)
+  }
+
+  test("semdedup_label_prune: scores are true max-cos-to-earlier, budget holds") {
+    val rows = Analytics.queries("semdedup_label_prune")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.groupBy(_._1).values.forall(_.length <= Analytics.SemPruneK))
+
+    val embs = Tables.load(spark, sfDir, "embeddings")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byId = embs.map(e => e._1 -> e).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((label, vecId, keeperId, maxCos, _) <- rows.take(10)) {
+      val me = byId(vecId)
+      val earlier = embs.filter(e => e._3 == label && e._1 < vecId)
+      val best = earlier.map(e => (cos(e._2, me._2), e._1))
+        .maxBy(t => (t._1, -t._2))
+      assert(best._2 == keeperId)
+      assert(math.abs(best._1 - maxCos) < 1e-12)
+    }
+  }
+}
