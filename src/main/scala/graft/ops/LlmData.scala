@@ -30,6 +30,84 @@ object LlmData {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** BM25-scored corpus (doc_id, score) for the fixed [[Bm25Terms]] query —
+    * the scored frame BEFORE the top-k cut, shared by `text_bm25_topk` and
+    * [[Analytics]]'s reciprocal-rank fusion so the lexical leg of hybrid
+    * retrieval is literally the registered BM25 pipeline, not a re-derivation
+    * that could drift. See the `text_bm25_topk` scaladoc for the plan shape
+    * (term filter inside the generator, broadcast df/avglen, sorted-fold sum).
+    */
+  /** Oracle mirror of [[bm25Scored]]: a self-contained SQL subquery
+    * producing (doc_id, score), shared by the `text_bm25_topk` oracle and
+    * [[Analytics]]'s RRF oracle.
+    */
+  def bm25ScoredSql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH base AS (
+       |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents
+       |), lens AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base
+       |), n AS (SELECT count(*) AS n FROM documents),
+       |avg AS (
+       |  SELECT CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) AS avglen
+       |  FROM (SELECT sum(len) AS sl FROM lens), n
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf, max(len) AS len
+       |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+       |               UNNEST(toks) AS term FROM base)
+       |  WHERE term IN $termList GROUP BY doc_id, term
+       |), dfx AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), contrib AS (
+       |  -- every fractional literal CAST to DOUBLE: DuckDB parses bare
+       |  -- 2.2/1.2/0.5 as DECIMAL and computes exact decimal products
+       |  -- where Spark rounds binary doubles (caught: tf * 2.2 = 6.6
+       |  -- exactly in decimal, 6.6000000000000005 in ieee754)
+       |  SELECT doc_id, term,
+       |    ((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+       |       / (df + CAST(0.5 AS DOUBLE)))
+       |      * (tf * CAST(${Bm25K1 + 1} AS DOUBLE))
+       |      / (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1 - Bm25B} AS DOUBLE)
+       |           + CAST($Bm25B AS DOUBLE) * (len / avglen))) AS c
+       |  FROM tf JOIN dfx USING (term), n, avg
+       |)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+       |    (a, b) -> a + b) AS score
+       |FROM contrib GROUP BY doc_id""".stripMargin
+  }
+
+  def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    val oneMinusB = 1 - Bm25B // 0.25, exact in binary
+    val base = docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val avg = base
+      .agg((sum(size(col("toks")).cast("long")).cast("double") / lit(n.toDouble))
+        .as("avglen"))
+    // doc length rides ALONG the postings (max(len) is constant per
+    // doc) — no separate per-doc length join; the term filter runs
+    // INSIDE the generator so only query-term postings are ever emitted
+    val tf = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        explode(filter(col("toks"),
+          t => Bm25Terms.map(b => t === lit(b)).reduce(_ || _))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(avg))
+      .withColumn("idf",
+        (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(oneMinusB) + lit(Bm25B) * (col("len") / col("avglen")))))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0), (acc, x) => acc + x("contrib")).as("score"))
+  }
+
   val EmbDim = 64
   val AnnK = 5
   val AnnQueries = 8
@@ -490,37 +568,9 @@ object LlmData {
     // TakeOrderedAndProject, never a global window. Per-doc score folds
     // the <=|terms| contributions IN TERM ORDER through a sorted-array
     // aggregate, so the double sum is engine-reproducible.
-    "text_bm25_topk" -> ((s, dir) => {
-      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
-      val oneMinusB = 1 - Bm25B // 0.25, exact in binary
-      val base = docs(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val avg = base
-        .agg((sum(size(col("toks")).cast("long")).cast("double") / lit(n.toDouble))
-          .as("avglen"))
-      // doc length rides ALONG the postings (max(len) is constant per
-      // doc) — no separate per-doc length join; the term filter runs
-      // INSIDE the generator so only query-term postings are ever emitted
-      val tf = base
-        .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
-          explode(filter(col("toks"),
-            t => Bm25Terms.map(b => t === lit(b)).reduce(_ || _))).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(avg))
-        .withColumn("idf",
-          (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-        .withColumn("contrib",
-          col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
-            (col("tf") + lit(Bm25K1) *
-              (lit(oneMinusB) + lit(Bm25B) * (col("len") / col("avglen")))))
-        .groupBy(col("doc_id"))
-        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("contrib")))),
-          lit(0.0), (acc, x) => acc + x("contrib")).as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
-    }),
+    "text_bm25_topk" -> ((s, dir) =>
+      bm25Scored(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)),
 
     // ---- bigram LM quality scoring -----------------------------------------
     // CCNet-style language-model filtering: train bigram transition counts
@@ -1005,42 +1055,9 @@ object LlmData {
          |       hex(encode(text)) AS content_hex
          |FROM documents WHERE doc_id < $BinFileDocs
          |ORDER BY fname""".stripMargin,
-    "text_bm25_topk" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
-      s"""WITH base AS (
-         |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents
-         |), lens AS (
-         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base
-         |), n AS (SELECT count(*) AS n FROM documents),
-         |avg AS (
-         |  SELECT CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) AS avglen
-         |  FROM (SELECT sum(len) AS sl FROM lens), n
-         |), tf AS (
-         |  SELECT doc_id, term, count(*) AS tf, max(len) AS len
-         |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
-         |               UNNEST(toks) AS term FROM base)
-         |  WHERE term IN $termList GROUP BY doc_id, term
-         |), dfx AS (
-         |  SELECT term, count(*) AS df FROM tf GROUP BY term
-         |), contrib AS (
-         |  -- every fractional literal CAST to DOUBLE: DuckDB parses bare
-         |  -- 2.2/1.2/0.5 as DECIMAL and computes exact decimal products
-         |  -- where Spark rounds binary doubles (caught: tf * 2.2 = 6.6
-         |  -- exactly in decimal, 6.6000000000000005 in ieee754)
-         |  SELECT doc_id, term,
-         |    ((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
-         |       / (df + CAST(0.5 AS DOUBLE)))
-         |      * (tf * CAST(${Bm25K1 + 1} AS DOUBLE))
-         |      / (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1 - Bm25B} AS DOUBLE)
-         |           + CAST($Bm25B AS DOUBLE) * (len / avglen))) AS c
-         |  FROM tf JOIN dfx USING (term), n, avg
-         |)
-         |SELECT doc_id,
-         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
-         |    (a, b) -> a + b) AS score
-         |FROM contrib GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
-    },
+    "text_bm25_topk" ->
+      s"""SELECT doc_id, score FROM ($bm25ScoredSql)
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
     // same add-one-smoothed bigram model; p is an exact integer-ratio
     // double and the per-doc sum folds in position order (list_reduce
     // over list(p ORDER BY pos)) exactly like the Spark sorted-array fold

@@ -154,4 +154,164 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(best._1 - maxCos) < 1e-12)
     }
   }
+
+  test("skyline_orders: equals the all-pairs dominance answer") {
+    val got = Analytics.queries("skyline_orders")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val pts = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        unix_date(col("o_orderdate").cast("date")).cast("long"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = pts.filter { case (_, d, c) =>
+      !pts.exists { case (_, d2, c2) =>
+        d2 >= d && c2 >= c && (d2 > d || c2 > c)
+      }
+    }.map { case (k, d, c) => (k, d, c) }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("regress_nation_trend: matches in-memory least squares per nation") {
+    val rows = Analytics.queries("regress_nation_trend")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val pts = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        unix_date(col("o_orderdate").cast("date")).cast("long"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((name, n, slope, icept, r2) <- rows) {
+      val p = pts(name)
+      assert(n == p.length)
+      val nd = n.toDouble
+      val xs = p.map(_._2.toDouble); val ys = p.map(_._3.toDouble)
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = p.map(t => t._2.toDouble * t._3).sum
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      val den = nd * sxx - sx * sx
+      assert(math.abs(slope - (nd * sxy - sx * sy) / den)
+        < 1e-9 * math.abs(slope).max(1e-3))
+      assert(math.abs(icept - (sy * sxx - sx * sxy) / den)
+        < 1e-6 * math.abs(icept).max(1.0))
+      val r2e = (nd * sxy - sx * sy) * (nd * sxy - sx * sy) /
+        (den * (nd * syy - sy * sy))
+      assert(math.abs(r2 - r2e) < 1e-9)
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+    }
+  }
+
+  test("hybrid_rrf_search: fuses the true per-leg ranks") {
+    val got = Analytics.queries("hybrid_rrf_search")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3)))
+    assert(got.length <= Analytics.RrfTopK && got.nonEmpty)
+
+    // lexical leg: the (separately oracle-verified) BM25 scorer, ranked
+    val lexRank = LlmData.bm25Scored(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(Analytics.RrfDepth).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // semantic leg: brute-force cosine to the query embedding
+    val embs = Tables.load(spark, sfDir, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = embs.find(_._1 == Analytics.RrfQueryId).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val semRank = embs.filter(_._1 != Analytics.RrfQueryId)
+      .map(e => (e._1, cos(e._2, qv)))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(Analytics.RrfDepth).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+
+    val fused = (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
+      val s = lexRank.get(id).map(r => 1.0 / (Analytics.RrfK + r)).getOrElse(0.0) +
+        semRank.get(id).map(r => 1.0 / (Analytics.RrfK + r)).getOrElse(0.0)
+      (id, lexRank.get(id), semRank.get(id), s)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(Analytics.RrfTopK)
+    assert(got.toSeq.map(t => (t._1, t._2, t._3)) ==
+      fused.map(t => (t._1, t._2, t._3)))
+    got.toSeq.zip(fused).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-12)
+    }
+  }
+
+  test("domain_score_linear: exact-integer weights match brute force") {
+    val got = Analytics.queries("domain_score_linear")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length <= Analytics.DomTopK)
+
+    val P = graft.text.TextOps.P
+    def poly(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bigrams = docs.map { case (id, lang, text) =>
+      val toks = text.trim.split("\\s+")
+      (id, lang, toks.sliding(2).filter(_.length == 2)
+        .map(p => poly(p(0) + " " + p(1)) % Analytics.DomFeatures).toSeq)
+    }.filter(_._3.nonEmpty)
+    val rawCnt = bigrams.flatMap(_._3).groupBy(identity).map { case (f, v) => f -> v.size.toLong }
+    val tgtCnt = bigrams.filter(_._2 == Analytics.DomLang)
+      .flatMap(_._3).groupBy(identity).map { case (f, v) => f -> v.size.toLong }
+    val rtot = rawCnt.values.sum; val ttot = tgtCnt.values.sum
+    val w = rawCnt.map { case (f, rf) =>
+      f -> (tgtCnt.getOrElse(f, 0L) * rtot - rf * ttot)
+    }
+    val scores = bigrams.map { case (id, _, fs) =>
+      (id, fs.size.toLong, fs.map(w).sum)
+    }
+    val expect = scores.sortBy { case (id, _, s) => (-s, id) }
+      .take(Analytics.DomTopK).map { case (id, n, s) => (id, n, s) }
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("kcenter_coreset: replicates the greedy farthest-first traversal") {
+    val got = Analytics.queries("kcenter_coreset")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == Analytics.KcK)
+    // greedy radius is non-increasing after the seed
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b })
+
+    val embs = Tables.load(spark, sfDir, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d
+      }
+      s
+    }
+    var centers = Vector(embs.head)
+    var expect = Vector((1, embs.head._1, 0.0))
+    for (i <- 2 to Analytics.KcK) {
+      val (pick, md) = embs.map { e =>
+        (e, centers.map(c => d2(e._2, c._2)).min)
+      }.maxBy { case (e, m) => (m, -e._1) } match { case (e, m) => (e, m) }
+      centers :+= pick
+      expect :+= ((i, pick._1, md))
+    }
+    assert(got.map(t => (t._1, t._2)).toSeq == expect.map(t => (t._1, t._2)))
+    got.zip(expect).foreach { case (g, e) => assert(math.abs(g._3 - e._3) < 1e-9) }
+  }
 }
