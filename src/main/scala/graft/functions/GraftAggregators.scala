@@ -110,3 +110,87 @@ class MisraGries(capacity: Int)
   override def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }
+
+/** MRL quantile sketch (Manku–Rajagopalan–Lindsay, "Approximate Medians
+  * and other Quantiles in One Pass and with Limited Memory", SIGMOD'98)
+  * as a typed `Aggregator` — the mergeable bounded-memory quantile
+  * summary: level-`i` buffers hold values of weight `2^i`; a full level
+  * sorts and promotes every second element (the upper of each adjacent
+  * pair — deterministic, no RNG), halving the item count while exactly
+  * preserving total weight. Memory is O(k · log(n/k)) regardless of n,
+  * the shuffle carries one sketch per partition, and merges concatenate
+  * level-wise then re-collapse — the same mergeable-summaries contract as
+  * [[MisraGries]].
+  *
+  * Rank error: each collapse of a level-`i` buffer perturbs any rank by
+  * at most `2^i` per promoted pair boundary; summed over the O(log(n/k))
+  * levels the worst case is O(n · log(n/k) / k) — k=512 keeps it under
+  * ~2.5% of n at 10^6 rows. The estimate is intentionally NOT
+  * bit-deterministic across partitionings (merge order varies), so
+  * consumers surface it through within-tolerance booleans, never raw
+  * (the `approx_sketches` pattern).
+  *
+  * An odd-sized buffer collapses its first even-sized prefix (post-sort)
+  * and retains the maximum at its own level, so weight conservation is
+  * unconditional: finish() weights always sum to exactly n.
+  */
+class MrlQuantile(k: Int)
+  extends Aggregator[java.lang.Long,
+    scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Long]],
+    Seq[(Long, Long)]] {
+  require(k >= 2 && k % 2 == 0, s"level capacity must be even, got $k")
+  import scala.collection.mutable.ArrayBuffer
+
+  override def zero: ArrayBuffer[ArrayBuffer[Long]] = ArrayBuffer.empty
+
+  private def collapse(b: ArrayBuffer[ArrayBuffer[Long]], level: Int): Unit = {
+    val buf = b(level)
+    val sorted = buf.toArray
+    java.util.Arrays.sort(sorted)
+    val even = sorted.length - (sorted.length % 2)
+    buf.clear()
+    if (even < sorted.length) buf += sorted(sorted.length - 1)
+    if (b.size <= level + 1) b += ArrayBuffer.empty[Long]
+    val up = b(level + 1)
+    var i = 1
+    while (i < even) { up += sorted(i); i += 2 }
+  }
+
+  private def cascade(b: ArrayBuffer[ArrayBuffer[Long]]): Unit = {
+    var i = 0
+    while (i < b.size) {
+      if (b(i).size >= k) collapse(b, i)
+      i += 1
+    }
+  }
+
+  override def reduce(b: ArrayBuffer[ArrayBuffer[Long]],
+                      v: java.lang.Long): ArrayBuffer[ArrayBuffer[Long]] = {
+    if (v == null) return b
+    if (b.isEmpty) b += ArrayBuffer.empty[Long]
+    b(0) += v.longValue()
+    if (b(0).size >= k) cascade(b)
+    b
+  }
+
+  override def merge(x: ArrayBuffer[ArrayBuffer[Long]],
+                     y: ArrayBuffer[ArrayBuffer[Long]]): ArrayBuffer[ArrayBuffer[Long]] = {
+    y.iterator.zipWithIndex.foreach { case (buf, i) =>
+      while (x.size <= i) x += ArrayBuffer.empty[Long]
+      x(i) ++= buf
+    }
+    cascade(x)
+    x
+  }
+
+  /** (value, weight) samples; Σ weight == exact input count. */
+  override def finish(b: ArrayBuffer[ArrayBuffer[Long]]): Seq[(Long, Long)] =
+    b.iterator.zipWithIndex.flatMap { case (buf, i) =>
+      buf.iterator.map(v => (v, 1L << i))
+    }.toSeq
+
+  override def bufferEncoder: Encoder[ArrayBuffer[ArrayBuffer[Long]]] =
+    Encoders.kryo[ArrayBuffer[ArrayBuffer[Long]]]
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}

@@ -102,6 +102,19 @@ object Analytics {
     */
   val KcK = 8
 
+  /** quantile_sketch_audit: MRL level capacity, rank tolerance (fraction
+    * of n the sketch estimate's rank interval may miss the target by),
+    * and the audited percent probes.
+    */
+  val MrlK = 512
+  val MrlTolPct = 5L
+  val MrlProbes = Seq(10, 25, 50, 75, 90)
+
+  /** kanon_risk_audit: groups of quasi-identifier combinations smaller
+    * than this are re-identification risks.
+    */
+  val KanonK = 5L
+
   private def cents: Column =
     (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
 
@@ -579,6 +592,85 @@ object Analytics {
         .limit(DomTopK)
     }),
 
+    // ---- mergeable quantile sketch with exact-rank audit -------------------
+    // The [[graft.functions.MrlQuantile]] MRL'98 sketch over lineitem
+    // price cents, audited at MrlProbes percentiles: for each probe the
+    // query reports the exact order statistic (oracle-checked) and a
+    // within-tolerance BOOLEAN — the sketch estimate's rank interval
+    // [count(v < est)+1, count(v <= est)] must come within MrlTolPct% of
+    // n of the target rank. The estimate itself is (deliberately) not
+    // emitted raw: merge order varies with partitioning, so like
+    // approx_sketches the contract is the bound, not the bits. Scale
+    // shape: the sketch pass is ONE map-side-combined aggregate carrying
+    // O(k log(n/k)) per partition — the product at 100 TB, where the
+    // exact-rank legs here (a global row_number at test SF) are replaced
+    // by nothing: they exist to PROVE the sketch, not to ship.
+    "quantile_sketch_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{udaf => mkUdaf}
+      val n = Tables.parquetRowCount(s, s"$dir/lineitem.parquet")
+      val tol = n * MrlTolPct / 100L
+      def target(pct: Int): Long = (pct * n + 99L) / 100L
+      val v = Tables.parallelized(Tables.load(s, dir, "lineitem"))
+        .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("v"))
+      val mrl = mkUdaf(new graft.functions.MrlQuantile(MrlK),
+        org.apache.spark.sql.Encoders.LONG)
+      // one sketch over the whole column; weights per distinct value, then
+      // a cumulative-weight scan over the O(k log n) samples
+      val cum = v.agg(mrl(col("v")).as("sk"))
+        .select(explode(col("sk")).as("s"))
+        .groupBy(col("s._1").as("sv")).agg(sum(col("s._2")).as("w"))
+        .withColumn("cw", sum(col("w"))
+          .over(Window.orderBy(col("sv"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val estCols = MrlProbes.map(p =>
+        min(when(col("cw") >= target(p), col("sv"))).as(s"est$p"))
+      val ests = cum.agg(estCols.head, estCols.tail: _*)
+      // exact ranks of each estimate in one pass over the column
+      val rankCols = MrlProbes.flatMap(p => Seq(
+        sum(when(col("v") < col(s"est$p"), 1L).otherwise(0L)).as(s"lo$p"),
+        sum(when(col("v") <= col(s"est$p"), 1L).otherwise(0L)).as(s"hi$p")))
+      val ranks = v.crossJoin(broadcast(ests)).agg(rankCols.head, rankCols.tail: _*)
+      // exact order statistics (the oracle-checked truth)
+      val exact = v
+        .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+        .filter(col("rn").isin(MrlProbes.map(target): _*))
+        .groupBy(col("rn")).agg(min(col("v")).as("exact_value"))
+      val probe = s.createDataFrame(
+        MrlProbes.map(p => (p, target(p)))).toDF("pct", "target_rank")
+      probe.join(exact, probe("target_rank") === exact("rn"))
+        .crossJoin(broadcast(ranks))
+        .select(col("pct"), col("target_rank"), col("exact_value"),
+          MrlProbes.map(p =>
+            when(col("pct") === p,
+              col(s"hi$p") >= col("target_rank") - tol &&
+                col(s"lo$p") + 1 <= col("target_rank") + tol))
+            .reduceRight(_.otherwise(_)).as("sketch_within_tol"))
+        .orderBy(col("pct"))
+    }),
+
+    // ---- k-anonymity risk audit --------------------------------------------
+    // Privacy gate over the quasi-identifier triple (nation, order year,
+    // priority): group sizes below KanonK are re-identification risks the
+    // pipeline must suppress or generalize before release. One map-side-
+    // combined aggregate after a broadcast dim join — the cheapest audit
+    // in the registry, and the one a 100 TB release pipeline runs last.
+    "kanon_risk_audit" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("at_risk", col("group_size") < KanonK)
+        .orderBy(col("n_name"), col("o_year"), col("o_orderpriority"))
+    }),
+
     // ---- greedy k-center coreset seeding -----------------------------------
     // The [[kcenterSelect]] farthest-first traversal, surfaced as a query:
     // one row per pick with the greedy coverage radius at selection time.
@@ -922,6 +1014,36 @@ object Analytics {
          |FROM dc JOIN w ON dc.f = w.f
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $DomTopK""".stripMargin
     },
+
+    "quantile_sketch_audit" -> {
+      // exact order statistics + literal TRUE for the sketch bound (the
+      // approx_sketches pattern: tolerance booleans, engine-computed)
+      val rows = MrlProbes.map { p =>
+        s"""SELECT $p AS pct, (SELECT ($p * n + 99) // 100 FROM n) AS target_rank,
+           |  (SELECT v FROM r WHERE rn = (SELECT ($p * n + 99) // 100 FROM n))
+           |    AS exact_value,
+           |  TRUE AS sketch_within_tol""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (
+         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    AS v FROM lineitem
+         |), n AS (SELECT count(*) AS n FROM v),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY pct""".stripMargin
+    },
+
+    "kanon_risk_audit" ->
+      s"""SELECT n.n_name, strftime(o.o_orderdate, '%Y') AS o_year,
+         |       o.o_orderpriority,
+         |       CAST(count(*) AS BIGINT) AS group_size,
+         |       count(*) < $KanonK AS at_risk
+         |FROM orders o
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     "kcenter_coreset" -> {
       def d2(a: String, b: String): String =

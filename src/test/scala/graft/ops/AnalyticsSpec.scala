@@ -284,6 +284,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("quantile_sketch_audit: exact order statistics and in-bound sketch") {
+    val rows = Analytics.queries("quantile_sketch_audit")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq == Analytics.MrlProbes)
+    assert(rows.forall(_._4), "sketch rank interval outside tolerance")
+
+    val vs = Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vs.length.toLong
+    for ((pct, tgt, exact, _) <- rows) {
+      assert(tgt == (pct * n + 99) / 100)
+      assert(exact == vs((tgt - 1).toInt))
+    }
+  }
+
+  test("kanon_risk_audit: group sizes and risk flags match brute force") {
+    val rows = Analytics.queries("kanon_risk_audit")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getBoolean(4)))).toMap
+    val expect = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), date_format(col("o_orderdate"), "yyyy"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.keySet == expect.keySet)
+    rows.foreach { case (k, (size, risk)) =>
+      assert(size == expect(k))
+      assert(risk == (size < Analytics.KanonK))
+    }
+  }
+
   test("kcenter_coreset: replicates the greedy farthest-first traversal") {
     val got = Analytics.queries("kcenter_coreset")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

@@ -265,6 +265,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("label propagation matches an independent in-memory sync replication") {
+    val got = SparkEntry.queries("community_labelprop")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val parts = grp.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.toSet
+    val nbrs = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSeq }
+    var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to graft.ops.Relational.LpRounds) {
+      lbl = nbrs.map { case (n, nb) =>
+        val counts = nb.map(lbl).groupBy(identity).map { case (l, v) => (l, v.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = lbl.groupBy(_._2).map { case (l, m) =>
+      (l, m.size.toLong, m.keys.min)
+    }.toSeq.sortBy { case (l, sz, _) => (-sz, l) }.take(20)
+    assert(got.toSeq == want)
+  }
+
   test("pagerank matches an independent in-memory fixed-point replication") {
     val got = SparkEntry.queries("pagerank_parts")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
