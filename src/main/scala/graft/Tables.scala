@@ -111,6 +111,12 @@ object Tables {
         // sub-microsecond precision (2^53 < 1e18) and can shift a value
         // across a truncation boundary.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // micros-encoded parquet without a UTC flag reads as TIMESTAMP_NTZ;
+        // the session timezone is pinned to UTC everywhere (SparkSpec /
+        // GraftExtensions), so the wall-clock reinterpretation cast is the
+        // identity on the underlying micros value.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

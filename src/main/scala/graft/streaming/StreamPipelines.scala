@@ -187,6 +187,10 @@ object StreamPipelines {
     schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // session tz is pinned UTC, so the NTZ reinterpretation cast is
+        // the identity on the underlying micros (see Tables.events)
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
 }

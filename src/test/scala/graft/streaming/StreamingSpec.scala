@@ -24,12 +24,18 @@ class StreamingSpec extends SparkSpec {
   }
 
   private def streamEvents = {
-    // ts arrives as raw nanos (legacy long) — same normalization as Tables.
+    // ts may arrive as raw nanos (legacy long) or micros-NTZ — same
+    // schema-dispatched normalization as Tables.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(spark.read.parquet(eventsDir).schema)
-      .parquet(eventsDir)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(eventsDir).schema
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   test("streaming tumbling counts == batch tumbling counts") {
