@@ -115,13 +115,13 @@ object Analytics {
     */
   val KanonK = 5L
 
-  private def cents: Column =
+  private[ops] def cents: Column =
     (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
 
   private def dec15(c: Column): Column = c.cast("decimal(15,0)")
 
   /** Daily order revenue in exact cents, keyed by epoch day. */
-  private def dailyRevenue(s: SparkSession, dir: String): DataFrame =
+  private[ops] def dailyRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .groupBy(unix_date(col("o_orderdate").cast("date")).cast("long").as("x"))
       .agg(sum(cents).as("v"))
@@ -688,7 +688,7 @@ object Analytics {
 
   private val oracleDow = "(x + 4) % 7"
 
-  private def oracleDaily: String =
+  private[ops] def oracleDaily: String =
     """SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
       |       sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
       |FROM orders GROUP BY 1""".stripMargin

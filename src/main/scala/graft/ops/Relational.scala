@@ -101,7 +101,7 @@ object Relational {
     * re-materializes its upstream query stages on every downstream plan
     * construction, so the lazy form re-ran the build once per iteration.
     */
-  private def pageRankGraph(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def pageRankGraph(s: SparkSession, dir: String): DataFrame = {
     prGraphCache.keySet.removeIf(_._1.sparkContext.isStopped)
     prGraphCache.computeIfAbsent((s, dir), _ => {
       val cores = s.sparkContext.defaultParallelism

@@ -1,0 +1,570 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-6 statistical-inference operators: CUSUM changepoint detection,
+  * a two-sample Kolmogorov-Smirnov test, Theil-Sen robust trend, Spearman
+  * rank correlation, a Benford first-digit audit, hub link-prediction
+  * scoring over the co-occurrence graph, Gini-Simpson behavioral
+  * diversity, and an ordered LISTAGG.
+  *
+  * Portability discipline (same as [[Analytics]]): every statistic is
+  * carried through the plan as exact integer/decimal arithmetic (revenue
+  * in cents, ranks doubled to absorb .5 ties, KS distances as integer
+  * cross-products) and converted to double by ONE mirrored final formula,
+  * so the DuckDB oracle hashes bit-identically. No transcendentals except
+  * IEEE-correctly-rounded `sqrt`; Benford's log10 expectations are shared
+  * decimal literals, not runtime `log` calls.
+  */
+object Stats {
+
+  /** ks_test_price compares the o_totalprice distributions of these two
+    * order-status populations.
+    */
+  val KsStatusA = "F"
+  val KsStatusB = "O"
+
+  /** link_pred_hub_overlap: hub pool size (top-degree nodes) and the
+    * final scored-pair cut.
+    */
+  val HubK = 100
+  val LinkTopK = 20
+
+  /** priority_top_orders_concat: orders kept per priority group. */
+  val ConcatK = 5
+
+  /** Coarse-bucket widths (in cents) for the distributed prefix sums:
+    * order totals span ~1e4..6e7 cents and extended prices ~1e5..1e7, so
+    * these yield hundreds-to-thousands of buckets — small enough for the
+    * serial bucket-offset window, large enough that within-bucket windows
+    * parallelize.
+    */
+  val KsBucketWidth = 100000L
+  val RankBucketWidth = 10000L
+
+  /** Benford's law expected first-digit shares, log10(1 + 1/d), as
+    * pre-evaluated decimal literals: both engines parse the same digit
+    * string into the same correctly-rounded double, where a runtime
+    * `log10` would be at the mercy of two different libm's rounding.
+    */
+  val BenfordShares: Seq[(Int, String)] = Seq(
+    1 -> "0.3010299956639812",
+    2 -> "0.17609125905568124",
+    3 -> "0.12493873660829992",
+    4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482",
+    6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673",
+    8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
+
+  private def cents: Column = Analytics.cents
+
+  /** Doubled average rank per distinct value: 2*avg_rank = 2*cum - cnt + 1
+    * stays integral for .5-tie averages. Computed over the DISTINCT-value
+    * table (one unpartitioned running sum over |distinct| rows — the
+    * unavoidable global order of any exact ranking; at 100 TB the exact
+    * sort is replaced by quantile-sketch approximate ranks, and the
+    * distinct-value table is already far smaller than the fact table).
+    */
+  private def rank2(df: DataFrame, c: String): DataFrame = {
+    val w = Window.orderBy(col(c))
+    df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .select(col(c),
+        (sum(col("cnt")).over(w) * 2 - col("cnt") + 1).as(s"${c}_r2"))
+  }
+
+  /** Like [[rank2]] but with the running count computed as a two-level
+    * distributed prefix sum instead of one unpartitioned window: distinct
+    * values are grouped into order-preserving coarse buckets (`v div
+    * bucketWidth`), per-bucket totals get a tiny single-partition running
+    * sum (O(#buckets) rows), and the within-bucket running sum is a window
+    * PARTITIONED BY bucket — every fact-scale sort runs parallel. Exactly
+    * the classic parallel scan; identical integers to the serial window,
+    * so the DuckDB oracle keeps its one-window formulation.
+    */
+  private def rank2Cnt(df: DataFrame, c: String,
+                       bucketWidth: Long): DataFrame = {
+    val g = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .withColumn("b", expr(s"$c div $bucketWidth"))
+    val off = g.groupBy(col("b")).agg(sum(col("cnt")).as("bt"))
+      .select(col("b"),
+        (sum(col("bt")).over(Window.orderBy("b")) - col("bt")).as("off"))
+    val inner = Window.partitionBy(col("b")).orderBy(col(c))
+    g.join(off, "b")
+      .select(col(c), col("cnt"),
+        ((sum(col("cnt")).over(inner) + col("off")) * 2 - col("cnt") + 1)
+          .as(s"${c}_r2"))
+  }
+
+  private def rank2Distributed(df: DataFrame, c: String,
+                               bucketWidth: Long): DataFrame =
+    rank2Cnt(df, c, bucketWidth).drop("cnt")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- CUSUM changepoint scan over daily revenue -------------------------
+    // S_i = sum_{j<=i}(v_j - mean) flags the day where the cumulative
+    // deviation from the global mean peaks — the classic Page (1954)
+    // changepoint locator. Scaled by n to stay integral: n*prefix_i - i*T
+    // = n*S_i exactly, so the whole scan is int64 arithmetic (headroom:
+    // n_days ~ 2.4e3, T < 1e15 cents at sf10 → < 2^63). One groupBy to
+    // the O(days) daily table, one ordered running sum over it; the
+    // unpartitioned window never sees fact rows.
+    "cusum_changepoint" -> ((s, dir) => {
+      val d = Analytics.dailyRevenue(s, dir)
+      val w = Window.orderBy("x")
+      val t = d.agg(count(lit(1)).as("n"), sum(col("v")).as("t"))
+      val c = d.select(col("x"), row_number().over(w).cast("long").as("i"),
+          sum(col("v")).over(w).as("pre"))
+        .crossJoin(t)
+        .select(col("x"),
+          (col("n") * col("pre") - col("i") * col("t")).as("cusum_scaled"))
+      val mx = c.agg(max(abs(col("cusum_scaled"))).as("mx"))
+      c.crossJoin(mx)
+        .select(col("x").as("epoch_day"), col("cusum_scaled"),
+          (abs(col("cusum_scaled")) === col("mx")).as("is_peak"))
+        .orderBy("epoch_day")
+    }),
+
+    // ---- two-sample Kolmogorov-Smirnov test --------------------------------
+    // D = max_x |F_A(x) - F_B(x)| between the F and O order-price
+    // populations, with the max carried as the integer cross-product
+    // |c_A*n_B - c_B*n_A| (exact — no float ECDF accumulation). Shape:
+    // one groupBy collapses facts to distinct price points, one ordered
+    // running sum walks the ECDFs over |distinct| rows, one max. At
+    // 100 TB the distinct-value sweep runs over quantile-sketch bins
+    // instead (the test statistic degrades gracefully with bin width).
+    "ks_test_price" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus").isin(KsStatusA, KsStatusB))
+        .select(cents.as("v"),
+          when(col("o_orderstatus") === KsStatusA, 1L).otherwise(0L).as("a"),
+          when(col("o_orderstatus") === KsStatusB, 1L).otherwise(0L).as("b"))
+      // two-level distributed prefix sum over the distinct-value table
+      // (the rank2Distributed shape, carried for both populations at
+      // once): per-bucket totals get the only serial window — O(#buckets)
+      // rows — and the fact-scale running sums are bucket-partitioned.
+      val g = o.groupBy("v").agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
+        .withColumn("bk", expr(s"v div $KsBucketWidth"))
+      val off = g.groupBy(col("bk"))
+        .agg(sum(col("a")).as("bta"), sum(col("b")).as("btb"))
+        .select(col("bk"),
+          (sum(col("bta")).over(Window.orderBy("bk")) - col("bta")).as("offa"),
+          (sum(col("btb")).over(Window.orderBy("bk")) - col("btb")).as("offb"))
+      val inner = Window.partitionBy(col("bk")).orderBy(col("v"))
+      val cum = g.join(off, "bk")
+        .select(col("v"),
+          (sum(col("a")).over(inner) + col("offa")).as("ca"),
+          (sum(col("b")).over(inner) + col("offb")).as("cb"))
+      // totals via a second pruned scan (cheaper than re-deriving g), the
+      // argmax in ONE pass via lexicographic struct max — no re-evaluation
+      // of the cumulative frame, no join-back
+      val t = o.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+      cum.crossJoin(t)
+        .select(col("n_a"), col("n_b"),
+          abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("dn"),
+          col("v"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          max(struct(col("dn"), (-col("v")).as("nv"))).as("m"))
+        .select(col("n_a"), col("n_b"), col("m.dn").as("d_num"),
+          (-col("m.nv")).as("split_at"),
+          (col("m.dn").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"))
+    }),
+
+    // ---- Theil-Sen robust trend over daily revenue -------------------------
+    // The median of all pairwise slopes (v_j-v_i)/(x_j-x_i), insensitive
+    // to ~29% outlier days where OLS (trend_daily_revenue) is not. The
+    // day table is O(days) at ANY corpus scale (the fact scan collapses
+    // first), so the O(days²) pair join is ~2.9M rows forever; the exact
+    // lower-median via one global row_number sort is fine at that size.
+    // Each slope is one correctly-rounded double division of two exact
+    // integers, and the median element (not an interpolated midpoint) is
+    // selected, so the result hashes bit-identically.
+    "theil_sen_trend" -> ((s, dir) => theilSenTrend(s, dir)),
+
+    // ---- Spearman rank correlation: quantity vs extended price -------------
+    // Pearson on average-tie ranks. Ranks are doubled (2*cum - cnt + 1)
+    // to keep .5 tie-averages integral, so every sum entering the final
+    // formula is exact decimal; the correlation is ONE mirrored double
+    // expression at the end (autocorr's recipe). The quantity rank table
+    // is ~50 rows (broadcast join back); the price rank table is
+    // O(distinct prices) and joins back on the shuffle — the global sort
+    // it needs IS what exact ranking costs, and the 100 TB variant swaps
+    // in approx_percentile sketch ranks.
+    "spearman_qty_price" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(
+        (col("l_quantity").cast("decimal(12,2)") * 100).cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("p"))
+      // quantity has ~50 distinct values (broadcast rank table); price is
+      // near-unique, so its rank table uses the bucket-partitioned prefix
+      // sum and joins back on the shuffle. The distinct counts come from a
+      // separate pruned scan: folding countDistinct into the main
+      // aggregate would Expand the joined fact rows 3×.
+      // Grouped moment decomposition keeps every fact-scale aggregate in
+      // codegen-friendly LONG arithmetic (q_r2 < 2^24 and p_r2 < 2^24 at
+      // sf1, so per-row products and the per-group sums all fit int64);
+      // the wide decimal products that would force per-row BigDecimal
+      // math run over the ~50-row quantity-group table instead:
+      //   Σ qr2·pr2   = Σ_q qr2 · (Σ_{rows with q} pr2)
+      //   Σ qr2², Σ qr2 = Σ_q over group counts
+      // and the price marginals come straight from the rank table
+      // (Σ pr2 = Σ_p cnt·pr2), never touching the joined rows twice.
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val byQ = li
+        .join(broadcast(rank2(li, "q")), "q")
+        // shuffle-hash, not broadcast: the price rank table is O(distinct
+        // prices) — near-fact-scale — and must never ship to every
+        // executor; co-partitioning on p is the 100 TB shape
+        .join(rank2Distributed(li, "p", RankBucketWidth).hint("shuffle_hash"),
+          "p")
+        .groupBy(col("q_r2"))
+        .agg(count(lit(1)).as("cq"), sum(col("p_r2")).as("tp"),
+          // pr2² peaks ~2^49 per row (long-safe); only its cross-row sum
+          // can overflow int64, so the decimal cost is one add per row on
+          // an already-long product
+          sum((col("p_r2") * col("p_r2")).cast("decimal(22,0)")).as("syyq"))
+      val m = byQ.agg(
+        sum(col("cq")).as("n"),
+        count(lit(1)).as("n_q"),
+        sum(col("q_r2") * col("cq")).cast("double").as("sx"),
+        sum(col("tp")).cast("double").as("sy"),
+        sum(dec(col("q_r2")) * dec(col("tp"))).cast("double").as("sxy"),
+        sum(dec(col("q_r2")) * dec(col("q_r2")) * col("cq")).cast("double")
+          .as("sxx"),
+        sum(col("syyq")).cast("double").as("syy"))
+      val ndp = li.agg(countDistinct(col("p")).as("n_p"))
+      m.crossJoin(ndp).select(col("n"), col("n_q"), col("n_p"),
+        ((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n").cast("double") * col("syy") - col("sy") * col("sy"))))
+          .as("rho"))
+    }),
+
+    // ---- Benford first-digit audit of order totals -------------------------
+    // Fraud/synthesis screens compare the observed first-significant-digit
+    // distribution to Benford's law. The digit comes from the decimal
+    // rendering of exact cents (both engines print a bigint identically —
+    // no float log10), expectations are shared literals, and the only
+    // doubles are the two mirrored divisions. One map-side-combined
+    // groupBy over 9 keys — embarrassingly scalable.
+    "benford_totalprice" -> ((s, dir) => {
+      val dig = Tables.load(s, dir, "orders")
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      val expected = BenfordShares.foldLeft(lit(0.0)) { case (acc, (d, l)) =>
+        when(col("digit") === d, expr(s"CAST($l AS DOUBLE)")).otherwise(acc)
+      }
+      dig.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(dig.agg(count(lit(1)).as("total")))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total").cast("double")).as("share"),
+          expected.as("expected"))
+        .withColumn("dev", col("share") - col("expected"))
+        .orderBy("digit")
+    }),
+
+    // ---- link-prediction scoring of hub pairs ------------------------------
+    // Common-neighbors affinity over the part co-occurrence graph
+    // (integer-exact — Adamic-Adar's 1/log(deg) weights would reassociate
+    // float sums, common-neighbor count is the same ranking family
+    // without the hazard). The hub pool bounds the quadratic: top-HubK
+    // nodes by degree, HubK² candidate pairs, each scored by ONE codegen'd
+    // array_intersect over the memoized adjacency arrays — no Σd² wedge
+    // explosion (the trap the oracle's join formulation walks into at 10×
+    // the row count). Reuses [[Relational.pageRankGraph]]'s checkpointed
+    // adjacency, so construct cost is shared with pagerank/triangles/LP.
+    "link_pred_hub_overlap" -> ((s, dir) => {
+      val adj = Relational.pageRankGraph(s, dir)
+      val hubs = adj.orderBy(col("d").desc, col("src")).limit(HubK)
+      val a = hubs.select(col("src").as("u"), col("adj").as("au"),
+        col("d").as("du"))
+      val b = hubs.select(col("src").as("w"), col("adj").as("aw"),
+        col("d").as("dw"))
+      // broadcast one hub side against the other spread across the
+      // cluster: the intersection work (HubK² set probes over hub-degree
+      // arrays) lands on every core instead of the single partition a
+      // 100-row nested-loop join would produce
+      broadcast(a)
+        .join(b.repartition(s.sparkContext.defaultParallelism),
+          col("u") < col("w"))
+        .select(col("u"), col("w"), col("du"), col("dw"),
+          size(array_intersect(col("au"), col("aw"))).cast("long").as("n_common"),
+          array_contains(col("au"), col("w")).as("is_edge"))
+        .filter(col("n_common") > 0)
+        .orderBy(col("n_common").desc, col("u"), col("w"))
+        .limit(LinkTopK)
+    }),
+
+    // ---- Gini-Simpson behavioral diversity per user ------------------------
+    // 1 - Σ(n_i/n)² as the exact rational (n² - Σn_i²)/n²: a pure
+    // two-level aggregation (user×type partials combine map-side, then
+    // user), integer until the single mirrored division. The entropy
+    // formulation needs log; Gini-Simpson ranks behavior breadth the
+    // same way and stays hashable.
+    "user_event_diversity" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          ((col("n_events") * col("n_events") - col("ss")).cast("double") /
+            (col("n_events") * col("n_events")).cast("double"))
+            .as("gini_simpson"))
+        .orderBy("user_id")
+    }),
+
+    // ---- ordered LISTAGG: top order keys per priority ----------------------
+    // The SQL LISTAGG/string_agg shape: row_number + rank-filter compiles
+    // to WindowGroupLimit (per-partition top-k, no full sort of the fact
+    // table), and the group concat assembles the k survivors in rank
+    // order via array_sort on (rn, key) structs — deterministic on both
+    // engines, O(k) per group.
+    "priority_top_orders_concat" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("c").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= ConcatK)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("rn"), col("o_orderkey").as("k")))),
+            x => x.getField("k").cast("string"))).as("top_keys"),
+          sum(col("c")).as("topk_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }))
+
+  // --------------------------------------------------------------------------
+
+  /** Theil-Sen: the lower median of all pairwise daily-revenue slopes.
+    *
+    * The DISTRIBUTED part is the only part that scales with the corpus:
+    * the fact scan collapses to the O(days) daily table (bounded by the
+    * calendar — ~2.4K rows at every SF, ~4K for a decade). Slope-pair
+    * expansion and rank selection over C(days,2) ≈ 3M doubles is a
+    * DRIVER-SIZED problem at any corpus scale, and a Spark sort of it is
+    * pure ceremony (measured: the range-partitioned zipWithIndex
+    * selection spent 7 s of scheduler/row-conversion overhead on work the
+    * driver does in ~200 ms) — so the selection runs on the collected day
+    * series, the same documented driver-coordination family as
+    * kcenter/bloom, memoized per (session, dir). The tie ORDER among
+    * equal slopes cannot change the value at a given rank, so sorting the
+    * raw doubles reproduces the oracle's (slope, x1, x2) order exactly.
+    */
+  private val tsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Long, Long, Double)]()
+
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    tsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    val (nDays, m, med) = tsMemo.computeIfAbsent((s, dir), _ => {
+      val d = Analytics.dailyRevenue(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val n = d.length.toLong
+      val slopes = new Array[Double]((n * (n - 1) / 2).toInt)
+      var k = 0
+      var i = 0
+      while (i < d.length) {
+        var j = i + 1
+        while (j < d.length) {
+          slopes(k) = (d(j)._2 - d(i)._2).toDouble / (d(j)._1 - d(i)._1).toDouble
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(slopes)
+      (n, slopes.length.toLong, slopes(((slopes.length + 1) / 2 - 1).toInt))
+    })
+    s.range(1).select(lit(nDays).as("n_days"), lit(m).as("n_pairs"),
+      lit(med).as("slope_cents_per_day"))
+  }
+
+  private def oracleCents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  def oracle: Map[String, String] = Map(
+
+    "cusum_changepoint" ->
+      s"""WITH daily AS (
+         |  ${Analytics.oracleDaily.replace("\n", "\n  ")}
+         |), t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS t
+         |  FROM daily
+         |), c AS (
+         |  SELECT x,
+         |         n * CAST(sum(v) OVER (ORDER BY x) AS BIGINT)
+         |           - CAST(row_number() OVER (ORDER BY x) AS BIGINT) * t
+         |           AS cusum_scaled
+         |  FROM daily, t
+         |)
+         |SELECT x AS epoch_day, cusum_scaled,
+         |       abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM c)
+         |         AS is_peak
+         |FROM c ORDER BY epoch_day""".stripMargin,
+
+    "ks_test_price" ->
+      s"""WITH o AS (
+         |  SELECT $oracleCents AS v,
+         |         CASE WHEN o_orderstatus = '$KsStatusA' THEN 1 ELSE 0 END AS a,
+         |         CASE WHEN o_orderstatus = '$KsStatusB' THEN 1 ELSE 0 END AS b
+         |  FROM orders WHERE o_orderstatus IN ('$KsStatusA', '$KsStatusB')
+         |), g AS (
+         |  SELECT v, CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b
+         |  FROM o GROUP BY v
+         |), t AS (
+         |  SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+         |  FROM o
+         |), d AS (
+         |  SELECT v, n_a, n_b,
+         |         abs(CAST(sum(a) OVER (ORDER BY v) AS BIGINT) * n_b
+         |           - CAST(sum(b) OVER (ORDER BY v) AS BIGINT) * n_a) AS dn
+         |  FROM g, t
+         |), m AS (SELECT max(dn) AS d_num FROM d)
+         |SELECT n_a, n_b, d_num, min(v) AS split_at,
+         |       CAST(d_num AS DOUBLE) /
+         |         (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d
+         |FROM d, m WHERE dn = d_num GROUP BY n_a, n_b, d_num""".stripMargin,
+
+    "theil_sen_trend" ->
+      s"""WITH daily AS (
+         |  ${Analytics.oracleDaily.replace("\n", "\n  ")}
+         |), pairs AS (
+         |  SELECT d1.x AS x1, d2.x AS x2,
+         |         CAST(d2.v - d1.v AS DOUBLE) / CAST(d2.x - d1.x AS DOUBLE)
+         |           AS slope
+         |  FROM daily d1 JOIN daily d2 ON d2.x > d1.x
+         |), t AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+         |r AS (
+         |  SELECT slope,
+         |         CAST(row_number() OVER (ORDER BY slope, x1, x2) AS BIGINT)
+         |           AS rn
+         |  FROM pairs
+         |)
+         |SELECT n_days, m AS n_pairs, slope AS slope_cents_per_day
+         |FROM r, t, nd WHERE rn = (m + 1) // 2""".stripMargin,
+
+    "spearman_qty_price" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS p
+        |  FROM lineitem
+        |), qr AS (
+        |  SELECT q, CAST(sum(cnt) OVER (ORDER BY q) * 2 - cnt + 1 AS BIGINT)
+        |           AS q_r2
+        |  FROM (SELECT q, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY q)
+        |), pr AS (
+        |  SELECT p, CAST(sum(cnt) OVER (ORDER BY p) * 2 - cnt + 1 AS BIGINT)
+        |           AS p_r2
+        |  FROM (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY p)
+        |), j AS (
+        |  SELECT li.q, li.p, q_r2, p_r2
+        |  FROM li JOIN qr ON li.q = qr.q JOIN pr ON li.p = pr.p
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT q) AS BIGINT) AS n_q,
+        |         CAST(count(DISTINCT p) AS BIGINT) AS n_p,
+        |         CAST(sum(q_r2) AS DOUBLE) AS sx,
+        |         CAST(sum(p_r2) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(q_r2 AS DECIMAL(19,0)) *
+        |                  CAST(p_r2 AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(q_r2 AS DECIMAL(19,0)) *
+        |                  CAST(q_r2 AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(p_r2 AS DECIMAL(19,0)) *
+        |                  CAST(p_r2 AS DECIMAL(19,0))) AS DOUBLE) AS syy
+        |  FROM j
+        |)
+        |SELECT n, n_q, n_p,
+        |       (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |         (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |          sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
+        |FROM m""".stripMargin,
+
+    "benford_totalprice" -> {
+      val cases = BenfordShares.map { case (d, l) =>
+        s"WHEN $d THEN CAST($l AS DOUBLE)"
+      }.mkString(" ")
+      s"""WITH dig AS (
+         |  SELECT CAST(substr(CAST($oracleCents AS VARCHAR), 1, 1) AS INT)
+         |           AS digit
+         |  FROM orders
+         |), g AS (
+         |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dig GROUP BY digit
+         |), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM dig)
+         |SELECT digit, n,
+         |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+         |       CASE digit $cases ELSE 0.0 END AS expected,
+         |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+         |         - (CASE digit $cases ELSE 0.0 END) AS dev
+         |FROM g, t ORDER BY digit""".stripMargin
+    },
+
+    "link_pred_hub_overlap" ->
+      s"""WITH pp AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |), edges AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM pp a JOIN pp b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |), deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+         |), hubs AS (
+         |  SELECT src AS u, d FROM deg ORDER BY d DESC, src LIMIT $HubK
+         |), cn AS (
+         |  SELECT e1.src AS u, e2.src AS w, CAST(count(*) AS BIGINT)
+         |           AS n_common
+         |  FROM edges e1 JOIN edges e2
+         |    ON e1.dst = e2.dst AND e1.src < e2.src
+         |  WHERE e1.src IN (SELECT u FROM hubs)
+         |    AND e2.src IN (SELECT u FROM hubs)
+         |  GROUP BY e1.src, e2.src
+         |)
+         |SELECT cn.u, cn.w, h1.d AS du, h2.d AS dw, n_common,
+         |       EXISTS (SELECT 1 FROM edges e
+         |               WHERE e.src = cn.u AND e.dst = cn.w) AS is_edge
+         |FROM cn JOIN hubs h1 ON cn.u = h1.u JOIN hubs h2 ON cn.w = h2.u
+         |WHERE n_common > 0
+         |ORDER BY n_common DESC, cn.u, cn.w LIMIT $LinkTopK""".stripMargin,
+
+    "user_event_diversity" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, event_type
+        |), u AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM g GROUP BY user_id
+        |)
+        |SELECT user_id, n_events, n_types,
+        |       CAST(n_events * n_events - ss AS DOUBLE) /
+        |         CAST(n_events * n_events AS DOUBLE) AS gini_simpson
+        |FROM u ORDER BY user_id""".stripMargin,
+
+    "priority_top_orders_concat" ->
+      s"""WITH r AS (
+         |  SELECT o_orderpriority, o_orderkey, $oracleCents AS c,
+         |         row_number() OVER (PARTITION BY o_orderpriority
+         |           ORDER BY $oracleCents DESC, o_orderkey) AS rn
+         |  FROM orders
+         |)
+         |SELECT o_orderpriority,
+         |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn)
+         |         AS top_keys,
+         |       CAST(sum(c) AS BIGINT) AS topk_cents,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM r WHERE rn <= $ConcatK
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

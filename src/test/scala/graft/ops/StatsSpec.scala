@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Ground-truth tests for the [[Stats]] inference family — brute-force
+  * recomputation at sf0.001 (engine parity is the DuckDB oracle's job).
+  */
+class StatsSpec extends SparkSpec {
+
+  private def dailySeries: Vector[(Long, Long)] =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(unix_date(col("o_orderdate").cast("date")).cast("long").as("x"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector.sortBy(_._1)
+
+  test("cusum_changepoint: scaled cusum matches the sequential definition") {
+    val got = Stats.queries("cusum_changepoint")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toVector
+    val d = dailySeries
+    val n = d.size.toLong
+    val t = d.map(_._2).sum
+    var pre = 0L
+    val want = d.zipWithIndex.map { case ((x, v), i0) =>
+      pre += v
+      (x, n * pre - (i0 + 1) * t)
+    }
+    val mx = want.map(w => math.abs(w._2)).max
+    assert(got == want.map { case (x, c) => (x, c, math.abs(c) == mx) })
+    // the cusum of the FULL series is zero by construction
+    assert(want.last._2 == 0L)
+  }
+
+  test("ks_test_price: integer D matches a brute-force ECDF sweep") {
+    val r = Stats.queries("ks_test_price")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val a = o.filter(_._1 == Stats.KsStatusA).map(_._2).sorted
+    val b = o.filter(_._1 == Stats.KsStatusB).map(_._2).sorted
+    val na = a.length.toLong
+    val nb = b.length.toLong
+    val thresholds = (a ++ b).distinct.sorted
+    val dn = thresholds.map { x =>
+      val ca = a.count(_ <= x).toLong
+      val cb = b.count(_ <= x).toLong
+      math.abs(ca * nb - cb * na)
+    }.max
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (na, nb, dn))
+    assert(row.getDouble(4) == dn.toDouble / (na.toDouble * nb.toDouble))
+  }
+
+  test("theil_sen_trend: lower-median pairwise slope matches brute force") {
+    val r = Stats.queries("theil_sen_trend")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val d = dailySeries
+    val slopes = for {
+      i <- d.indices
+      j <- (i + 1) until d.size
+    } yield ((d(j)._2 - d(i)._2).toDouble / (d(j)._1 - d(i)._1).toDouble,
+      d(i)._1, d(j)._1)
+    val sorted = slopes.sortBy(s => (s._1, s._2, s._3))
+    val m = sorted.size
+    val want = sorted((m + 1) / 2 - 1)._1
+    assert(r.head.getLong(0) == d.size.toLong)
+    assert(r.head.getLong(1) == m.toLong)
+    assert(r.head.getDouble(2) == want)
+  }
+
+  test("spearman_qty_price: rho matches brute-force tie-averaged ranks") {
+    val r = Stats.queries("spearman_qty_price")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def r2(vs: Seq[Long]): Map[Long, Long] = {
+      val cnt = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sortedKeys = cnt.keys.toVector.sorted
+      var cum = 0L
+      sortedKeys.map { k =>
+        cum += cnt(k)
+        k -> (2 * cum - cnt(k) + 1)
+      }.toMap
+    }
+    val rq = r2(li.map(_._1).toIndexedSeq)
+    val rp = r2(li.map(_._2).toIndexedSeq)
+    val xs = li.map(p => rq(p._1))
+    val ys = li.map(p => rp(p._2))
+    val n = li.length.toDouble
+    val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+    val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+    val syy = ys.map(y => BigInt(y) * BigInt(y)).sum
+    val rho = (n * sxy.toDouble - sx * sy) /
+      (math.sqrt(n * sxx.toDouble - sx * sx) *
+        math.sqrt(n * syy.toDouble - sy * sy))
+    assert(math.abs(r.head.getDouble(3) - rho) < 1e-12)
+    // the synthetic generator draws price independent of quantity — the
+    // point of the spec is the rank math, pinned exactly above; the value
+    // itself just needs to be a valid correlation
+    assert(math.abs(r.head.getDouble(3)) <= 1.0)
+  }
+
+  test("benford_totalprice: shares sum to one, digits complete") {
+    val rows = Stats.queries("benford_totalprice")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.load(spark, sfDir, "orders").count())
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    // expectations are the shared literals, in digit order
+    assert(rows.map(_.getDouble(3)).toSeq ==
+      Stats.BenfordShares.map(_._2.toDouble))
+  }
+
+  test("link_pred_hub_overlap: counts match a brute-force neighbor check") {
+    val rows = Stats.queries("link_pred_hub_overlap")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Stats.LinkTopK)
+    // brute force the co-occurrence adjacency
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    byOrder.values.foreach { ps =>
+      for (u <- ps; w <- ps if u != w)
+        adj(u) = adj.getOrElse(u, Set.empty) + w
+    }
+    rows.foreach { r =>
+      val (u, w) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == adj(u).size.toLong, s"du of $u")
+      assert(r.getLong(3) == adj(w).size.toLong, s"dw of $w")
+      assert(r.getLong(4) == (adj(u) & adj(w)).size.toLong, s"cn of ($u,$w)")
+      assert(r.getBoolean(5) == adj(u).contains(w), s"is_edge of ($u,$w)")
+    }
+    // ranked by n_common desc
+    val cns = rows.map(_.getLong(4)).toSeq
+    assert(cns == cns.sortBy(-_))
+  }
+
+  test("user_event_diversity: gini-simpson matches brute force") {
+    val got = Stats.queries("user_event_diversity")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = ev.groupBy(_._1).toVector.sortBy(_._1).map { case (u, es) =>
+      val n = es.length.toLong
+      val ss = es.groupBy(_._2).values.map(g => g.size.toLong * g.size).sum
+      (u, n, es.map(_._2).distinct.length.toLong,
+        (n * n - ss).toDouble / (n * n).toDouble)
+    }
+    assert(got.toVector == want)
+  }
+
+  test("priority_top_orders_concat: keys are the per-group top-K in order") {
+    val rows = Stats.queries("priority_top_orders_concat")(spark, sfDir)
+      .collect()
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = o.groupBy(_._1).toVector.sortBy(_._1).map { case (p, os) =>
+      val top = os.sortBy(x => (-x._3, x._2)).take(Stats.ConcatK)
+      (p, top.map(_._2).mkString(","), top.map(_._3).sum, top.length.toLong)
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toVector == want)
+  }
+}
