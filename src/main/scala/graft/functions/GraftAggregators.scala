@@ -194,3 +194,54 @@ class MrlQuantile(k: Int)
   override def outputEncoder: Encoder[Seq[(Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
 }
+
+/** Integer Gramian accumulator for the embedding covariance query: input
+  * is a d-dim quantized vector (fixed-point longs), the buffer packs
+  * [count | d column sums | d(d+1)/2 upper-triangle product sums] into
+  * one flat long array. Every operation is int64 addition — associative
+  * and exact, so the result is identical under any partitioning — and
+  * the shuffle carries ONE ~(d²/2)-long state per partition instead of
+  * d² exploded rows per input vector (the all-pairs posexplode
+  * formulation the DuckDB oracle uses moves |corpus|·d(d+1)/2 rows).
+  * Headroom: |q| ≤ 2^21 at 20-bit quantization of unit-scale floats, so
+  * product sums stay under 2^63 to ~2^20 vectors per partition-merge
+  * chain; beyond that, shard the corpus and merge per-shard Gramians
+  * (documented in the query scaladoc).
+  */
+class Gramian(d: Int)
+    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+  private val len = 1 + d + d * (d + 1) / 2
+
+  override def zero: Array[Long] = new Array[Long](len)
+
+  override def reduce(b: Array[Long], x: Seq[Long]): Array[Long] = {
+    val v = x.toArray
+    b(0) += 1
+    var i = 0
+    var k = 1 + d
+    while (i < d) {
+      b(1 + i) += v(i)
+      var j = i
+      while (j < d) {
+        b(k) += v(i) * v(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { x(i) += y(i); i += 1 }
+    x
+  }
+
+  override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

@@ -169,6 +169,27 @@ object Curation {
     // relative to the fact data) and the block join is one shuffle of it;
     // the worst block bounds the quadratic term exactly like an LSH
     // bucket. Distance is exact integer edit distance — hash-stable.
+    // ---- Jaro-Winkler similarity scoring -----------------------------------
+    // The record-linkage classic, as a custom codegen'd Catalyst
+    // expression ([[graft.functions.JaroWinklerSim]]) — same blocking
+    // discipline as fuzzy_part_names (head-token equi-join bounds the
+    // quadratic), but scoring EVERY candidate pair with the
+    // prefix-boosted similarity instead of thresholding an edit
+    // distance. The expression's double arithmetic replicates DuckDB's
+    // jaro_winkler_similarity operation-for-operation, so all scores
+    // hash exactly — the strongest oracle surface a custom scalar kernel
+    // can have.
+    "jw_part_pairs" -> ((s, dir) => {
+      val names = Tables.load(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", element_at(split(col("p_name"), " "), 1))
+      names.as("x").join(names.as("y"),
+          col("x.blk") === col("y.blk") && col("x.p_name") < col("y.p_name"))
+        .select(col("x.p_name").as("a"), col("y.p_name").as("b"),
+          graft.functions.StringKernels.jaro_winkler(
+            col("x.p_name"), col("y.p_name")).as("jw"))
+        .orderBy("a", "b")
+    }),
+
     "fuzzy_part_names" -> ((s, dir) => {
       val names = Tables.load(s, dir, "part").select(col("p_name")).distinct()
         .withColumn("blk", element_at(split(col("p_name"), " "), 2))
@@ -417,6 +438,14 @@ object Curation {
       s"""SELECT event_id, ($h) % 1000000 AS user_token, event_type, "value"
          |FROM events ORDER BY event_id""".stripMargin
     },
+    "jw_part_pairs" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part
+        |)
+        |SELECT x.p_name AS a, y.p_name AS b,
+        |       jaro_winkler_similarity(x.p_name, y.p_name) AS jw
+        |FROM names x JOIN names y ON x.blk = y.blk AND x.p_name < y.p_name
+        |ORDER BY a, b""".stripMargin,
     "fuzzy_part_names" ->
       s"""WITH names AS (
          |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk FROM part

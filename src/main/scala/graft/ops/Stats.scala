@@ -46,6 +46,18 @@ object Stats {
   val KsBucketWidth = 100000L
   val RankBucketWidth = 10000L
 
+  /** ams_f2_users: number of independent ±1-sketch estimators. */
+  val AmsK = 16
+
+  /** emb_covariance: embedding dimensionality and the fixed-point
+    * quantization scale (2^20 — float coordinates carry 24 significant
+    * bits, so 20 fractional bits preserve covariance to ~1e-6 relative
+    * while making every accumulation exact int64).
+    */
+  val EmbDim = 64
+  val EmbQScale = 1048576L // 2^20
+  val EmbQScale2 = 1099511627776.0 // 2^40, the product scale
+
   /** Benford's law expected first-digit shares, log10(1 + 1/d), as
     * pre-evaluated decimal literals: both engines parse the same digit
     * string into the same correctly-rounded double, where a runtime
@@ -321,6 +333,148 @@ object Stats {
         .orderBy("user_id")
     }),
 
+    // ---- Mann-Whitney U test: order prices, F vs O populations -------------
+    // The rank-sum sibling of ks_test_price, over the POOLED sample with
+    // tie-averaged ranks. Doubled ranks keep everything integral: the
+    // pooled rank table comes from the same bucket-partitioned prefix sum,
+    // R2_A = Σ_v a_v·r2_v needs NO join back to facts (the distinct table
+    // carries the per-population counts), and 2·U_A = R2_A - n_A(n_A+1)
+    // exactly. Only the effect size and the tie-corrected z are doubles —
+    // one mirrored formula each.
+    "mann_whitney_price" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus").isin(KsStatusA, KsStatusB))
+        .select(cents.as("v"),
+          when(col("o_orderstatus") === KsStatusA, 1L).otherwise(0L).as("a"),
+          when(col("o_orderstatus") === KsStatusB, 1L).otherwise(0L).as("b"))
+      val g = o.groupBy("v").agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
+        .withColumn("cnt", col("a") + col("b"))
+        .withColumn("bk", expr(s"v div $KsBucketWidth"))
+      val off = g.groupBy(col("bk")).agg(sum(col("cnt")).as("bt"))
+        .select(col("bk"),
+          (sum(col("bt")).over(Window.orderBy("bk")) - col("bt")).as("off"))
+      val ranked = g.join(off, "bk")
+        .select(col("a"), col("b"), col("cnt"),
+          ((sum(col("cnt")).over(Window.partitionBy(col("bk"))
+            .orderBy(col("v"))) + col("off")) * 2 - col("cnt") + 1).as("r2"))
+      val m = ranked.agg(
+        sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(col("a") * col("r2")).as("r2_a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+      m.select(col("n_a"), col("n_b"),
+          (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+          col("tie_term"))
+        .select(col("n_a"), col("n_b"), col("u2_a"),
+          (col("n_a") * col("n_b") * 2 - col("u2_a")).as("u2_b"),
+          col("tie_term"),
+          (col("u2_a").cast("double") /
+            (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("effect"),
+          ((col("u2_a").cast("double") / 2.0 -
+            col("n_a").cast("double") * col("n_b").cast("double") / 2.0) /
+            sqrt(col("n_a").cast("double") * col("n_b").cast("double") / 12.0 *
+              ((col("n_a") + col("n_b") + 1).cast("double") -
+                col("tie_term").cast("double") /
+                  ((col("n_a") + col("n_b")).cast("double") *
+                   (col("n_a") + col("n_b") - 1).cast("double")))))
+            .as("z"))
+    }),
+
+    // ---- seasonal-trend decomposition of daily revenue ---------------------
+    // Classical additive decomposition: trend = centered 7-day moving
+    // average (full windows only), seasonal = per-weekday mean of the
+    // detrended series, residual = the rest. The detrended value is
+    // carried SCALED by 7 (7v - Σ₇v — exact int64), so the weekday means
+    // are integer sums until one mirrored division, and every window runs
+    // over the O(days) daily table, never facts.
+    "stl_decompose_daily" -> ((s, dir) => {
+      val d = Analytics.dailyRevenue(s, dir)
+      val w7 = Window.orderBy("x").rowsBetween(-3, 3)
+      val t = d.select(col("x"), col("v"),
+        sum(col("v")).over(w7).as("s7"), count(lit(1)).over(w7).as("c7"))
+        .filter(col("c7") === 7)
+        .withColumn("det7", col("v") * 7 - col("s7"))
+        .withColumn("dow", pmod(col("x") + 4, lit(7)))
+      val seas = t.groupBy(col("dow"))
+        .agg(sum(col("det7")).as("sd"), count(lit(1)).as("cd"))
+        .select(col("dow"),
+          (col("sd").cast("double") / (col("cd") * 7).cast("double"))
+            .as("seasonal"))
+      t.join(broadcast(seas), "dow")
+        .select(col("x").as("epoch_day"), col("v").as("cents"),
+          (col("s7").cast("double") / 7.0).as("trend"), col("seasonal"),
+          (col("v").cast("double") - col("s7").cast("double") / 7.0 -
+            col("seasonal")).as("residual"))
+        .orderBy("epoch_day")
+    }),
+
+    // ---- AMS F2 sketch over the user event stream --------------------------
+    // Alon-Matias-Szegedy second frequency moment: each of AmsK
+    // estimators keeps ONE counter Σ sign_j(u)·count_u; its square
+    // estimates F2 = Σ count_u² unbiasedly. Fully integer end to end
+    // (±1 signs from the shared polynomial hash, squares < 2^63), each
+    // estimate lands beside the exact F2 with its Chebyshev
+    // within-bound flag — the approx_sketches contract. Sketch updates
+    // are one map-side-combined groupBy; the per-user exact counts
+    // exist only to PROVE the sketch at test SF.
+    "ams_f2_users" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .withColumn("h",
+          graft.text.TextOps.polyHash(col("user_id").cast("string")))
+      val exact = counts.agg(sum(col("c") * col("c")).as("f2_exact"))
+      counts
+        .select(col("c"), col("h"),
+          explode(expr(s"sequence(0, ${AmsK - 1})")).as("j"))
+        .select(col("j"),
+          ((lit(1) - ((col("h") * (lit(1103515245L) + col("j") * 2) + col("j"))
+            % graft.text.TextOps.P % 2) * 2) * col("c")).as("sc"))
+        .groupBy(col("j")).agg(sum(col("sc")).as("s_j"))
+        .select(col("j"), (col("s_j") * col("s_j")).as("f2_est"))
+        .crossJoin(exact)
+        .withColumn("within_2x",
+          abs(col("f2_est") - col("f2_exact")) <= col("f2_exact") * 2)
+        .orderBy("j")
+    }),
+
+    // ---- exact fixed-point embedding covariance ----------------------------
+    // The d×d second-moment matrix behind PCA/whitening/ZCA, as ONE
+    // map-side-combined custom Aggregator ([[graft.functions.Gramian]]):
+    // coordinates quantize to 20-bit fixed point (floor(x·2^20 + 0.5) —
+    // mirrored exactly in the oracle), so the whole Gramian is exact
+    // int64 and hash-stable under any partitioning. The shuffle carries
+    // one flat d(d+3)/2-long state per partition — the oracle's
+    // all-pairs explode formulation ships |corpus|·d²/2 rows, which is
+    // precisely the shape this operator exists to avoid at scale. Output:
+    // the upper triangle as (i, j, cov) scalar rows.
+    "emb_covariance" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{udaf => mkUdaf}
+      val q = Tables.load(s, dir, "embeddings")
+        .select(expr(s"transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * $EmbQScale.0 + 0.5) AS BIGINT))")
+          .as("e"))
+      val gram = mkUdaf(new graft.functions.Gramian(EmbDim),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      val st = q.agg(gram(col("e")).as("g"))
+      val dd = EmbDim
+      st.select(explode(expr(
+          s"""flatten(transform(sequence(0, ${dd - 1}), i ->
+             |  transform(sequence(i, ${dd - 1}), j -> struct(
+             |    i AS i, j AS j, g[0] AS n,
+             |    g[CAST(i + 1 AS INT)] AS sx,
+             |    g[CAST(j + 1 AS INT)] AS sy,
+             |    g[CAST(${1 + dd} + i * $dd - (i * (i - 1)) div 2 + (j - i)
+             |      AS INT)] AS sxy))))""".stripMargin)).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"), col("p.n").as("n"),
+          col("p.sx").as("sx"), col("p.sy").as("sy"), col("p.sxy").as("sxy"),
+          ((col("p.n").cast("decimal(20,0)") * col("p.sxy").cast("decimal(20,0)")
+            - col("p.sx").cast("decimal(20,0)") * col("p.sy").cast("decimal(20,0)"))
+            .cast("double") /
+            (col("p.n").cast("double") * col("p.n").cast("double")) /
+            lit(EmbQScale2)).as("cov"))
+        .orderBy("i", "j")
+    }),
+
     // ---- ordered LISTAGG: top order keys per priority ----------------------
     // The SQL LISTAGG/string_agg shape: row_number + rank-filter compiles
     // to WindowGroupLimit (per-partition top-k, no full sort of the fact
@@ -551,6 +705,105 @@ object Stats {
         |       CAST(n_events * n_events - ss AS DOUBLE) /
         |         CAST(n_events * n_events AS DOUBLE) AS gini_simpson
         |FROM u ORDER BY user_id""".stripMargin,
+
+    "mann_whitney_price" ->
+      s"""WITH o AS (
+         |  SELECT $oracleCents AS v,
+         |         CASE WHEN o_orderstatus = '$KsStatusA' THEN 1 ELSE 0 END AS a,
+         |         CASE WHEN o_orderstatus = '$KsStatusB' THEN 1 ELSE 0 END AS b
+         |  FROM orders WHERE o_orderstatus IN ('$KsStatusA', '$KsStatusB')
+         |), g AS (
+         |  SELECT v, CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
+         |         CAST(sum(a) + sum(b) AS BIGINT) AS cnt
+         |  FROM o GROUP BY v
+         |), r AS (
+         |  SELECT a, b, cnt,
+         |         CAST(sum(cnt) OVER (ORDER BY v) * 2 - cnt + 1 AS BIGINT) AS r2
+         |  FROM g
+         |), m AS (
+         |  SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+         |         CAST(sum(a * r2) AS BIGINT) AS r2_a,
+         |         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+         |  FROM r
+         |), u AS (
+         |  SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a, tie_term FROM m
+         |)
+         |SELECT n_a, n_b, u2_a, n_a * n_b * 2 - u2_a AS u2_b, tie_term,
+         |       CAST(u2_a AS DOUBLE) /
+         |         (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS effect,
+         |       (CAST(u2_a AS DOUBLE) / 2.0 -
+         |          CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+         |         sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+         |           (CAST(n_a + n_b + 1 AS DOUBLE) -
+         |            CAST(tie_term AS DOUBLE) /
+         |              (CAST(n_a + n_b AS DOUBLE) *
+         |               CAST(n_a + n_b - 1 AS DOUBLE)))) AS z
+         |FROM u""".stripMargin,
+
+    "stl_decompose_daily" ->
+      s"""WITH daily AS (
+         |  ${Analytics.oracleDaily.replace("\n", "\n  ")}
+         |), t AS (
+         |  SELECT x, v,
+         |         CAST(sum(v) OVER w AS BIGINT) AS s7,
+         |         CAST(count(*) OVER w AS BIGINT) AS c7
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY x ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |), f AS (
+         |  SELECT x, v, s7, v * 7 - s7 AS det7, (x + 4) % 7 AS dow
+         |  FROM t WHERE c7 = 7
+         |), seas AS (
+         |  SELECT dow,
+         |         CAST(sum(det7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE)
+         |           AS seasonal
+         |  FROM f GROUP BY dow
+         |)
+         |SELECT x AS epoch_day, CAST(v AS BIGINT) AS cents,
+         |       CAST(s7 AS DOUBLE) / 7.0 AS trend, seasonal,
+         |       CAST(v AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 - seasonal
+         |         AS residual
+         |FROM f JOIN seas USING (dow) ORDER BY epoch_day""".stripMargin,
+
+    "ams_f2_users" -> {
+      val h = graft.text.TextSql.polyHash("CAST(user_id AS VARCHAR)")
+      s"""WITH counts AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS c, ($h) AS h
+         |  FROM events GROUP BY user_id
+         |), e AS (
+         |  SELECT j, (1 - ((h * (1103515245 + j * 2) + j)
+         |    % ${graft.text.TextOps.P} % 2) * 2) * c AS sc
+         |  FROM counts, (SELECT unnest(range($AmsK)) AS j)
+         |), s AS (
+         |  SELECT j, CAST(sum(sc) AS BIGINT) AS s_j FROM e GROUP BY j
+         |), x AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM counts)
+         |SELECT CAST(j AS INT) AS j, s_j * s_j AS f2_est, f2_exact,
+         |       abs(s_j * s_j - f2_exact) <= f2_exact * 2 AS within_2x
+         |FROM s, x ORDER BY j""".stripMargin
+    },
+
+    "emb_covariance" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * $EmbQScale.0 + 0.5) AS BIGINT))
+         |    AS e
+         |  FROM embeddings
+         |), xs AS (
+         |  SELECT vec_id, i, e[i + 1] AS x
+         |  FROM q, (SELECT unnest(range($EmbDim)) AS i)
+         |), g AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(a.x) AS BIGINT) AS sx,
+         |         CAST(sum(b.x) AS BIGINT) AS sy,
+         |         CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+         |  FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY a.i, b.i
+         |)
+         |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n, sx, sy, sxy,
+         |       CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+         |            - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) /
+         |         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / $EmbQScale2
+         |         AS cov
+         |FROM g ORDER BY i, j""".stripMargin,
 
     "priority_top_orders_concat" ->
       s"""WITH r AS (

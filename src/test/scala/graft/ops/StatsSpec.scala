@@ -159,6 +159,100 @@ class StatsSpec extends SparkSpec {
     assert(got.toVector == want)
   }
 
+  test("mann_whitney_price: U statistics match brute-force rank sums") {
+    val r = Stats.queries("mann_whitney_price")(spark, sfDir).collect().head
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .filter(p => p._1 == Stats.KsStatusA || p._1 == Stats.KsStatusB)
+    val pooled = o.map(_._2).sorted
+    // doubled tie-averaged rank per value
+    val r2 = pooled.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.map(_._2 + 1).map(_.toLong).sum * 2 / xs.length)
+    }
+    val a = o.filter(_._1 == Stats.KsStatusA).map(_._2)
+    val na = a.length.toLong
+    val nb = o.length - na
+    val r2a = a.map(r2).sum
+    val u2a = r2a - na * (na + 1)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (na, nb, u2a))
+    assert(r.getLong(3) == na * nb * 2 - u2a) // U_A + U_B = n_A·n_B
+  }
+
+  test("stl_decompose_daily: components re-add to the series exactly") {
+    val rows = Stats.queries("stl_decompose_daily")(spark, sfDir).collect()
+    assert(rows.length == dailySeries.size - 6) // full 7-day windows only
+    rows.foreach { r =>
+      val v = r.getLong(1).toDouble
+      val recon = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+      assert(math.abs(v - recon) < 1e-6, s"day ${r.getLong(0)}")
+    }
+    // weekday effect table is shared: same dow ⇒ same seasonal
+    val byDow = rows.groupBy(r => (r.getLong(0) + 4) % 7)
+      .view.mapValues(_.map(_.getDouble(3)).distinct.size)
+    assert(byDow.values.forall(_ == 1))
+  }
+
+  test("ams_f2_users: estimators are exact given the signs, mostly in bound") {
+    val rows = Stats.queries("ams_f2_users")(spark, sfDir).collect()
+    assert(rows.length == Stats.AmsK)
+    val counts = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .select(col("user_id").cast("string"), col("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val f2 = counts.map(c => c._2 * c._2).sum
+    assert(rows.head.getLong(2) == f2)
+    val p = graft.text.TextOps.P
+    def h(s: String): Long = s.foldLeft(0L)((a, ch) => (a * 31 + ch) % p)
+    rows.foreach { r =>
+      val j = r.getInt(0)
+      val sj = counts.map { case (u, c) =>
+        val bit = (h(u) * (1103515245L + 2L * j) + j) % p % 2
+        (1 - 2 * bit) * c
+      }.sum
+      assert(r.getLong(1) == sj * sj, s"estimator $j")
+    }
+    // the sketch should work: majority of estimators within the 2x bound
+    assert(rows.count(_.getBoolean(3)) > Stats.AmsK / 2)
+  }
+
+  test("emb_covariance: matches driver-side quantized covariance") {
+    val rows = Stats.queries("emb_covariance")(spark, sfDir).collect()
+    assert(rows.length == Stats.EmbDim * (Stats.EmbDim + 1) / 2)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        math.floor(x.toDouble * Stats.EmbQScale + 0.5).toLong))
+    val n = vecs.length.toLong
+    // spot-check a handful of (i,j) cells incl. diagonal corners
+    val probes = Seq((0, 0), (0, 1), (5, 40), (63, 63))
+    val byIj = rows.map(r => ((r.getInt(0), r.getInt(1)), r)).toMap
+    probes.foreach { case (i, j) =>
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val sx = vecs.map(_(i)).sum
+      val sy = vecs.map(_(j)).sum
+      val r = byIj((i, j))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        (n, sx, sy, sxy), s"cell ($i,$j)")
+      val cov = (BigInt(n) * BigInt(sxy) - BigInt(sx) * BigInt(sy)).toDouble /
+        (n.toDouble * n.toDouble) / Stats.EmbQScale2
+      assert(math.abs(r.getDouble(6) - cov) < 1e-12, s"cov ($i,$j)")
+    }
+  }
+
+  test("jaro-winkler kernel reproduces the textbook values") {
+    import graft.functions.StringKernels.jaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(jaroWinkler(u("martha"), u("marhta")) == 0.9611111111111111)
+    assert(jaroWinkler(u("dwayne"), u("duane")) == 0.8400000000000001)
+    assert(jaroWinkler(u("abc"), u("abc")) == 1.0)
+    assert(jaroWinkler(u("ab"), u("")) == 0.0)
+    assert(jaroWinkler(u(""), u("")) == 1.0)
+    // symmetric on an unrelated pair
+    assert(jaroWinkler(u("kiwi"), u("plum")) == jaroWinkler(u("plum"), u("kiwi")))
+  }
+
   test("priority_top_orders_concat: keys are the per-group top-K in order") {
     val rows = Stats.queries("priority_top_orders_concat")(spark, sfDir)
       .collect()
