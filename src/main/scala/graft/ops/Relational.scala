@@ -299,6 +299,62 @@ object Relational {
       .orderBy(col("n_tri").desc, col("node")).limit(20)
   }
 
+  /** k-core peeling profile over the part co-occurrence graph: rounds of
+    * "drop every node whose degree within the surviving subgraph is < k",
+    * k = ⌊max degree / 2⌋ (derived from the data so the profile is
+    * meaningful at every SF — a fixed k would either peel nothing on the
+    * dense sf0.1 graph or everything at sf0.001). The output is the
+    * per-round (survivors, directed edges) profile — the standard
+    * density/robustness fingerprint — rather than the final membership,
+    * so the result is a fixed [[KcoreRounds]]+1 rows whatever the data.
+    *
+    * Deterministic by construction: synchronous rounds (all degree checks
+    * against the PREVIOUS round's survivor set), a fixed round count
+    * mirrored by the oracle's unrolled CTEs (full peeling iterates to a
+    * fixpoint — the round bound makes the oracle expressible and the
+    * profile is monotone anyway). Scale shape: each round is two
+    * co-partitioned semi-joins of the O(E) edge list against the O(N)
+    * survivor frame plus one map-side-combined degree count; survivor
+    * frames are eagerly checkpointed per round (CC/PageRank discipline) so
+    * round r never re-derives rounds 1..r-1, and the whole profile is
+    * memoized per (session, dir).
+    */
+  val KcoreRounds = 6
+
+  private val kcoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def kcoreProfile(s: SparkSession, dir: String): DataFrame = {
+    kcoreMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    kcoreMemo.computeIfAbsent((s, dir), _ => {
+      val adj = pageRankGraph(s, dir)
+      val k = adj.agg(max(col("d"))).head().getLong(0) / 2
+      // peel over a SHRINKING surviving-edge frame: each round is one
+      // map-side-combined degree count plus two semi-joins against the
+      // (small, checkpointed) survivor set — the full edge list is never
+      // re-joined after round 1, so later rounds cost proportional to
+      // what actually survives. Counts are driver actions per round
+      // (bounded: KcoreRounds·3 jobs on pinned frames — the documented
+      // CC/PageRank coordination family) and the profile itself is a
+      // literal 7-row frame.
+      var e = adj.select(col("src"), explode(col("adj")).as("dst"))
+        .localCheckpoint(true)
+      var rows = Vector((0, k, adj.count(), e.count()))
+      for (r <- 1 to KcoreRounds) {
+        val surv = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= k).select(col("src").as("node"))
+          .localCheckpoint(true)
+        e = e.join(surv.withColumnRenamed("node", "src"), "src")
+          .join(surv.withColumnRenamed("node", "dst"), "dst")
+          .localCheckpoint(true)
+        rows :+= ((r, k, surv.count(), e.count()))
+      }
+      import s.implicits._
+      rows.toDF("round", "k", "survivors", "edges_directed")
+        .orderBy("round")
+    })
+  }
+
   /** The 100 TB path for `sliding_distinct_users`: one mergeable HLL
     * sketch per day (a single partial-agg'd groupBy over the stream — the
     * raw (day, user) pairs never shuffle), then each day unions the
@@ -961,6 +1017,9 @@ object Relational {
     // See [[triangleCounts]] — top-20 parts by triangle participation in
     // the co-occurrence graph, with local clustering coefficients.
     "graph_triangle_counts" -> ((s, dir) => triangleCounts(s, dir)),
+
+    // ---- k-core peeling profile: see [[kcoreProfile]] ----------------------
+    "kcore_profile" -> ((s, dir) => kcoreProfile(s, dir)),
 
     // ---- sliding distinct: trailing-7-day unique users per day -------------
     // COUNT(DISTINCT) over a sliding time frame — not expressible as a
@@ -2534,6 +2593,39 @@ object Relational {
          |       min(node) AS min_node
          |FROM l$LpRounds GROUP BY lbl
          |ORDER BY size DESC, community LIMIT 20""".stripMargin
+    },
+    // same synchronous peel unrolled as one CTE per round; the k CTE and
+    // every per-round degree check are pure integer counts
+    "kcore_profile" -> {
+      val edgesCte =
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |e AS (
+          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM li a JOIN li b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          |),
+          |kv AS (
+          |  SELECT CAST(max(d) // 2 AS BIGINT) AS k
+          |  FROM (SELECT count(*) AS d FROM e GROUP BY src)
+          |),
+          |n0 AS (SELECT DISTINCT src AS node FROM e)""".stripMargin
+      val rounds = (1 to KcoreRounds).map { r =>
+        s"""n$r AS (
+           |  SELECT e.src AS node FROM e, kv
+           |  WHERE e.src IN (SELECT node FROM n${r - 1})
+           |    AND e.dst IN (SELECT node FROM n${r - 1})
+           |  GROUP BY e.src, kv.k HAVING count(*) >= kv.k
+           |)""".stripMargin
+      }.mkString(",\n")
+      val sums = (0 to KcoreRounds).map { r =>
+        s"""SELECT $r AS round, (SELECT k FROM kv) AS k,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM n$r) AS survivors,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM e
+           |   WHERE src IN (SELECT node FROM n$r)
+           |     AND dst IN (SELECT node FROM n$r)) AS edges_directed"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $edgesCte,\n$rounds\n$sums\nORDER BY round"
     },
     // identical orientation rule ((deg, node) strictly increasing) and the
     // same wedge-closure counting; integer counts + one double division

@@ -49,6 +49,9 @@ object Stats {
   /** ams_f2_users: number of independent ±1-sketch estimators. */
   val AmsK = 16
 
+  /** gini_best_split: equi-width price histogram bin, in cents ($1000). */
+  val GiniBucketWidth = 100000L
+
   /** emb_covariance: embedding dimensionality and the fixed-point
     * quantization scale (2^20 — float coordinates carry 24 significant
     * bits, so 20 fractional bits preserve covariance to ~1e-6 relative
@@ -475,6 +478,86 @@ object Stats {
         .orderBy("i", "j")
     }),
 
+    // ---- CART-style best split: price threshold predicting return flag -----
+    // The decision-tree building block: among equi-width price buckets,
+    // find the binary split minimizing weighted Gini impurity of
+    // l_returnflag. Facts collapse to per-bucket class counts (one
+    // map-side-combined groupBy over ~600 keys), candidate splits are a
+    // running sum over that tiny table, impurity components stay integer
+    // ((nL² - ΣcL²) etc.), and the argmin is a lexicographic struct min
+    // over identical doubles in both engines. At 100 TB this is exactly
+    // how tree libraries scan split candidates: histogram, not sort.
+    "gini_best_split" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(
+        expr(s"CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          s" div $GiniBucketWidth").as("bk"),
+        col("l_returnflag").as("cls"))
+      val b = li.groupBy(col("bk")).agg(
+        sum(when(col("cls") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("cls") === "N", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("cls") === "R", 1L).otherwise(0L)).as("cr"))
+      val w = Window.orderBy("bk")
+      val cum = b.select(col("bk"),
+        sum(col("ca")).over(w).as("la"), sum(col("cn")).over(w).as("ln"),
+        sum(col("cr")).over(w).as("lr"))
+      val t = b.agg(sum(col("ca")).as("ta"), sum(col("cn")).as("tn"),
+        sum(col("cr")).as("tr"))
+      val split = cum.crossJoin(t)
+        .select(col("bk"),
+          (col("la") + col("ln") + col("lr")).as("nl"),
+          (col("ta") + col("tn") + col("tr") - col("la") - col("ln") - col("lr"))
+            .as("nr"),
+          (col("la") * col("la") + col("ln") * col("ln") + col("lr") * col("lr"))
+            .as("sl2"),
+          ((col("ta") - col("la")) * (col("ta") - col("la")) +
+           (col("tn") - col("ln")) * (col("tn") - col("ln")) +
+           (col("tr") - col("lr")) * (col("tr") - col("lr"))).as("sr2"))
+        .filter(col("nl") > 0 && col("nr") > 0)
+        .select(col("bk"), col("nl"), col("nr"),
+          (((col("nl") * col("nl") - col("sl2")).cast("double") /
+             col("nl").cast("double") +
+            (col("nr") * col("nr") - col("sr2")).cast("double") /
+             col("nr").cast("double")) /
+            (col("nl") + col("nr")).cast("double")).as("wgini"))
+      split.agg(min(struct(col("wgini"), col("bk"))).as("m"),
+          max(col("nl") + col("nr")).as("n"))
+        .select(col("m.bk").as("split_bucket"),
+          ((col("m.bk") + 1) * GiniBucketWidth).as("split_cents"),
+          col("n"), col("m.wgini").as("wgini"))
+    }),
+
+    // ---- distribution drift between document sources -----------------------
+    // Pairwise total-variation distance between per-source language
+    // distributions: TVD = ½·Σ|p_l - q_l| carried as the exact integer
+    // Σ|n1_l·N2 - n2_l·N1| over the (sources × langs) grid — no float
+    // accumulation, one mirrored division at the end. The grid is
+    // O(sources²·langs) — metadata-sized at any corpus scale; only the
+    // count table touches facts (one map-side-combined groupBy).
+    "source_lang_tvd" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+      val langs = c.select(col("lang")).distinct()
+      val pairs = tot.select(col("source").as("s1"), col("nt").as("n1"))
+        .crossJoin(tot.select(col("source").as("s2"), col("nt").as("n2")))
+        .filter(col("s1") < col("s2"))
+      pairs.crossJoin(langs)
+        .join(c.select(col("source").as("s1"), col("lang"),
+          col("n").as("c1")), Seq("s1", "lang"), "left")
+        .join(c.select(col("source").as("s2"), col("lang"),
+          col("n").as("c2")), Seq("s2", "lang"), "left")
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          abs(coalesce(col("c1"), lit(0L)) * col("n2") -
+              coalesce(col("c2"), lit(0L)) * col("n1")).as("dn"))
+        .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
+        .agg(sum(col("dn")).as("tvd_num"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"), col("tvd_num"),
+          (col("tvd_num").cast("double") /
+            (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
+            .as("tvd"))
+        .orderBy("s1", "s2")
+    }),
+
     // ---- ordered LISTAGG: top order keys per priority ----------------------
     // The SQL LISTAGG/string_agg shape: row_number + rank-filter compiles
     // to WindowGroupLimit (per-partition top-k, no full sort of the fact
@@ -542,6 +625,59 @@ object Stats {
     })
     s.range(1).select(lit(nDays).as("n_days"), lit(m).as("n_pairs"),
       lit(med).as("slope_cents_per_day"))
+  }
+
+  /** Top principal component of the embedding corpus: power iteration on
+    * the d×d covariance assembled by the same exact fixed-point Gramian
+    * the `emb_covariance` query ships ([[graft.functions.Gramian]] — ONE
+    * distributed pass), then [[PcaIters]] deterministic driver-side
+    * matvec rounds on the d×d matrix (microseconds at any corpus scale —
+    * the corpus never participates in the iteration). Start vector e_0,
+    * L2-normalized each round; returns (eigenvector, eigenvalue). No
+    * oracle (an eigensolve is not SQL); StatsSpec pins the residual
+    * ‖Cv - λv‖ and the Rayleigh quotient.
+    */
+  val PcaIters = 300
+
+  private val pcaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Array[Double], Double)]()
+
+  def topPrincipalComponent(s: SparkSession, dir: String): (Array[Double], Double) = {
+    pcaMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    pcaMemo.computeIfAbsent((s, dir), _ => {
+      import org.apache.spark.sql.functions.{udaf => mkUdaf}
+      val d = EmbDim
+      val q = Tables.load(s, dir, "embeddings")
+        .select(expr(s"transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * $EmbQScale.0 + 0.5) AS BIGINT))")
+          .as("e"))
+      val gram = mkUdaf(new graft.functions.Gramian(d),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      val g = q.agg(gram(col("e")).as("g")).head().getSeq[Long](0)
+      val n = g(0).toDouble
+      val cov = Array.ofDim[Double](d, d)
+      var k = 1 + d
+      for (i <- 0 until d; j <- i until d) {
+        val c = (n * g(k) - g(1 + i).toDouble * g(1 + j)) / (n * n) / EmbQScale2
+        cov(i)(j) = c
+        cov(j)(i) = c
+        k += 1
+      }
+      var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+      var lambda = 0.0
+      for (_ <- 1 to PcaIters) {
+        val w = Array.tabulate(d)(i => {
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += cov(i)(j) * v(j); j += 1 }
+          acc
+        })
+        lambda = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / lambda)
+      }
+      (v, lambda)
+    })
   }
 
   private def oracleCents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -804,6 +940,70 @@ object Stats {
          |         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / $EmbQScale2
          |         AS cov
          |FROM g ORDER BY i, j""".stripMargin,
+
+    "gini_best_split" ->
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           // $GiniBucketWidth AS bk,
+         |         l_returnflag AS cls
+         |  FROM lineitem
+         |), b AS (
+         |  SELECT bk,
+         |    CAST(sum(CASE WHEN cls = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN cls = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+         |    CAST(sum(CASE WHEN cls = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+         |  FROM li GROUP BY bk
+         |), cum AS (
+         |  SELECT bk, CAST(sum(ca) OVER (ORDER BY bk) AS BIGINT) AS la,
+         |         CAST(sum(cn) OVER (ORDER BY bk) AS BIGINT) AS ln,
+         |         CAST(sum(cr) OVER (ORDER BY bk) AS BIGINT) AS lr
+         |  FROM b
+         |), t AS (
+         |  SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cn) AS BIGINT) AS tn,
+         |         CAST(sum(cr) AS BIGINT) AS tr
+         |  FROM b
+         |), sp AS (
+         |  SELECT bk, la + ln + lr AS nl,
+         |         ta + tn + tr - la - ln - lr AS nr,
+         |         la * la + ln * ln + lr * lr AS sl2,
+         |         (ta - la) * (ta - la) + (tn - ln) * (tn - ln)
+         |           + (tr - lr) * (tr - lr) AS sr2
+         |  FROM cum, t
+         |), g AS (
+         |  SELECT bk, nl, nr,
+         |         (CAST(nl * nl - sl2 AS DOUBLE) / CAST(nl AS DOUBLE)
+         |          + CAST(nr * nr - sr2 AS DOUBLE) / CAST(nr AS DOUBLE))
+         |           / CAST(nl + nr AS DOUBLE) AS wgini
+         |  FROM sp WHERE nl > 0 AND nr > 0
+         |), best AS (
+         |  SELECT bk, wgini FROM g ORDER BY wgini, bk LIMIT 1
+         |)
+         |SELECT best.bk AS split_bucket,
+         |       (best.bk + 1) * $GiniBucketWidth AS split_cents,
+         |       (SELECT max(nl + nr) FROM g) AS n, best.wgini AS wgini
+         |FROM best""".stripMargin,
+
+    "source_lang_tvd" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source, lang
+        |), tot AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY source
+        |), langs AS (SELECT DISTINCT lang FROM c),
+        |pairs AS (
+        |  SELECT a.source AS s1, a.nt AS n1, b.source AS s2, b.nt AS n2
+        |  FROM tot a JOIN tot b ON a.source < b.source
+        |), d AS (
+        |  SELECT s1, s2, n1, n2,
+        |         abs(coalesce(c1.n, 0) * n2 - coalesce(c2.n, 0) * n1) AS dn
+        |  FROM pairs CROSS JOIN langs
+        |  LEFT JOIN c c1 ON c1.source = pairs.s1 AND c1.lang = langs.lang
+        |  LEFT JOIN c c2 ON c2.source = pairs.s2 AND c2.lang = langs.lang
+        |)
+        |SELECT s1, s2, n1, n2, CAST(sum(dn) AS BIGINT) AS tvd_num,
+        |       CAST(sum(dn) AS DOUBLE) /
+        |         (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS tvd
+        |FROM d GROUP BY s1, s2, n1, n2 ORDER BY s1, s2""".stripMargin,
 
     "priority_top_orders_concat" ->
       s"""WITH r AS (

@@ -253,6 +253,113 @@ class StatsSpec extends SparkSpec {
     assert(jaroWinkler(u("kiwi"), u("plum")) == jaroWinkler(u("plum"), u("kiwi")))
   }
 
+  test("kcore_profile: matches a brute-force synchronous peel") {
+    val rows = Relational.queries("kcore_profile")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == Relational.KcoreRounds + 1)
+    // brute force the graph + peel
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    li.groupBy(_._1).values.foreach { g =>
+      val ps = g.map(_._2).toSet
+      for (u <- ps; w <- ps if u != w) adj(u) = adj.getOrElse(u, Set.empty) + w
+    }
+    val k = adj.values.map(_.size).max / 2
+    var nodes = adj.keySet.toSet
+    def edges(ns: Set[Long]): Long =
+      ns.toSeq.map(u => (adj(u) & ns).size.toLong).sum
+    var expect = Vector((0, k.toLong, nodes.size.toLong, edges(nodes)))
+    for (r <- 1 to Relational.KcoreRounds) {
+      nodes = nodes.filter(u => (adj(u) & nodes).size >= k)
+      expect :+= ((r, k.toLong, nodes.size.toLong, edges(nodes)))
+    }
+    assert(rows.toVector == expect)
+    // survivors are monotone non-increasing
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("gini_best_split: argmin matches brute-force impurity scan") {
+    val r = Stats.queries("gini_best_split")(spark, sfDir).collect().head
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("l_returnflag"))
+      .collect().map(x => (x.getLong(0) / Stats.GiniBucketWidth, x.getString(1)))
+    val byB = li.groupBy(_._1).view
+      .mapValues(g => g.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val bks = byB.keys.toVector.sorted
+    val classes = Seq("A", "N", "R")
+    val tot = classes.map(c => byB.values.map(_.getOrElse(c, 0L)).sum)
+    val n = tot.sum
+    var best = (Double.MaxValue, Long.MaxValue)
+    var run = classes.map(_ => 0L)
+    bks.foreach { bk =>
+      run = run.zip(classes).map { case (a, c) =>
+        a + byB(bk).getOrElse(c, 0L) }
+      val nl = run.sum
+      val nr = n - nl
+      if (nl > 0 && nr > 0) {
+        val sl2 = run.map(x => x * x).sum
+        val sr2 = run.zip(tot).map { case (l, t) => (t - l) * (t - l) }.sum
+        val wg = ((nl * nl - sl2).toDouble / nl +
+          (nr * nr - sr2).toDouble / nr) / n
+        if (wg < best._1 || (wg == best._1 && bk < best._2)) best = (wg, bk)
+      }
+    }
+    assert(r.getLong(0) == best._2)
+    assert(r.getDouble(3) == best._1)
+    assert(r.getLong(2) == n)
+  }
+
+  test("source_lang_tvd: matches brute-force distribution distance") {
+    val rows = Stats.queries("source_lang_tvd")(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(g => g.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val langs = docs.map(_._2).distinct
+    val sources = bySource.keys.toVector.sorted
+    val expect = for {
+      i <- sources.indices; j <- (i + 1) until sources.size
+    } yield {
+      val (s1, s2) = (sources(i), sources(j))
+      val n1 = bySource(s1).values.sum
+      val n2 = bySource(s2).values.sum
+      val num = langs.map(l => math.abs(
+        bySource(s1).getOrElse(l, 0L) * n2 - bySource(s2).getOrElse(l, 0L) * n1))
+        .sum
+      (s1, s2, n1, n2, num, num.toDouble / (2.0 * n1 * n2))
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toVector == expect.toVector)
+    rows.foreach(r => assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1))
+  }
+
+  test("topPrincipalComponent: eigenpair satisfies Cv = λv on the corpus") {
+    val (v, lambda) = Stats.topPrincipalComponent(spark, sfDir)
+    assert(v.length == Stats.EmbDim)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12) // unit norm
+    assert(lambda > 0)
+    // rebuild the covariance from the oracle-checked query output and
+    // check the eigen residual
+    val cov = Array.ofDim[Double](Stats.EmbDim, Stats.EmbDim)
+    Stats.queries("emb_covariance")(spark, sfDir).collect().foreach { r =>
+      cov(r.getInt(0))(r.getInt(1)) = r.getDouble(6)
+      cov(r.getInt(1))(r.getInt(0)) = r.getDouble(6)
+    }
+    val cv = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val resid = math.sqrt(
+      cv.zip(v).map { case (a, b) => (a - lambda * b) * (a - lambda * b) }.sum)
+    // tolerance is gap-limited: convergence is (λ2/λ1)^iters, and this
+    // corpus has a near-degenerate top pair
+    assert(resid < 1e-6 * lambda, s"residual $resid vs lambda $lambda")
+    // Rayleigh quotient equals the returned eigenvalue
+    val rq = v.zip(cv).map { case (a, b) => a * b }.sum
+    assert(math.abs(rq - lambda) < 1e-6 * lambda)
+  }
+
   test("priority_top_orders_concat: keys are the per-group top-K in order") {
     val rows = Stats.queries("priority_top_orders_concat")(spark, sfDir)
       .collect()
