@@ -962,6 +962,32 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- range-layout pruned scan: sort order as an operator ---------------
+    // Writes orders range-partitioned + sorted on the date key
+    // (TableSink.writeRangeLayout — the lakehouse "cluster by" layout),
+    // then aggregates a one-year slice: with each file covering a tight
+    // min/max date range, the filter prunes most files from the scan via
+    // parquet row-group statistics. The AGGREGATE itself is
+    // layout-invariant, so the oracle runs on the RAW table — hash parity
+    // proves the layout round trip loses nothing while the spec asserts
+    // the pruning (RelationalSpec checks the scan reads a strict subset
+    // of files).
+    "range_layout_scan_agg" -> ((s, dir) => {
+      val scratch = scratchDir(s, "range/orders")
+      graft.sinks.TableSink.writeRangeLayout(
+        Tables.load(s, dir, "orders")
+          .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+        scratch, "o_orderdate", 8)
+      s.read.parquet(scratch)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- bucketed co-located join: layout kills the join exchange ----------
     // Writes BOTH join sides hash-bucketed + sorted on the join key
     // (TableSink.writeBucketed), then merge-joins them: the bucket layout
@@ -1864,6 +1890,89 @@ object Relational {
           lead(col("o_orderkey"), 1).over(seq).as("next_orderkey"),
           ntile(4).over(byPrice).cast("long").as("price_quartile"))
         .orderBy("o_orderkey")
+    }),
+
+    // ---- cumulative window distributions -----------------------------------
+    // percent_rank / cume_dist / nth_value over the per-priority price
+    // order: pure rank arithmetic ((r-1)/(n-1), c/n) — exact doubles in
+    // any engine — and the nth_value frame is the shared default (RANGE
+    // UNBOUNDED PRECEDING..CURRENT ROW) with a unique tie-break so RANGE
+    // and ROWS coincide. Per-partition sorts only; no global window.
+    "window_cume_dist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("c"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("c"), 2).over(w).as("second_lowest"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- null-semantics audit ----------------------------------------------
+    // The SQL null corner cases a migrating user trips on, proven
+    // hash-identical between engines on one frame with injected nulls:
+    // COUNT(*) vs COUNT(col), null-skipping aggregates, COUNT(DISTINCT)
+    // ignoring nulls, COALESCE arithmetic, and the NULL GROUP row
+    // (grouped and ordered NULLS FIRST in both engines).
+    "null_semantics_audit" -> ((s, dir) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("st"),
+        when(col("o_orderkey") % 7 =!= 0, cents).as("c"))
+      o.groupBy(col("st"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c")).as("n_price"),
+          sum(col("c")).as("sum_cents"),
+          min(col("c")).as("min_cents"),
+          countDistinct(col("c")).as("ndv_price"),
+          sum(coalesce(col("c"), lit(0L))).as("sum_coalesced"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_null_price"))
+        .withColumn("avg_cents",
+          col("sum_cents").cast("double") / col("n_price").cast("double"))
+        .orderBy(col("st").asc_nulls_first)
+    }),
+
+    // ---- date/time function audit ------------------------------------------
+    // Calendar extraction parity on the engine-portable subset (year /
+    // quarter / month, epoch-day arithmetic, last_day) — weekday and week
+    // numbering are deliberately excluded (engines disagree on both; the
+    // portable dow is the (epoch_day+4)%7 arithmetic used elsewhere).
+    "date_functions_audit" -> ((s, dir) => {
+      val d = col("o_orderdate").cast("date")
+      Tables.load(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", d), "yyyy-MM-dd").as("month_start"))
+        .agg(count(lit(1)).as("n"),
+          min(year(d)).as("yr"),
+          min(quarter(d)).as("qtr"),
+          min(unix_date(d).cast("long")).as("first_epoch_day"),
+          max(dayofmonth(d)).cast("long").as("max_dom"),
+          max(date_format(last_day(d), "yyyy-MM-dd")).as("month_end"))
+        .orderBy("month_start")
+    }),
+
+    // ---- string function audit ---------------------------------------------
+    // The portable string surface (upper/lower, length, substr, replace,
+    // translate, 1-based instr/strpos, split_part, reverse, trim) proven
+    // value-identical per brand group — the everyday migration surface,
+    // hash-checked once instead of discovered bug by bug.
+    "string_functions_audit" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .select(col("p_brand"), col("p_name"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          min(upper(col("p_name"))).as("min_upper"),
+          max(reverse(col("p_name"))).as("max_rev"),
+          sum(length(col("p_name")).cast("long")).as("sum_len"),
+          sum(instr(col("p_name"), "e").cast("long")).as("sum_epos"),
+          min(substring(col("p_name"), 1, 8)).as("min_prefix"),
+          max(translate(col("p_name"), " ", "_")).as("max_snake"),
+          min(element_at(split(col("p_name"), " "), -1)).as("min_last_tok"))
+        .orderBy("p_brand")
     }),
 
     // ---- deterministic hash sampling (reproducible; engine-portable) -------
@@ -3050,6 +3159,68 @@ object Relational {
         |FROM orders
         |WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    // layout-invariant aggregate: the oracle reads the RAW table — equality
+    // proves the range-layout write/read round trip is lossless
+    "range_layout_scan_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "window_cume_dist" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS c
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_orderpriority,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       nth_value(c, 2) OVER w AS second_lowest
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY c, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "null_semantics_audit" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st,
+        |         CASE WHEN o_orderkey % 7 <> 0 THEN
+        |           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         END AS c
+        |  FROM orders
+        |)
+        |SELECT st, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(c) AS BIGINT) AS n_price,
+        |       CAST(sum(c) AS BIGINT) AS sum_cents,
+        |       min(c) AS min_cents,
+        |       CAST(count(DISTINCT c) AS BIGINT) AS ndv_price,
+        |       CAST(sum(coalesce(c, 0)) AS BIGINT) AS sum_coalesced,
+        |       CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_null_price,
+        |       CAST(sum(c) AS DOUBLE) / CAST(count(c) AS DOUBLE) AS avg_cents
+        |FROM o GROUP BY st ORDER BY st NULLS FIRST""".stripMargin,
+    "date_functions_audit" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT strftime(date_trunc('month', d), '%Y-%m-%d') AS month_start,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(year(d)) AS INT) AS yr,
+        |       CAST(min(quarter(d)) AS INT) AS qtr,
+        |       CAST(min(d - DATE '1970-01-01') AS BIGINT) AS first_epoch_day,
+        |       CAST(max(day(d)) AS BIGINT) AS max_dom,
+        |       max(strftime(last_day(d), '%Y-%m-%d')) AS month_end
+        |FROM o GROUP BY 1 ORDER BY month_start""".stripMargin,
+    "string_functions_audit" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |       min(upper(p_name)) AS min_upper,
+        |       max(reverse(p_name)) AS max_rev,
+        |       CAST(sum(length(p_name)) AS BIGINT) AS sum_len,
+        |       CAST(sum(strpos(p_name, 'e')) AS BIGINT) AS sum_epos,
+        |       min(substr(p_name, 1, 8)) AS min_prefix,
+        |       max(translate(p_name, ' ', '_')) AS max_snake,
+        |       min(split_part(p_name, ' ', -1)) AS min_last_tok
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "map_props_agg" ->
       """SELECT event_type,
         |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -52,6 +52,12 @@ object StreamingOps {
     "stream_sliding_counts" -> ((s, dir) =>
       StreamPipelines.slidingCounts(Tables.events(s, dir))
         .orderBy("w_start", "event_type")),
+    // stateful tumbling aggregation + stateless per-window top-k cut; see
+    // StreamPipelines.topkPerWindow for the streaming/batch split
+    "stream_window_topk" -> ((s, dir) =>
+      StreamPipelines.topkPerWindow(
+        StreamPipelines.tumblingCounts(Tables.events(s, dir)))
+        .orderBy("w_start", "rnk")),
     // at-least-once repair: every 7th event "delivered" twice, key-dedup
     // restores exactly-once before the windowed aggregation. Batch twin of
     // dedupWithinWatermark (StreamingSpec runs the streaming form); the
@@ -115,6 +121,21 @@ object StreamingOps {
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_window_topk" ->
+      """WITH c AS (
+        |  SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
+        |           '%Y-%m-%d %H:%M:%S') AS w_start,
+        |         event_type, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT w_start, event_type, n, sum_value,
+        |         CAST(row_number() OVER (PARTITION BY w_start
+        |           ORDER BY n DESC, event_type) AS INT) AS rnk
+        |  FROM c
+        |)
+        |SELECT w_start, event_type, CAST(n AS BIGINT) AS n, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY w_start, rnk""".stripMargin,
     // dedup transparency: the replayed+deduped aggregation must equal the
     // aggregation over the pristine log
     "stream_dedup_replay" ->

@@ -57,6 +57,24 @@ object StreamPipelines {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Top-k event types per tumbling window by count (ties to the smaller
+    * type string). The AGGREGATION is the streaming-stateful part
+    * (identical to [[tumblingCounts]]'s incremental state); the per-window
+    * rank cut is a stateless post-process — in a live pipeline it runs in
+    * foreachBatch over each micro-batch's updated windows, in batch it
+    * compiles to WindowGroupLimit (no full sort). One shape, two runners —
+    * the StreamingSpec drives the streaming aggregation and applies this
+    * same cut to the sink.
+    */
+  def topkPerWindow(counts: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("w_start"))
+        .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") <= k)
+      .select(col("w_start"), col("event_type"), col("n"), col("rnk"))
+  }
+
   /** Sliding-window event rates. */
   def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
                     slide: String = "15 minutes"): DataFrame =

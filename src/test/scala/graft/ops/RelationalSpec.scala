@@ -80,6 +80,25 @@ class RelationalSpec extends SparkSpec {
     assert(scan.contains("o_orderstatus"), s"pruning column missing:\n$scan")
   }
 
+  test("range_layout_scan_agg pushes the date filter into the pruned scan") {
+    val df = SparkEntry.queries("range_layout_scan_agg")(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    // the date predicates must reach the parquet reader as pushed filters
+    // so row-group min/max stats prune the range-sorted files
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter not pushed:\n$scan")
+    // result parity with the raw table (layout-invariant aggregate)
+    val raw = graft.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("revenue_cents"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(df.collect().toSeq == raw)
+  }
+
   test("Q5-shape join plans one fact-fact join plus a broadcast halo") {
     val plan = SparkEntry.queries("join_local_supplier_volume")(spark, sfDir)
       .queryExecution.executedPlan.toString

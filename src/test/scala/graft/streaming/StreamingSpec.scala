@@ -51,6 +51,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
 
+  test("streaming windowed top-k == batch windowed top-k") {
+    val q = StreamPipelines.tumblingCounts(streamEvents.withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_src")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // the stateless per-window cut applied to the streaming sink (the
+    // foreachBatch post-process) must equal the registered batch query
+    val streamed = StreamPipelines.topkPerWindow(spark.table("topk_src"))
+      .orderBy("w_start", "rnk").collect()
+    val batch = graft.SparkEntry.queries("stream_window_topk")(spark, sfDir)
+      .collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
   test("streaming sessionization == batch sessionization") {
     val q = StreamPipelines.sessionize(streamEvents.withWatermark("ts", "2 hours"))
       .writeStream.outputMode("complete")
