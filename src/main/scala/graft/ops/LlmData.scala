@@ -712,6 +712,15 @@ object LlmData {
         EmbDim, PqM, PqKsub)
     }),
 
+    // IVF-PQ: coarse inverted-file pruning × PQ asymmetric distance — the
+    // FAISS-style billion-scale composition; shares coarse centroids with
+    // ann_ivf_topk and codebooks with emb_pq_codes via the session memo
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
+        EmbDim, PqM, PqKsub, IvfCentroids, nprobe = IvfProbes)
+    }),
+
     "emb_neardup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), NearDupCos,
         corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
@@ -1230,6 +1239,8 @@ object LlmData {
          |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
     "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim, IvfProbes),
     "ann_pq_adc_topk" -> SimilaritySql.pqAdcTopK(AnnK, AnnQueries, PqM, PqKsub, EmbDim),
+    "ann_ivfpq_topk" -> SimilaritySql.ivfPqTopK(AnnK, AnnQueries, PqM, PqKsub,
+      IvfCentroids, EmbDim, IvfProbes),
     "emb_neardup_pairs" -> SimilaritySql.nearDupPairs(NearDupCos, EmbDim),
     "ann_range_search" -> SimilaritySql.rangeSearch(RangeMinCos, AnnQueries, EmbDim),
     "dedup_ensemble_pairs" ->

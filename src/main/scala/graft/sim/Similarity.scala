@@ -219,6 +219,65 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-PQ composed search — the architecture every billion-scale ANN
+    * deployment runs (FAISS IVFPQ): a coarse full-dimension quantizer
+    * prunes the corpus to the query's `nprobe` inverted lists, and PQ
+    * asymmetric distance scores ONLY those candidates from their codes
+    * (raw vectors untouched at query time). Shares the coarse centroid
+    * training with [[ivfTopK]] and the subspace codebooks with
+    * [[pqCodes]]/[[pqAdcTopK]] through the session memo, so the three
+    * queries pay for ONE training pass. Scale shape: candidates are
+    * |probed lists| instead of the whole corpus (the factor ADC alone
+    * can't give you), the LUT stays KB-sized and broadcast, and the
+    * shuffle carries only (q_id, n_id, partial) rows.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                m: Int, ksub: Int, nCentroids: Int, nprobe: Int = 1,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse = kmeansCentroidsCached(emb, nCentroids, 1, idCol, vecCol,
+      exactFold = true)
+    val corpusA = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+      .select(col("n_id"),
+        element_at(nearestCentroids(col("nv"), coarse, 1), 1).as("centroid"))
+    val queriesA = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .select(col("q_id"),
+        explode(nearestCentroids(col("qv"), coarse, nprobe)).as("centroid")))
+    val cand = corpusA.join(queriesA, Seq("centroid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+    val books = pqCodebooks(emb, dim, m, ksub, idCol, vecCol)
+    val codes = (0 until m).map { mi =>
+      subFrame(emb, mi, sub, idCol, vecCol)
+        .select(col("vec_id").as("n_id"), lit(mi.toLong).as("m"),
+          element_at(nearestCentroids(col("vec"), books(mi), 1), 1).as("code"))
+    }.reduce(_ union _)
+    val lut = (0 until m).map { mi =>
+      val centsDf = books(mi).toSeq.toDF("c_id", "c_vec")
+      subFrame(queries, mi, sub, idCol, vecCol)
+        .select(col("vec_id").as("q_id"), col("vec").as("qv"))
+        .crossJoin(centsDf)
+        .select(col("q_id"), lit(mi.toLong).as("m"), col("c_id"),
+          (dotHof(col("qv"), col("qv")) - dotHof(col("qv"), col("c_vec")) * 2 +
+            dotHof(col("c_vec"), col("c_vec"))).as("d2q"))
+    }.reduce(_ union _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    cand.join(codes, Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "m"))
+      .filter(col("code") === col("c_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("m"), col("d2q")))),
+        lit(0.0), (acc, x) => acc + x("d2q")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), col("adc"))
+      .orderBy("q_id", "rank")
+  }
+
   /** The shared tail of every top-k search: exact cosine on candidate
     * (q_id, q_vec, n_id, n_vec) rows, deterministic rank
     * (sim DESC, neighbor id ASC), rank <= k. ONE definition so the

@@ -252,6 +252,87 @@ object SimilaritySql {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Mirrors [[Similarity.ivfPqTopK]]: the [[ivfTopK]] coarse CTEs
+    * (seeded one-step Lloyd, full-dim (d2, c_id) assignment, nprobe query
+    * probes) restrict the candidate pairs, and the [[pqAdcTopK]]
+    * codebook/LUT CTEs score exactly those candidates with the same
+    * ordered per-subspace fold.
+    */
+  def ivfPqTopK(k: Int, nQueries: Int, m: Int, ksub: Int, nCentroids: Int,
+                dim: Int, nprobe: Int = 1,
+                table: String = "embeddings"): String = {
+    val sub = dim / m
+    def d2full(v: String, c: String) =
+      s"""(${dot(v, v, dim)})
+         |           - (${dot(v, c, dim)}) * 2
+         |           + (${dot(c, c, dim)})""".stripMargin
+    def assign(src: String, cents: String, idAs: String, vecAs: String, probes: Int) =
+      s"""SELECT $idAs, $vecAs, centroid FROM (
+         |  SELECT v.vec_id AS $idAs, v.embedding AS $vecAs, c.c_id AS centroid,
+         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |           ${d2full("v.embedding", "c.c_vec")}, c.c_id) AS rn
+         |  FROM ($src) v, $cents c
+         |) WHERE rn <= $probes""".stripMargin
+    def subvec(x: String, mi: Int) =
+      s"($x)[${mi * sub + 1}:${(mi + 1) * sub}]"
+    def d2sub(v: String, c: String) =
+      s"(${dot(v, v, sub)}) - (${dot(v, c, sub)}) * 2 + (${dot(c, c, sub)})"
+    val coarse = Seq(
+      s"""ivf_cents0 AS (SELECT vec_id AS c_id, embedding AS c_vec
+         |  FROM $table WHERE vec_id < $nCentroids)""".stripMargin,
+      s"""ivf_a0 AS (${assign(s"SELECT vec_id, embedding FROM $table",
+             "ivf_cents0", "m_id", "m_vec", 1)})""",
+      s"""ivf_coords AS (
+         |  SELECT centroid, j,
+         |         list_sum(list(CAST(m_vec[j] AS DOUBLE) ORDER BY m_id))
+         |           / count(*) AS coord
+         |  FROM ivf_a0 CROSS JOIN range(1, ${dim + 1}) t(j)
+         |  GROUP BY centroid, j
+         |)""".stripMargin,
+      s"""ivf_cents1 AS (SELECT centroid AS c_id, list(coord ORDER BY j)
+         |  AS c_vec FROM ivf_coords GROUP BY centroid)""".stripMargin,
+      s"""corpus_a AS (${assign(s"SELECT vec_id, embedding FROM $table",
+             "ivf_cents1", "n_id", "n_vec", 1)})""",
+      s"""queries_a AS (${assign(
+             s"SELECT vec_id, embedding FROM $table WHERE vec_id < $nQueries",
+             "ivf_cents1", "q_id", "q_vec", nprobe)})""",
+      """cand AS (
+        |  SELECT q.q_id, c.n_id FROM queries_a q
+        |  JOIN corpus_a c ON q.centroid = c.centroid AND q.q_id <> c.n_id
+        |)""".stripMargin)
+    val lutCtes = (0 until m).map { mi =>
+      s"""lut_$mi AS (
+         |  SELECT q.vec_id AS q_id, CAST($mi AS BIGINT) AS m, c.c_id,
+         |         ${d2sub(subvec("q.embedding", mi), "c.c_vec")} AS d2q
+         |  FROM $table q, cents1_$mi c WHERE q.vec_id < $nQueries
+         |)""".stripMargin
+    }
+    val codesSel = (0 until m)
+      .map(mi => s"SELECT vec_id AS n_id, m, code FROM enc_$mi")
+      .mkString("\nUNION ALL\n")
+    val lutSel = (0 until m)
+      .map(mi => s"SELECT q_id, m, c_id, d2q FROM lut_$mi")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${(pqCtes(m, ksub, dim, table) ++ coarse ++ lutCtes).mkString(",\n")},
+       |codes AS ($codesSel),
+       |lut AS ($lutSel),
+       |pairs AS (
+       |  SELECT l.q_id, cd.n_id,
+       |         list_reduce(list_prepend(0.0, list(l.d2q ORDER BY l.m)),
+       |                     (a, b) -> a + b) AS adc
+       |  FROM cand x
+       |  JOIN codes cd ON cd.n_id = x.n_id
+       |  JOIN lut l ON l.q_id = x.q_id AND l.m = cd.m AND cd.code = l.c_id
+       |  GROUP BY l.q_id, cd.n_id
+       |), ranked AS (
+       |  SELECT q_id, n_id, adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+       |  FROM pairs
+       |)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, adc FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Mirrors [[Similarity.rangeSearch]]: same dynamic bucket count, same
     * bucket-blocked candidates, same exact-cosine threshold.
     */

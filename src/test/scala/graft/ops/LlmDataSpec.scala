@@ -359,6 +359,24 @@ class LlmDataSpec extends SparkSpec {
     assert(a.groupBy(_.getLong(0)).values.forall(_.length <= LlmData.AnnK))
   }
 
+  test("ivf-pq ann: pruned-candidate ADC agrees with full-scan ADC scores") {
+    val ivfpq = SparkEntry.queries("ann_ivfpq_topk")(spark, sfDir).collect()
+    assert(ivfpq.nonEmpty)
+    assert(ivfpq.groupBy(_.getLong(0)).values.forall(_.length <= LlmData.AnnK))
+    // the ADC score of every surviving pair must equal the full-scan PQ
+    // ADC for that pair (IVF prunes candidates; it must not change the
+    // quantized distance), and the pruned result can only ever MISS pairs
+    // relative to the full scan — any pair it keeps with rank r must
+    // score >= the full scan's rank-r distance
+    val full = SparkEntry.queries("ann_pq_adc_topk")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      full.get(key).foreach(d =>
+        assert(d == r.getDouble(3), s"ADC drift for $key"))
+    }
+  }
+
   test("averageHash: stable, tolerant to small edits, separates distinct images") {
     def img(fill: Int => Int): java.awt.image.BufferedImage = {
       val im = new java.awt.image.BufferedImage(16, 16,
