@@ -429,7 +429,14 @@ object Multimodal {
           case "data" => dataLen = math.min(len, payload.length - off - 8L)
           case _ => ()
         }
-        off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        // chunks are word-aligned. The length field is untrusted: the old
+        // `len.toInt` step truncated values near 2^32 to a zero/negative
+        // advance and spun this walk forever on one hostile payload. Keep
+        // the arithmetic in Long and stop at the first chunk that
+        // overruns the payload (nothing after it can be well-formed).
+        val step = 8L + len + (len & 1)
+        if (len > payload.length.toLong - off - 8) off = payload.length
+        else off += step.toInt
       }
       val blockAlign = channels * bits / 8
       if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) None

@@ -999,14 +999,17 @@ object Relational {
     // merge hint pins the shape at test SF where the optimizer would
     // otherwise broadcast the small side.
     "bucketed_join_agg" -> ((s, dir) => {
-      // External tables rooted in the per-app scratch dir: the catalog
-      // entries are session-ephemeral and the DATA lives under
-      // Tables.scratchDir, whose shutdown hook reclaims it — repeated
-      // bench/verify runs no longer accumulate copies in spark-warehouse.
-      // Fixed names are safe cross-JVM because the in-memory catalog is
-      // per-session and the storage path is applicationId-namespaced.
-      val liT = "graft_li_bkt"
-      val oT = "graft_o_bkt"
+      // External tables rooted in the per-app scratch dir: the DATA lives
+      // under Tables.scratchDir, whose shutdown hook reclaims it —
+      // repeated bench/verify runs don't accumulate copies in
+      // spark-warehouse. Names carry the applicationId so two runs
+      // sharing a persistent metastore (or two sessions on one context —
+      // the catalog hangs off SharedState, not the session) can never
+      // drop or read each other's entries; the DROP below only ever
+      // matches this app's own re-run.
+      val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val liT = s"graft_li_bkt_$tag"
+      val oT = s"graft_o_bkt_$tag"
       Seq(liT, oT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       graft.sinks.TableSink.writeBucketed(
         Tables.load(s, dir, "lineitem")
@@ -2151,7 +2154,10 @@ object Relational {
     // create-then-replace bootstrap (sql_to_kafka.py:69-105 + :130).
     "ddl_create_insert_agg" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val t = "graft_ddl_orders"
+      // applicationId-tagged for the same shared-metastore reason as
+      // bucketed_join_agg's tables
+      val t = "graft_ddl_orders_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       s.sql(s"DROP TABLE IF EXISTS $t")
       val schema = StructType(Seq(
         StructField("o_orderstatus", StringType),

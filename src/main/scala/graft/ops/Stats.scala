@@ -112,19 +112,33 @@ object Stats {
     * the classic parallel scan; identical integers to the serial window,
     * so the DuckDB oracle keeps its one-window formulation.
     */
-  private def rank2Cnt(df: DataFrame, c: String,
-                       bucketWidth: Long): DataFrame = {
-    val g = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-      .withColumn("b", expr(s"$c div $bucketWidth"))
-    val off = g.groupBy(col("b")).agg(sum(col("cnt")).as("bt"))
-      .select(col("b"),
-        (sum(col("bt")).over(Window.orderBy("b")) - col("bt")).as("off"))
-    val inner = Window.partitionBy(col("b")).orderBy(col(c))
-    g.join(off, "b")
-      .select(col(c), col("cnt"),
-        ((sum(col("cnt")).over(inner) + col("off")) * 2 - col("cnt") + 1)
-          .as(s"${c}_r2"))
+  /** The ONE two-level distributed prefix-sum construction (per-bucket
+    * totals get the only serial window — O(#buckets) rows — and the
+    * fact-scale running sums are bucket-partitioned): adds a `${c}_cum`
+    * running total over `orderCol` for each aggregate column in `cs`.
+    * Shared by the exact-rank, ECDF (KS), and rank-sum (Mann-Whitney)
+    * paths so the offset arithmetic cannot drift between them.
+    */
+  private def bucketedCumsum(g0: DataFrame, orderCol: String,
+                             bucketWidth: Long, cs: Seq[String]): DataFrame = {
+    val g = g0.withColumn("bk", expr(s"$orderCol div $bucketWidth"))
+    val aggs = cs.map(c => sum(col(c)).as(s"bt_$c"))
+    val wOff = Window.orderBy("bk")
+    val off = g.groupBy(col("bk")).agg(aggs.head, aggs.tail: _*)
+      .select(col("bk") +: cs.map(c =>
+        (sum(col(s"bt_$c")).over(wOff) - col(s"bt_$c")).as(s"off_$c")): _*)
+    val inner = Window.partitionBy(col("bk")).orderBy(col(orderCol))
+    g.join(off, "bk")
+      .select(g0.columns.map(col) ++ cs.map(c =>
+        (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)
   }
+
+  private def rank2Cnt(df: DataFrame, c: String,
+                       bucketWidth: Long): DataFrame =
+    bucketedCumsum(df.groupBy(col(c)).agg(count(lit(1)).as("cnt")),
+      c, bucketWidth, Seq("cnt"))
+      .select(col(c), col("cnt"),
+        (col("cnt_cum") * 2 - col("cnt") + 1).as(s"${c}_r2"))
 
   private def rank2Distributed(df: DataFrame, c: String,
                                bucketWidth: Long): DataFrame =
@@ -170,22 +184,11 @@ object Stats {
         .select(cents.as("v"),
           when(col("o_orderstatus") === KsStatusA, 1L).otherwise(0L).as("a"),
           when(col("o_orderstatus") === KsStatusB, 1L).otherwise(0L).as("b"))
-      // two-level distributed prefix sum over the distinct-value table
-      // (the rank2Distributed shape, carried for both populations at
-      // once): per-bucket totals get the only serial window — O(#buckets)
-      // rows — and the fact-scale running sums are bucket-partitioned.
-      val g = o.groupBy("v").agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
-        .withColumn("bk", expr(s"v div $KsBucketWidth"))
-      val off = g.groupBy(col("bk"))
-        .agg(sum(col("a")).as("bta"), sum(col("b")).as("btb"))
-        .select(col("bk"),
-          (sum(col("bta")).over(Window.orderBy("bk")) - col("bta")).as("offa"),
-          (sum(col("btb")).over(Window.orderBy("bk")) - col("btb")).as("offb"))
-      val inner = Window.partitionBy(col("bk")).orderBy(col("v"))
-      val cum = g.join(off, "bk")
-        .select(col("v"),
-          (sum(col("a")).over(inner) + col("offa")).as("ca"),
-          (sum(col("b")).over(inner) + col("offb")).as("cb"))
+      // ECDFs for both populations at once via the shared [[bucketedCumsum]]
+      val cum = bucketedCumsum(
+        o.groupBy("v").agg(sum(col("a")).as("a"), sum(col("b")).as("b")),
+        "v", KsBucketWidth, Seq("a", "b"))
+        .select(col("v"), col("a_cum").as("ca"), col("b_cum").as("cb"))
       // totals via a second pruned scan (cheaper than re-deriving g), the
       // argmax in ONE pass via lexicographic struct max — no re-evaluation
       // of the cumulative frame, no join-back
@@ -360,16 +363,12 @@ object Stats {
         .select(cents.as("v"),
           when(col("o_orderstatus") === KsStatusA, 1L).otherwise(0L).as("a"),
           when(col("o_orderstatus") === KsStatusB, 1L).otherwise(0L).as("b"))
-      val g = o.groupBy("v").agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
-        .withColumn("cnt", col("a") + col("b"))
-        .withColumn("bk", expr(s"v div $KsBucketWidth"))
-      val off = g.groupBy(col("bk")).agg(sum(col("cnt")).as("bt"))
-        .select(col("bk"),
-          (sum(col("bt")).over(Window.orderBy("bk")) - col("bt")).as("off"))
-      val ranked = g.join(off, "bk")
+      val ranked = bucketedCumsum(
+        o.groupBy("v").agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
+          .withColumn("cnt", col("a") + col("b")),
+        "v", KsBucketWidth, Seq("cnt"))
         .select(col("a"), col("b"), col("cnt"),
-          ((sum(col("cnt")).over(Window.partitionBy(col("bk"))
-            .orderBy(col("v"))) + col("off")) * 2 - col("cnt") + 1).as("r2"))
+          (col("cnt_cum") * 2 - col("cnt") + 1).as("r2"))
       val m = ranked.agg(
         sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
         sum(col("a") * col("r2")).as("r2_a"),
@@ -461,14 +460,7 @@ object Stats {
     // precisely the shape this operator exists to avoid at scale. Output:
     // the upper triangle as (i, j, cov) scalar rows.
     "emb_covariance" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{udaf => mkUdaf}
-      val q = Tables.load(s, dir, "embeddings")
-        .select(expr(s"transform(embedding, x -> " +
-          s"CAST(floor(CAST(x AS DOUBLE) * $EmbQScale.0 + 0.5) AS BIGINT))")
-          .as("e"))
-      val gram = mkUdaf(new graft.functions.Gramian(EmbDim),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
-      val st = q.agg(gram(col("e")).as("g"))
+      val st = gramianAgg(s, dir)
       val dd = EmbDim
       st.select(explode(expr(
           s"""flatten(transform(sequence(0, ${dd - 1}), i ->
@@ -730,18 +722,27 @@ object Stats {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (Array[Double], Double)]()
 
+  /** The ONE quantize-and-Gramian construction shared by the
+    * `emb_covariance` query and [[topPrincipalComponent]] — the 20-bit
+    * quantization expression is load-bearing for oracle parity (the SQL
+    * mirror matches it cast-for-cast), so it must not fork.
+    */
+  private def gramianAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{udaf => mkUdaf}
+    val q = Tables.load(s, dir, "embeddings")
+      .select(expr(s"transform(embedding, x -> " +
+        s"CAST(floor(CAST(x AS DOUBLE) * $EmbQScale.0 + 0.5) AS BIGINT))")
+        .as("e"))
+    val gram = mkUdaf(new graft.functions.Gramian(EmbDim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    q.agg(gram(col("e")).as("g"))
+  }
+
   def topPrincipalComponent(s: SparkSession, dir: String): (Array[Double], Double) = {
     pcaMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     pcaMemo.computeIfAbsent((s, dir), _ => {
-      import org.apache.spark.sql.functions.{udaf => mkUdaf}
       val d = EmbDim
-      val q = Tables.load(s, dir, "embeddings")
-        .select(expr(s"transform(embedding, x -> " +
-          s"CAST(floor(CAST(x AS DOUBLE) * $EmbQScale.0 + 0.5) AS BIGINT))")
-          .as("e"))
-      val gram = mkUdaf(new graft.functions.Gramian(d),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
-      val g = q.agg(gram(col("e")).as("g")).head().getSeq[Long](0)
+      val g = gramianAgg(s, dir).head().getSeq[Long](0)
       val n = g(0).toDouble
       val cov = Array.ofDim[Double](d, d)
       var k = 1 + d

@@ -110,8 +110,17 @@ object Sources {
               ctx.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
             case None =>
               if (!fs.rename(tmp, target)) {
-                if (fs.exists(target)) fs.delete(tmp, false) // lost a benign race
-                else throw new java.io.IOException(s"rename $tmp -> $target failed")
+                // target exists: it is either a concurrent attempt's copy
+                // of THIS run's bytes (identical — deterministic per row)
+                // or a PREVIOUS run's stale object that must be replaced.
+                // Delete-and-retry covers both; only if the retry ALSO
+                // loses (another attempt renamed in between — that copy
+                // is this run's content) is dropping tmp safe.
+                fs.delete(target, false)
+                if (!fs.rename(tmp, target)) {
+                  if (fs.exists(target)) fs.delete(tmp, false)
+                  else throw new java.io.IOException(s"rename $tmp -> $target failed")
+                }
               }
           }
         }

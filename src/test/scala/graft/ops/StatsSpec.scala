@@ -418,9 +418,9 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - want) < 1e-12,
         s"${r.getString(0)}~${r.getString(1)}")
     }
-    // quantity and extended price are strongly positively correlated
-    val q2p = rows.find(r => r.getString(0) == "x1" && r.getString(1) == "x2")
-    assert(q2p.exists(_.getDouble(2) > 0.5) || q2p.exists(_.getDouble(2) > -1.0))
+    // every pair present exactly once, correlations in [-1, 1]
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == 6)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
   }
 
   test("priority_top_orders_concat: keys are the per-group top-K in order") {
