@@ -525,6 +525,19 @@ class LlmDataSpec extends SparkSpec {
     // not RIFF / truncated before fmt → None
     assert(Multimodal.wavDecode(9L, "plain text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.wavDecode(10L, b.take(10)).isEmpty)
+    // hostile chunk lengths must TERMINATE (the old Int-truncated step
+    // spun forever on 0xFFFFFFF8/0xFFFFFFF7) and yield None, not a hang
+    for (evil <- Seq(0xFFFFFFF8, 0xFFFFFFF7, 0x7FFFFFFF, Int.MinValue)) {
+      val hdr = b.take(12) ++ "junk".getBytes("US-ASCII") ++
+        java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(evil).array() ++
+        Array.fill[Byte](8)(0)
+      assert(Multimodal.wavDecode(11L, hdr).isEmpty, f"len=0x$evil%08X")
+    }
+    // a truncated FINAL data chunk still clamps and decodes
+    val clipped = b.dropRight(8)
+    val mc = Multimodal.wavDecode(12L, clipped).get
+    assert(mc.n_samples == 8) // 40 payload bytes - 8 clipped = 32 / 4
     // the audioMeta operator drops undecodable payloads
     val assets = Seq((1L, b), (2L, "not audio".getBytes("UTF-8")))
       .toDF("asset_id", "payload")
