@@ -1050,6 +1050,32 @@ object Relational {
     // ---- k-core peeling profile: see [[kcoreProfile]] ----------------------
     "kcore_profile" -> ((s, dir) => kcoreProfile(s, dir)),
 
+    // ---- degree assortativity of the co-occurrence graph -------------------
+    // Newman's assortativity coefficient: the Pearson correlation of
+    // endpoint degrees over the edge list — do high-degree parts co-occur
+    // with other hubs (r > 0) or with the long tail (r < 0)? Every sum is
+    // an exact int64 over the memoized adjacency (degree ≤ nodes, squares
+    // well under 2^63 at any plausible catalog); the oracle mirrors the
+    // one final double formula. One shuffle: the dst-side degree join;
+    // src degrees ride the adjacency rows for free.
+    "graph_degree_assortativity" -> ((s, dir) => {
+      val adj = pageRankGraph(s, dir)
+      val e = adj.select(col("src"), col("d").as("dx"),
+          explode(col("adj")).as("dst"))
+        .join(adj.select(col("src").as("dst"), col("d").as("dy")), "dst")
+      e.agg(count(lit(1)).as("n_edges"),
+          sum(col("dx")).cast("double").as("sx"),
+          sum(col("dy")).cast("double").as("sy"),
+          sum(col("dx") * col("dy")).cast("double").as("sxy"),
+          sum(col("dx") * col("dx")).cast("double").as("sxx"),
+          sum(col("dy") * col("dy")).cast("double").as("syy"))
+        .select(col("n_edges"),
+          ((col("n_edges").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n_edges").cast("double") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n_edges").cast("double") * col("syy") - col("sy") * col("sy"))))
+            .as("assortativity"))
+    }),
+
     // ---- sliding distinct: trailing-7-day unique users per day -------------
     // COUNT(DISTINCT) over a sliding time frame — not expressible as a
     // window frame (distinct is not running-decomposable), so the exact
@@ -2709,6 +2735,31 @@ object Relational {
          |FROM l$LpRounds GROUP BY lbl
          |ORDER BY size DESC, community LIMIT 20""".stripMargin
     },
+    // endpoint-degree Pearson over the same DISTINCT symmetric edge list
+    "graph_degree_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM e GROUP BY src),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |         CAST(sum(dx.d) AS DOUBLE) AS sx,
+        |         CAST(sum(dy.d) AS DOUBLE) AS sy,
+        |         CAST(sum(dx.d * dy.d) AS DOUBLE) AS sxy,
+        |         CAST(sum(dx.d * dx.d) AS DOUBLE) AS sxx,
+        |         CAST(sum(dy.d * dy.d) AS DOUBLE) AS syy
+        |  FROM e JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node
+        |)
+        |SELECT n_edges,
+        |       (CAST(n_edges AS DOUBLE) * sxy - sx * sy) /
+        |         (sqrt(CAST(n_edges AS DOUBLE) * sxx - sx * sx) *
+        |          sqrt(CAST(n_edges AS DOUBLE) * syy - sy * sy))
+        |         AS assortativity
+        |FROM m""".stripMargin,
     // same synchronous peel unrolled as one CTE per round; the k CTE and
     // every per-round degree check are pure integer counts
     "kcore_profile" -> {

@@ -637,6 +637,28 @@ object Stats {
         .orderBy("var_a", "var_b")
     }),
 
+    // ---- sequential pattern mining: top event-type trigrams ----------------
+    // The most frequent length-3 behavioral patterns across user streams:
+    // per-user lead(1)/lead(2) windows assemble consecutive triples (a
+    // per-user sort — the unavoidable order of sequence mining, fully
+    // partition-parallel), then one map-side-combined count and a top-20
+    // cut. Exact integer counts; ties break lexicographically.
+    "event_trigram_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .select(col("e1"),
+          lead(col("e1"), 1).over(w).as("e2"),
+          lead(col("e1"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
     // ---- ordered LISTAGG: top order keys per priority ----------------------
     // The SQL LISTAGG/string_agg shape: row_number + rank-filter compiles
     // to WindowGroupLimit (per-partition top-k, no full sort of the fact
@@ -1153,6 +1175,19 @@ object Stats {
          |$sel
          |ORDER BY var_a, var_b""".stripMargin
     },
+
+    "event_trigram_topk" ->
+      """WITH t AS (
+        |  SELECT event_type AS e1,
+        |         lead(event_type, 1) OVER w AS e2,
+        |         lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
 
     "priority_top_orders_concat" ->
       s"""WITH r AS (
