@@ -637,6 +637,85 @@ object Stats {
         .orderBy("var_a", "var_b")
     }),
 
+    // ---- Welch's t-test: order prices, F vs O populations ------------------
+    // The unequal-variance two-sample t — the parametric sibling of
+    // ks/mann_whitney over the same populations, computed entirely from
+    // one pass of exact sufficient statistics (counts, cent sums, decimal
+    // squared sums) with the t statistic, Cohen's d, and the
+    // Welch-Satterthwaite degrees of freedom as mirrored final formulas.
+    "welch_ttest_price" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus").isin(KsStatusA, KsStatusB))
+        .select(col("o_orderstatus").as("st"), cents.as("c"))
+      val m = o.groupBy(col("st")).agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s"),
+        sum((col("c") * col("c")).cast("decimal(30,0)")).as("ss"))
+      val a = m.filter(col("st") === KsStatusA)
+        .select(col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+      val b = m.filter(col("st") === KsStatusB)
+        .select(col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+      val nd = (c: Column) => c.cast("double")
+      a.crossJoin(b)
+        .select(col("n_a"), col("n_b"),
+          (nd(col("s_a")) / nd(col("n_a"))).as("mean_a"),
+          (nd(col("s_b")) / nd(col("n_b"))).as("mean_b"),
+          ((nd(col("ss_a")) - nd(col("s_a")) * nd(col("s_a")) / nd(col("n_a"))) /
+            (nd(col("n_a")) - 1.0)).as("var_a"),
+          ((nd(col("ss_b")) - nd(col("s_b")) * nd(col("s_b")) / nd(col("n_b"))) /
+            (nd(col("n_b")) - 1.0)).as("var_b"))
+        .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          ((col("mean_a") - col("mean_b")) /
+            sqrt(col("var_a") / col("n_a").cast("double") +
+                 col("var_b") / col("n_b").cast("double"))).as("t"),
+          (pow(col("var_a") / col("n_a").cast("double") +
+               col("var_b") / col("n_b").cast("double"), 2.0) /
+            (pow(col("var_a") / col("n_a").cast("double"), 2.0) /
+               (col("n_a").cast("double") - 1.0) +
+             pow(col("var_b") / col("n_b").cast("double"), 2.0) /
+               (col("n_b").cast("double") - 1.0))).as("df"),
+          ((col("mean_a") - col("mean_b")) /
+            sqrt(((col("n_a").cast("double") - 1.0) * col("var_a") +
+                  (col("n_b").cast("double") - 1.0) * col("var_b")) /
+                 (col("n_a").cast("double") + col("n_b").cast("double") - 2.0)))
+            .as("cohens_d"))
+    }),
+
+    // ---- exact grouped box plot: price five-number summary per priority ----
+    // Exact q1/median/q3 (disc lower ranks — no interpolation) plus
+    // min/max and the IQR-fence outlier count, per priority, via the
+    // grouped ECDF: distinct (priority, value) counts, a priority-
+    // partitioned running sum (parallel across groups), and rank
+    // SELECTION by struct-min — the grouped form of the exact order
+    // statistics machinery, never a per-group sort of raw facts.
+    "boxplot_price_by_priority" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("p"), cents.as("v"))
+      val g = o.groupBy(col("p"), col("v")).agg(count(lit(1)).as("cnt"))
+      val wp = Window.partitionBy(col("p")).orderBy(col("v"))
+      val cum = g.select(col("p"), col("v"), col("cnt"),
+        sum(col("cnt")).over(wp).as("cw"))
+      val tot = g.groupBy(col("p")).agg(sum(col("cnt")).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      def pick(rank: Column): Column =
+        min(when(col("cw") >= rank, col("v")))
+      val q = cum.join(tot, "p")
+        .groupBy(col("p"), col("n"), col("lo"), col("hi"))
+        .agg(pick(expr("(n + 3) div 4")).as("q1"), // ceil(n/4)
+          pick(expr("(n + 1) div 2")).as("med"), // lower median
+          pick(expr("(n * 3 + 3) div 4")).as("q3")) // ceil(3n/4)
+      // classic 1.5·IQR fences kept integer-exact by doubling both sides:
+      // v < q1 - 1.5(q3-q1)  ⇔  2v < 5·q1 - 3·q3
+      val fenced = o.join(broadcast(q), "p")
+        .filter(col("v") * 2 < col("q1") * 5 - col("q3") * 3 ||
+          col("v") * 2 > col("q3") * 5 - col("q1") * 3)
+        .groupBy(col("p")).agg(count(lit(1)).as("n_outliers"))
+      q.join(fenced, Seq("p"), "left")
+        .select(col("p").as("o_orderpriority"), col("n"), col("lo"),
+          col("q1"), col("med"), col("q3"), col("hi"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- sequential pattern mining: top event-type trigrams ----------------
     // The most frequent length-3 behavioral patterns across user streams:
     // per-user lead(1)/lead(2) windows assemble consecutive triples (a
@@ -1175,6 +1254,82 @@ object Stats {
          |$sel
          |ORDER BY var_a, var_b""".stripMargin
     },
+
+    "welch_ttest_price" ->
+      s"""WITH o AS (
+         |  SELECT o_orderstatus AS st, $oracleCents AS c
+         |  FROM orders WHERE o_orderstatus IN ('$KsStatusA', '$KsStatusB')
+         |), m AS (
+         |  SELECT st, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(c) AS BIGINT) AS s,
+         |         CAST(sum(CAST(c AS DECIMAL(30,0)) * c) AS DECIMAL(30,0))
+         |           AS ss
+         |  FROM o GROUP BY st
+         |), ab AS (
+         |  SELECT a.n AS n_a, a.s AS s_a, a.ss AS ss_a,
+         |         b.n AS n_b, b.s AS s_b, b.ss AS ss_b
+         |  FROM m a, m b WHERE a.st = '$KsStatusA' AND b.st = '$KsStatusB'
+         |), mm AS (
+         |  SELECT n_a, n_b,
+         |         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+         |         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+         |         (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+         |            * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |           / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+         |         (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+         |            * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |           / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+         |  FROM ab
+         |)
+         |SELECT n_a, n_b, mean_a, mean_b,
+         |       (mean_a - mean_b) /
+         |         sqrt(var_a / CAST(n_a AS DOUBLE)
+         |              + var_b / CAST(n_b AS DOUBLE)) AS t,
+         |       pow(var_a / CAST(n_a AS DOUBLE)
+         |           + var_b / CAST(n_b AS DOUBLE), 2.0) /
+         |         (pow(var_a / CAST(n_a AS DOUBLE), 2.0)
+         |            / (CAST(n_a AS DOUBLE) - 1.0)
+         |          + pow(var_b / CAST(n_b AS DOUBLE), 2.0)
+         |            / (CAST(n_b AS DOUBLE) - 1.0)) AS df,
+         |       (mean_a - mean_b) /
+         |         sqrt(((CAST(n_a AS DOUBLE) - 1.0) * var_a
+         |               + (CAST(n_b AS DOUBLE) - 1.0) * var_b) /
+         |              (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))
+         |         AS cohens_d
+         |FROM mm""".stripMargin,
+
+    "boxplot_price_by_priority" ->
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS p, $oracleCents AS v FROM orders
+         |), g AS (
+         |  SELECT p, v, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY p, v
+         |), cum AS (
+         |  SELECT p, v, cnt,
+         |         CAST(sum(cnt) OVER (PARTITION BY p ORDER BY v) AS BIGINT)
+         |           AS cw
+         |  FROM g
+         |), tot AS (
+         |  SELECT p, CAST(sum(cnt) AS BIGINT) AS n, min(v) AS lo,
+         |         max(v) AS hi
+         |  FROM g GROUP BY p
+         |), q AS (
+         |  SELECT cum.p, n, lo, hi,
+         |         min(CASE WHEN cw >= (n + 3) // 4 THEN v END) AS q1,
+         |         min(CASE WHEN cw >= (n + 1) // 2 THEN v END) AS med,
+         |         min(CASE WHEN cw >= (n * 3 + 3) // 4 THEN v END) AS q3
+         |  FROM cum JOIN tot ON cum.p = tot.p
+         |  GROUP BY cum.p, n, lo, hi
+         |), fenced AS (
+         |  SELECT o.p, CAST(count(*) AS BIGINT) AS n_outliers
+         |  FROM o JOIN q ON o.p = q.p
+         |  WHERE o.v * 2 < q.q1 * 5 - q.q3 * 3
+         |     OR o.v * 2 > q.q3 * 5 - q.q1 * 3
+         |  GROUP BY o.p
+         |)
+         |SELECT q.p AS o_orderpriority, n, lo, q1, med, q3, hi,
+         |       coalesce(f.n_outliers, 0) AS n_outliers
+         |FROM q LEFT JOIN fenced f ON q.p = f.p
+         |ORDER BY o_orderpriority""".stripMargin,
 
     "event_trigram_topk" ->
       """WITH t AS (
