@@ -20,12 +20,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Serialization.queries ++
       ops.LlmData.queries ++ ops.StreamingOps.queries ++ ops.Skew.queries ++
-      ops.Curation.queries ++ ops.Analytics.queries ++ ops.Stats.queries
+      ops.Curation.queries ++ ops.Analytics.queries ++ ops.Stats.queries ++
+      ops.Learn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.LlmData.oracle ++ ops.StreamingOps.oracle ++
       ops.Skew.oracle ++ ops.Serialization.oracle ++ ops.Curation.oracle ++
-      ops.Analytics.oracle ++ ops.Stats.oracle
+      ops.Analytics.oracle ++ ops.Stats.oracle ++ ops.Learn.oracle
 }

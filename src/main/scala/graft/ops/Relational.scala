@@ -2059,6 +2059,86 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // ---- SQL surface: WITH RECURSIVE (gapless month spine) -----------------
+    // A recursive CTE generates every month index between the first and
+    // last order month — including months with no orders, which a plain
+    // GROUP BY can never emit — then a left join attaches the per-month
+    // counts. Recursion runs over ONE integer per month (y*12+m), so the
+    // recursive part is calendar-bounded (~84 iterations of a 1-row
+    // frame) while the fact scan stays a single combinable aggregation.
+    // Two recursion lessons are baked in (both measured): the bounds RIDE
+    // the recursive rows — a per-step `(SELECT hi FROM bounds)` scalar
+    // subquery re-ran the min/max fact scan every iteration (25.8 s at
+    // sf0.01, 84 scans) — and the recursion steps by YEAR with a 12-way
+    // month expansion, because each Spark UnionLoop iteration pays a
+    // scheduled job + codegen (~0.3 s floor): 84 month-steps cost ~4 s
+    // of pure per-step overhead vs ~2 s for 7 year-steps. The remaining
+    // cost is SF-INDEPENDENT (calendar-bounded) — at 100 TB the fact
+    // side is still one combinable aggregation.
+    // Spark 4 executes this as UnionLoop; DuckDB as recurring CTE — the
+    // same ANSI SQL text modulo view names runs on both.
+    "sql_recursive_months" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql(
+        """WITH RECURSIVE bounds AS (
+          |  SELECT min(year(CAST(o_orderdate AS DATE)) * 12 +
+          |             month(CAST(o_orderdate AS DATE)) - 1) AS lo,
+          |         max(year(CAST(o_orderdate AS DATE)) * 12 +
+          |             month(CAST(o_orderdate AS DATE)) - 1) AS hi
+          |  FROM v_orders
+          |), years(yr, lo, hi) AS (
+          |  SELECT lo DIV 12, lo, hi FROM bounds
+          |  UNION ALL
+          |  SELECT yr + 1, lo, hi FROM years WHERE yr < hi DIV 12
+          |), months AS (
+          |  SELECT yr * 12 + o.off AS mi
+          |  FROM years,
+          |       (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9),
+          |               (10), (11)) o(off)
+          |  WHERE yr * 12 + o.off BETWEEN lo AND hi
+          |), per_month AS (
+          |  SELECT year(CAST(o_orderdate AS DATE)) * 12 +
+          |         month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+          |         CAST(count(*) AS BIGINT) AS n_orders,
+          |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+          |                       AS BIGINT)) AS BIGINT) AS revenue_cents
+          |  FROM v_orders GROUP BY 1
+          |)
+          |SELECT m.mi AS month_idx, CAST(m.mi DIV 12 AS INT) AS yr,
+          |       CAST(m.mi % 12 + 1 AS INT) AS mon,
+          |       coalesce(p.n_orders, 0) AS n_orders,
+          |       coalesce(p.revenue_cents, 0) AS revenue_cents
+          |FROM months m LEFT JOIN per_month p ON m.mi = p.mi
+          |ORDER BY month_idx""".stripMargin)
+    }),
+
+    // ---- SQL surface: LATERAL correlated top-k per dimension row -----------
+    // The LATERAL join shape (a correlated subquery with its own ORDER
+    // BY/LIMIT per outer row): top-3 orders per market segment.
+    // Catalyst decorrelates this into a DomainJoin and executes it as a
+    // ranked window over the one fact scan — proof the declarative form
+    // costs nothing vs the hand-written row_number variant
+    // (window_topk_per_customer) while matching DuckDB's semantics
+    // exactly. Deterministic tie-break on (price DESC, orderkey).
+    "sql_lateral_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("v_customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT seg.c_mktsegment, t.o_orderkey,
+          |       t.price_cents
+          |FROM (SELECT DISTINCT c_mktsegment FROM v_customer) seg,
+          |LATERAL (
+          |  SELECT o.o_orderkey,
+          |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+          |              AS BIGINT) AS price_cents
+          |  FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+          |  WHERE c.c_mktsegment = seg.c_mktsegment
+          |  ORDER BY price_cents DESC, o.o_orderkey LIMIT 3
+          |) t
+          |ORDER BY seg.c_mktsegment, t.price_cents DESC, t.o_orderkey"""
+          .stripMargin)
+    }),
+
     // ---- window: RANGE frame (time-based trailing aggregate) ---------------
     // rangeBetween on epoch-days: the frame is VALUE-bounded, so all orders
     // in the trailing week enter the sum regardless of row order — rows on
@@ -3293,6 +3373,52 @@ object Relational {
         |    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    FROM orders))
         |ORDER BY c_custkey""".stripMargin,
+
+    "sql_recursive_months" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT min(year(CAST(o_orderdate AS DATE)) * 12 +
+        |             month(CAST(o_orderdate AS DATE)) - 1) AS lo,
+        |         max(year(CAST(o_orderdate AS DATE)) * 12 +
+        |             month(CAST(o_orderdate AS DATE)) - 1) AS hi
+        |  FROM orders
+        |), years(yr, lo, hi) AS (
+        |  SELECT lo // 12, lo, hi FROM bounds
+        |  UNION ALL
+        |  SELECT yr + 1, lo, hi FROM years WHERE yr < hi // 12
+        |), months AS (
+        |  SELECT yr * 12 + o.off AS mi
+        |  FROM years,
+        |       (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9),
+        |               (10), (11)) o(off)
+        |  WHERE yr * 12 + o.off BETWEEN lo AND hi
+        |), per_month AS (
+        |  SELECT year(CAST(o_orderdate AS DATE)) * 12 +
+        |         month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT m.mi AS month_idx, CAST(m.mi // 12 AS INT) AS yr,
+        |       CAST(m.mi % 12 + 1 AS INT) AS mon,
+        |       coalesce(p.n_orders, 0) AS n_orders,
+        |       coalesce(p.revenue_cents, 0) AS revenue_cents
+        |FROM months m LEFT JOIN per_month p ON m.mi = p.mi
+        |ORDER BY month_idx""".stripMargin,
+
+    "sql_lateral_topk" ->
+      """SELECT seg.c_mktsegment, t.o_orderkey, t.price_cents
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) seg,
+        |LATERAL (
+        |  SELECT o.o_orderkey,
+        |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS price_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = seg.c_mktsegment
+        |  ORDER BY price_cents DESC, o.o_orderkey LIMIT 3
+        |) t
+        |ORDER BY seg.c_mktsegment, t.price_cents DESC, t.o_orderkey"""
+        .stripMargin,
     "window_trailing_7d" ->
       """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

@@ -759,6 +759,95 @@ object Stats {
           sum(col("c")).as("topk_cents"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- weighted median: quantity-weighted price centre per return flag ---
+    // Same grouped-cell + cumulative-rank machinery as
+    // boxplot_price_by_priority, but the cells carry TWO masses — row count
+    // and quantity — so the plain and weighted medians come out of one
+    // O(distinct prices) window pass. Lower-median selection (min v with
+    // 2·cum ≥ total) keeps every comparison integer; no doubles anywhere.
+    "weighted_median_price" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("p"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("v"),
+          col("l_quantity").cast("long").as("w"))
+      val g = li.groupBy(col("p"), col("v"))
+        .agg(count(lit(1)).as("cnt"), sum(col("w")).as("wt"))
+      val wp = Window.partitionBy(col("p")).orderBy(col("v"))
+      val cum = g.select(col("p"), col("v"),
+        sum(col("cnt")).over(wp).as("cc"), sum(col("wt")).over(wp).as("cw"))
+      val tot = g.groupBy(col("p"))
+        .agg(sum(col("cnt")).as("n"), sum(col("wt")).as("tw"))
+      cum.join(tot, "p")
+        .groupBy(col("p"), col("n"), col("tw"))
+        .agg(min(when(col("cc") * 2 >= col("n"), col("v"))).as("median_cents"),
+          min(when(col("cw") * 2 >= col("tw"), col("v"))).as("wmedian_cents"))
+        .select(col("p").as("l_returnflag"), col("n"),
+          col("tw").as("total_qty"), col("median_cents"),
+          col("wmedian_cents"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- winsorized + trimmed means: robust pricing centre per priority ----
+    // Rank cutoffs (ceil(0.05n)/ceil(0.95n)) come from the grouped-cell
+    // cumulative table, broadcast back over the facts for ONE clamp/filter
+    // aggregation pass — integer cents end to end, the two means converted
+    // by one mirrored double division each.
+    "winsorized_price_stats" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("p"), cents.as("v"))
+      val g = o.groupBy(col("p"), col("v")).agg(count(lit(1)).as("cnt"))
+      val wp = Window.partitionBy(col("p")).orderBy(col("v"))
+      val cum = g.select(col("p"), col("v"), sum(col("cnt")).over(wp).as("cw"))
+      val tot = g.groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+      def pick(rank: Column): Column = min(when(col("cw") >= rank, col("v")))
+      val q = cum.join(tot, "p").groupBy(col("p"), col("n"))
+        .agg(pick(expr("(n * 5 + 99) div 100")).as("p05"),
+          pick(expr("(n * 95 + 99) div 100")).as("p95"))
+      o.join(broadcast(q), "p")
+        .groupBy(col("p"), col("n"), col("p05"), col("p95"))
+        .agg(
+          sum(greatest(col("p05"), least(col("p95"), col("v")))).as("wsum"),
+          sum(when(col("v").between(col("p05"), col("p95")), col("v")))
+            .as("tsum"),
+          count(when(col("v").between(col("p05"), col("p95")), lit(1)))
+            .as("tn"))
+        .select(col("p").as("o_orderpriority"), col("n"), col("p05"),
+          col("p95"),
+          (col("wsum").cast("double") / col("n")).as("winsor_mean_cents"),
+          (col("tsum").cast("double") / col("tn")).as("trimmed_mean_cents"),
+          col("tn").as("n_kept"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- MAD outlier days: breakdown-resistant daily-revenue anomalies -----
+    // Complements anomaly_daily_revenue's moment z-scores with the median
+    // absolute deviation (50% breakdown point vs the mean/stddev's 0%).
+    // The fact scan collapses to the O(days) daily table first; both
+    // medians are then row_number rank-picks over that calendar-bounded
+    // series (~2.4K rows at ANY corpus scale — the single-partition
+    // windows are deliberately tiny, same argument as theil_sen_trend).
+    // dev > 3·MAD compares integers; top-20 by deviation.
+    "mad_outlier_days" -> ((s, dir) => {
+      val d = Analytics.dailyRevenue(s, dir)
+      val tot = d.agg(count(lit(1)).as("n"))
+      val byV = Window.orderBy(col("v"), col("x"))
+      val med = d.withColumn("rn", row_number().over(byV)).crossJoin(tot)
+        .filter(col("rn") === expr("(n + 1) div 2")).select(col("v").as("med"))
+      val dev = d.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("v") - col("med")))
+      val byDev = Window.orderBy(col("dev"), col("x"))
+      val mad = dev.withColumn("rn", row_number().over(byDev)).crossJoin(tot)
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("dev").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .select(col("x").as("epoch_day"), col("v").as("revenue_cents"),
+          col("dev").as("dev_cents"), col("med").as("med_cents"),
+          col("mad").as("mad_cents"),
+          (col("dev") > col("mad") * 3).as("is_outlier"))
+        .orderBy(col("dev_cents").desc, col("epoch_day")).limit(20)
     }))
 
   // --------------------------------------------------------------------------
@@ -1357,6 +1446,85 @@ object Stats {
          |       CAST(sum(c) AS BIGINT) AS topk_cents,
          |       CAST(count(*) AS BIGINT) AS n
          |FROM r WHERE rn <= $ConcatK
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "weighted_median_price" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS p,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS v,
+        |         CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem
+        |), g AS (
+        |  SELECT p, v, CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(sum(w) AS BIGINT) AS wt
+        |  FROM li GROUP BY p, v
+        |), cum AS (
+        |  SELECT p, v,
+        |         CAST(sum(cnt) OVER (PARTITION BY p ORDER BY v) AS BIGINT)
+        |           AS cc,
+        |         CAST(sum(wt) OVER (PARTITION BY p ORDER BY v) AS BIGINT)
+        |           AS cw
+        |  FROM g
+        |), tot AS (
+        |  SELECT p, CAST(sum(cnt) AS BIGINT) AS n,
+        |         CAST(sum(wt) AS BIGINT) AS tw
+        |  FROM g GROUP BY p
+        |)
+        |SELECT cum.p AS l_returnflag, n, tw AS total_qty,
+        |       min(CASE WHEN cc * 2 >= n THEN v END) AS median_cents,
+        |       min(CASE WHEN cw * 2 >= tw THEN v END) AS wmedian_cents
+        |FROM cum JOIN tot ON cum.p = tot.p
+        |GROUP BY cum.p, n, tw ORDER BY l_returnflag""".stripMargin,
+
+    "winsorized_price_stats" ->
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS p, $oracleCents AS v FROM orders
+         |), g AS (
+         |  SELECT p, v, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY p, v
+         |), cum AS (
+         |  SELECT p, v,
+         |         CAST(sum(cnt) OVER (PARTITION BY p ORDER BY v) AS BIGINT)
+         |           AS cw
+         |  FROM g
+         |), tot AS (
+         |  SELECT p, CAST(sum(cnt) AS BIGINT) AS n FROM g GROUP BY p
+         |), q AS (
+         |  SELECT cum.p, n,
+         |         min(CASE WHEN cw >= (n * 5 + 99) // 100 THEN v END) AS p05,
+         |         min(CASE WHEN cw >= (n * 95 + 99) // 100 THEN v END) AS p95
+         |  FROM cum JOIN tot ON cum.p = tot.p GROUP BY cum.p, n
+         |)
+         |SELECT o.p AS o_orderpriority, n, p05, p95,
+         |       CAST(sum(greatest(p05, least(p95, v))) AS DOUBLE) / n
+         |         AS winsor_mean_cents,
+         |       CAST(sum(CASE WHEN v BETWEEN p05 AND p95 THEN v END)
+         |            AS DOUBLE) /
+         |         count(CASE WHEN v BETWEEN p05 AND p95 THEN 1 END)
+         |         AS trimmed_mean_cents,
+         |       CAST(count(CASE WHEN v BETWEEN p05 AND p95 THEN 1 END)
+         |            AS BIGINT) AS n_kept
+         |FROM o JOIN q ON o.p = q.p
+         |GROUP BY o.p, n, p05, p95 ORDER BY o_orderpriority""".stripMargin,
+
+    "mad_outlier_days" ->
+      s"""WITH d0 AS (${Analytics.oracleDaily}),
+         |d AS (SELECT x, CAST(v AS BIGINT) AS v FROM d0),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |med AS (
+         |  SELECT v AS med FROM (
+         |    SELECT v, row_number() OVER (ORDER BY v, x) AS rn FROM d), tot
+         |  WHERE rn = (n + 1) // 2),
+         |dev AS (SELECT x, v, abs(v - med) AS dev, med FROM d, med),
+         |mad AS (
+         |  SELECT dev AS mad FROM (
+         |    SELECT dev, row_number() OVER (ORDER BY dev, x) AS rn
+         |    FROM dev), tot
+         |  WHERE rn = (n + 1) // 2)
+         |SELECT x AS epoch_day, v AS revenue_cents, dev AS dev_cents,
+         |       med AS med_cents, mad AS mad_cents,
+         |       dev > mad * 3 AS is_outlier
+         |FROM dev, mad
+         |ORDER BY dev_cents DESC, epoch_day LIMIT 20""".stripMargin
   )
 }

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+class LearnSpec extends SparkSpec {
+
+  test("logreg GD matches an independent in-memory replication exactly") {
+    val got = SparkEntry.queries("logreg_quality_gd")(spark, sfDir).head()
+    // replicate the quantized full-batch GD with plain Scala arithmetic
+    val facts = graft.Tables.load(spark, sfDir, "orders")
+      .select("o_orderstatus", "o_totalprice", "o_orderpriority").collect()
+      .map { r =>
+        val y = if (r.getString(0) == "F") 1L else 0L
+        val x1i = BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact
+        val x2 = if (Set("1-URGENT", "2-HIGH")(r.getString(2))) 1L else 0L
+        (y, x1i, x2)
+      }
+    val q = Learn.GdQ.toDouble
+    var (w0, w1, w2) = (0.0, 0.0, 0.0)
+    for (_ <- 1 to Learn.GdIters) {
+      var g0, g1, g2 = BigInt(0)
+      facts.foreach { case (y, x1i, x2) =>
+        val z = w0 + w1 * (x1i / Learn.GdX1Scale) + w2 * x2
+        val s = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        val r = math.floor(s * q).toLong - y * Learn.GdQ
+        g0 += r; g1 += BigInt(r) * x1i; g2 += r * x2
+      }
+      val n = facts.length
+      w0 -= Learn.GdLr * (g0.toDouble / n / q)
+      w1 -= Learn.GdLr * (g1.toDouble / n / q / Learn.GdX1Scale)
+      w2 -= Learn.GdLr * (g2.toDouble / n / q)
+    }
+    assert(got.getDouble(0) == w0, s"w0 ${got.getDouble(0)} vs $w0")
+    assert(got.getDouble(1) == w1, s"w1 ${got.getDouble(1)} vs $w1")
+    assert(got.getDouble(2) == w2, s"w2 ${got.getDouble(2)} vs $w2")
+    val acc = got.getDouble(5)
+    assert(acc >= 0.0 && acc <= 1.0)
+    // the classifier must beat the majority-class trivial baseline's
+    // complement — i.e. actually use the features (sanity, not a tuning bar)
+    val posRate = facts.count(_._1 == 1L).toDouble / facts.length
+    assert(acc >= math.min(posRate, 1 - posRate))
+  }
+
+  test("dbscan grid join finds exactly the brute-force eps-neighborhoods") {
+    val got = SparkEntry.queries("dbscan_grid_cores")(spark, sfDir).head()
+    val pts = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        (r.getLong(0), e.head.toDouble, e(1).toDouble)
+      }
+    val eps2 = Learn.DbEps * Learn.DbEps
+    val nn = pts.map { case (id, x, y) =>
+      id -> pts.count { case (_, bx, by) =>
+        (x - bx) * (x - bx) + (y - by) * (y - by) <= eps2
+      }.toLong
+    }.toMap
+    val core = nn.filter(_._2 >= Learn.DbMinPts).keySet
+    val border = pts.collect {
+      case (id, x, y) if !core(id) && pts.exists { case (bid, bx, by) =>
+        bid != id && core(bid) &&
+          (x - bx) * (x - bx) + (y - by) * (y - by) <= eps2
+      } => id
+    }.toSet
+    assert(got.getLong(0) == pts.length.toLong)
+    assert(got.getLong(1) == core.size.toLong, "core count")
+    assert(got.getLong(2) == border.size.toLong, "border count")
+    assert(got.getLong(3) == pts.length - core.size - border.size)
+    assert(got.getLong(4) == core.map(BigInt(_)).sum.toLong, "core id sum")
+    assert(got.getLong(5) == nn.values.max)
+  }
+
+  test("weighted median satisfies the defining mass inequality per flag") {
+    val rows = SparkEntry.queries("weighted_median_price")(spark, sfDir)
+      .collect()
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact,
+        r.getDouble(2).toLong))
+    rows.foreach { r =>
+      val (flag, wm) = (r.getString(0), r.getLong(4))
+      val grp = li.filter(_._1 == flag)
+      val tw = grp.map(_._3).sum
+      val below = grp.filter(_._2 <= wm).map(_._3).sum
+      val strictlyBelow = grp.filter(_._2 < wm).map(_._3).sum
+      assert(2 * below >= tw, s"$flag: mass at/below wmedian")
+      assert(2 * strictlyBelow < tw, s"$flag: wmedian is minimal")
+    }
+  }
+
+  test("winsorized/trimmed means are bracketed by the cutoffs") {
+    SparkEntry.queries("winsorized_price_stats")(spark, sfDir).collect()
+      .foreach { r =>
+        val (p05, p95) = (r.getLong(2), r.getLong(3))
+        assert(p05 <= p95)
+        assert(r.getDouble(4) >= p05 && r.getDouble(4) <= p95,
+          "winsorized mean outside cutoffs")
+        assert(r.getDouble(5) >= p05 && r.getDouble(5) <= p95,
+          "trimmed mean outside cutoffs")
+        assert(r.getLong(6) <= r.getLong(1))
+      }
+  }
+
+  test("MAD outliers: deviations agree with the reported median") {
+    val rows = SparkEntry.queries("mad_outlier_days")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (v, dev, med, mad) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(dev == math.abs(v - med))
+      assert(r.getBoolean(5) == (dev > 3 * mad))
+    }
+    // sorted by deviation DESC
+    val devs = rows.map(_.getLong(2))
+    assert(devs.zip(devs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("recursive month spine is gapless and bounded by the data") {
+    val rows = SparkEntry.queries("sql_recursive_months")(spark, sfDir)
+      .collect()
+    val idx = rows.map(_.getLong(0))
+    assert(idx.zip(idx.tail).forall { case (a, b) => b == a + 1 },
+      "month spine has gaps")
+    // totals across the spine equal the raw table's
+    val n = rows.map(_.getLong(3)).sum
+    assert(n == graft.Tables.load(spark, sfDir, "orders").count())
+  }
+
+  test("lateral top-k emits exactly k per segment in rank order") {
+    val rows = SparkEntry.queries("sql_lateral_topk")(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (seg, grp) =>
+      assert(grp.length == 3, s"$seg: expected 3 rows")
+      val prices = grp.map(_.getLong(2))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

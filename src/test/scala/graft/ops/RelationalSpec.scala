@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
 
+  /** Deterministic job-id-snapshot barrier for the memoization tests: the
+    * status store is fed by the ASYNC listener bus, so a wall-clock sleep
+    * is a race under load. `listenerBus` is private[spark]; reach it by
+    * reflection and block until every queued event is delivered, falling
+    * back to the old sleep if the (stable-since-2.x) internals ever move.
+    */
+  private def drainListenerBus(): Unit = {
+    val sc = spark.sparkContext
+    try {
+      val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get
+        .invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .get.invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(1000) }
+  }
+
   test("every registered query runs and is non-empty at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
@@ -187,10 +204,10 @@ class RelationalSpec extends SparkSpec {
       .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
     // a memo hit needs NO Spark job (the mask .head() action is skipped) —
     // job-count is load-independent where a wall-clock bound is not
-    Thread.sleep(1000) // let the warm-up's jobs reach the async status store
+    drainListenerBus() // let the warm-up's jobs reach the status store
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
     Relational.bloomSemiJoin(c, "c_custkey", big2, "o_custkey")
-    Thread.sleep(1000) // status store is fed by the async listener bus
+    drainListenerBus() // status store is fed by the async listener bus
     val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
     assert(after == before, s"memoized construct ran jobs: ${after -- before}")
   }
@@ -338,10 +355,10 @@ class RelationalSpec extends SparkSpec {
     // eager-checkpointed edge build is NOT re-run, so plan construction
     // launches no Spark job (job-count is load-independent where a
     // wall-clock bound is not)
-    Thread.sleep(1000) // let the warm-up's jobs reach the async status store
+    drainListenerBus() // let the warm-up's jobs reach the status store
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
     val sh = graft.ops.Relational.pageRankParts(spark, sfDir, broadcastRanks = false)
-    Thread.sleep(1000) // status store is fed by the async listener bus
+    drainListenerBus() // status store is fed by the async listener bus
     val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
     assert(after == before, s"memoized construct ran jobs: ${after -- before}")
     assert(sh.collect().toSeq == bc)
