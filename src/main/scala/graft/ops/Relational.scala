@@ -2004,6 +2004,61 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // ---- higher-order array-function audit ---------------------------------
+    // Engine-parity sweep over the lambda/array surface (transform,
+    // filter, aggregate-fold, zip_with, slice, distinct, contains) — the
+    // building blocks the embedding/dedup kernels compose, pinned here on
+    // small per-ORDER arrays (≤7 lineitem quantities, so the arrays stay
+    // row-local and codegen-friendly; collect_list is made deterministic
+    // by array_sort). All-integer folds make the audit hash-exact against
+    // DuckDB's list_* equivalents.
+    "array_functions_audit" -> ((s, dir) => {
+      val arrs = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("q"))).as("arr"))
+      val per = arrs.select(col("l_orderkey"),
+        aggregate(transform(col("arr"), x => x * 2 + 1), lit(0L),
+          (a, x) => a + x).as("t1"),
+        size(filter(col("arr"), x => x > 25)).cast("long").as("n_gt"),
+        aggregate(slice(col("arr"), 1, 5), lit(0L), (a, x) => a + x)
+          .as("s5"),
+        size(array_distinct(col("arr"))).cast("long").as("nd"),
+        when(array_contains(col("arr"), 30L), 1L).otherwise(0L).as("has30"),
+        aggregate(zip_with(col("arr"), reverse(col("arr")),
+          (a, b) => a * b), lit(0L), (a, x) => a + x).as("dotrev"))
+      per.groupBy((col("l_orderkey") % 8).as("g"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("t1")).as("sum_t1"),
+          sum(col("n_gt")).as("sum_gt"), sum(col("s5")).as("sum_first5"),
+          sum(col("nd")).as("sum_distinct"), sum(col("has30")).as("n_has30"),
+          sum(col("dotrev")).as("sum_dotrev"))
+        .orderBy("g")
+    }),
+
+    // ---- small-file compaction round trip ----------------------------------
+    // The table-maintenance op streaming ingest eventually needs: a
+    // deliberately fragmented copy of events (64 micro-files) is
+    // compacted by TableSink.compact (size-targeted rewrite + atomic
+    // directory swap), and the post-compaction scan must aggregate
+    // hash-identically to the RAW table — the oracle never sees the
+    // layout, so parity proves the maintenance op is lossless.
+    // RelationalSpec asserts the file count actually shrank. Scratch I/O
+    // per run, not a hot path.
+    "compact_small_files_agg" -> ((s, dir) => {
+      val scratch = scratchDir(s, "compact/events")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(scratch)
+      graft.sinks.TableSink.compact(s, scratch, targetBytes = 8L * 1024 * 1024)
+      s.read.parquet(scratch)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // ---- deterministic hash sampling (reproducible; engine-portable) -------
     // TABLESAMPLE/rand() draws differ per run and per engine; hashing the
     // key gives the same sample on any cluster size, any engine, forever —
@@ -3358,6 +3413,40 @@ object Relational {
         |       max(translate(p_name, ' ', '_')) AS max_snake,
         |       min(split_part(p_name, ' ', -1)) AS min_last_tok
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "array_functions_audit" ->
+      """WITH a AS (
+        |  SELECT l_orderkey,
+        |         list_sort(list(CAST(l_quantity AS BIGINT))) AS arr
+        |  FROM lineitem GROUP BY l_orderkey
+        |), per AS (
+        |  SELECT l_orderkey,
+        |    CAST(list_sum(list_transform(arr, x -> x * 2 + 1)) AS BIGINT)
+        |      AS t1,
+        |    CAST(len(list_filter(arr, x -> x > 25)) AS BIGINT) AS n_gt,
+        |    CAST(list_sum(arr[1:5]) AS BIGINT) AS s5,
+        |    CAST(len(list_distinct(arr)) AS BIGINT) AS nd,
+        |    CASE WHEN list_contains(arr, 30) THEN 1 ELSE 0 END AS has30,
+        |    CAST(list_sum(list_transform(list_zip(arr, list_reverse(arr)),
+        |      x -> x[1] * x[2])) AS BIGINT) AS dotrev
+        |  FROM a
+        |)
+        |SELECT l_orderkey % 8 AS g, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(t1) AS BIGINT) AS sum_t1,
+        |       CAST(sum(n_gt) AS BIGINT) AS sum_gt,
+        |       CAST(sum(s5) AS BIGINT) AS sum_first5,
+        |       CAST(sum(nd) AS BIGINT) AS sum_distinct,
+        |       CAST(sum(has30) AS BIGINT) AS n_has30,
+        |       CAST(sum(dotrev) AS BIGINT) AS sum_dotrev
+        |FROM per GROUP BY 1 ORDER BY g""".stripMargin,
+
+    "compact_small_files_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "map_props_agg" ->
       """SELECT event_type,
         |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

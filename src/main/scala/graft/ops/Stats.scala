@@ -52,6 +52,11 @@ object Stats {
   /** gini_best_split: equi-width price histogram bin, in cents ($1000). */
   val GiniBucketWidth = 100000L
 
+  /** abc_pareto_parts: coarse bucket (in centicents of per-part revenue)
+    * for the distributed descending cumulative sum.
+    */
+  val RevCellBucketWidth = 100000000L
+
   /** bootstrap_ci_revenue: resample count and the Poisson(1) CDF
     * thresholds (out of 100000) that map a uniform hash residue to a
     * per-row resample weight — the Poissonized bootstrap (each row's
@@ -848,6 +853,43 @@ object Stats {
           col("mad").as("mad_cents"),
           (col("dev") > col("mad") * 3).as("is_outlier"))
         .orderBy(col("dev_cents").desc, col("epoch_day")).limit(20)
+    }),
+
+    // ---- ABC / Pareto classification of parts by revenue -------------------
+    // The 80/95 cumulative-share split every inventory/curation pipeline
+    // runs: parts collapse to per-REVENUE-VALUE cells (classification at
+    // cell granularity — equal-revenue parts share a class, so no
+    // arbitrary tie-break enters the result), the descending cumulative
+    // revenue comes from the shared two-level [[bucketedCumsum]] (the
+    // only serial window is O(#coarse buckets)), and the class decision
+    // 5·cum ≤ 4·tot / 20·cum ≤ 19·tot stays in exact integer centicents
+    // (decimal(38,0) headroom for the multiplied compare at any SF).
+    "abc_pareto_parts" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(col("l_partkey"),
+        ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+          (lit(100L) - (col("l_discount").cast("decimal(18,2)") * 100)
+            .cast("long"))).as("cc"))
+      val parts = li.groupBy(col("l_partkey")).agg(sum(col("cc")).as("rev"))
+      val cells = parts.groupBy(col("rev"))
+        .agg(count(lit(1)).as("n_parts"),
+          (col("rev") * count(lit(1))).as("rev_sum"))
+        .withColumn("neg", -col("rev"))
+      val cum = bucketedCumsum(cells, "neg", RevCellBucketWidth,
+        Seq("rev_sum"))
+      val tot = cells.agg(sum(col("rev_sum")).as("t"))
+      val c38 = col("rev_sum_cum").cast("decimal(38,0)")
+      val t38 = col("t").cast("decimal(38,0)")
+      cum.crossJoin(broadcast(tot))
+        .select(col("n_parts"), col("rev_sum"),
+          when(c38 * 5 <= t38 * 4, "A")
+            .when(c38 * 20 <= t38 * 19, "B").otherwise("C").as("abc_class"),
+          col("t"))
+        .groupBy(col("abc_class"))
+        .agg(sum(col("n_parts")).as("n_parts"),
+          sum(col("rev_sum")).as("revenue_cc"),
+          (sum(col("rev_sum")).cast("double") / min(col("t")))
+            .as("revenue_share"))
+        .orderBy("abc_class")
     }))
 
   // --------------------------------------------------------------------------
@@ -1525,6 +1567,32 @@ object Stats {
          |       med AS med_cents, mad AS mad_cents,
          |       dev > mad * 3 AS is_outlier
          |FROM dev, mad
-         |ORDER BY dev_cents DESC, epoch_day LIMIT 20""".stripMargin
+         |ORDER BY dev_cents DESC, epoch_day LIMIT 20""".stripMargin,
+
+    "abc_pareto_parts" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+        |                        AS BIGINT)) AS cc
+        |  FROM lineitem
+        |), parts AS (
+        |  SELECT l_partkey, CAST(sum(cc) AS BIGINT) AS rev
+        |  FROM li GROUP BY 1
+        |), cells AS (
+        |  SELECT rev, CAST(count(*) AS BIGINT) AS n_parts,
+        |         CAST(rev * count(*) AS BIGINT) AS rev_sum
+        |  FROM parts GROUP BY rev
+        |), cum AS (
+        |  SELECT rev, n_parts, rev_sum,
+        |         CAST(sum(rev_sum) OVER (ORDER BY rev DESC) AS BIGINT) AS c
+        |  FROM cells
+        |), tot AS (SELECT CAST(sum(rev_sum) AS BIGINT) AS t FROM cells)
+        |SELECT CASE WHEN c * 5 <= t * 4 THEN 'A'
+        |            WHEN c * 20 <= t * 19 THEN 'B' ELSE 'C' END AS abc_class,
+        |       CAST(sum(n_parts) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev_sum) AS BIGINT) AS revenue_cc,
+        |       CAST(sum(rev_sum) AS DOUBLE) / min(t) AS revenue_share
+        |FROM cum, tot GROUP BY 1 ORDER BY abc_class""".stripMargin
   )
 }

@@ -129,6 +129,49 @@ class LearnSpec extends SparkSpec {
     assert(n == graft.Tables.load(spark, sfDir, "orders").count())
   }
 
+  test("array audit matches an independent per-order in-memory replication") {
+    val got = SparkEntry.queries("array_functions_audit")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong))
+    val per = li.groupBy(_._1).map { case (k, qs) =>
+      val arr = qs.map(_._2).sorted.toVector
+      val t1 = arr.map(_ * 2 + 1).sum
+      val nGt = arr.count(_ > 25).toLong
+      val s5 = arr.take(5).sum
+      val nd = arr.distinct.length.toLong
+      val has30 = if (arr.contains(30L)) 1L else 0L
+      val dotrev = arr.zip(arr.reverse).map { case (a, b) => a * b }.sum
+      (k, t1, nGt, s5, nd, has30, dotrev)
+    }
+    val want = per.groupBy(_._1 % 8).map { case (g, rows) =>
+      g -> Seq(rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).sum, rows.map(_._5).sum, rows.map(_._6).sum,
+        rows.map(_._7).sum)
+    }
+    assert(got == want)
+  }
+
+  test("compaction shrinks the fragmented layout and preserves the data") {
+    val df = SparkEntry.queries("compact_small_files_agg")(spark, sfDir)
+    val rows = df.collect()
+    // result parity with the raw table
+    import org.apache.spark.sql.functions._
+    val raw = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy("event_type").collect()
+    assert(rows.toSeq == raw.toSeq)
+    // the scratch dir must hold far fewer than the 64 written micro-files
+    val scratch = graft.Tables.scratchDir(spark, "compact/events")
+    val n = new java.io.File(scratch).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n > 0 && n < 32, s"expected compacted layout, found $n files")
+  }
+
   test("lateral top-k emits exactly k per segment in rank order") {
     val rows = SparkEntry.queries("sql_lateral_topk")(spark, sfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (seg, grp) =>

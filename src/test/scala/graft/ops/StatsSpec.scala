@@ -437,4 +437,21 @@ class StatsSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
       r.getLong(3))).toVector == want)
   }
+
+  test("abc_pareto: classes partition the parts and respect the cum cuts") {
+    val rows = Stats.queries("abc_pareto_parts")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val nParts = Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum == nParts, "classes must partition parts")
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-9,
+      "shares must sum to 1")
+    // inclusive-cum rule: A's total share can never exceed 80%, A+B's 95%
+    val aShare = rows.get("A").map(_._3).getOrElse(0.0)
+    val bShare = rows.get("B").map(_._3).getOrElse(0.0)
+    assert(aShare <= 0.80 + 1e-12)
+    assert(aShare + bShare <= 0.95 + 1e-12)
+    assert(rows.keySet.subsetOf(Set("A", "B", "C")))
+  }
 }
