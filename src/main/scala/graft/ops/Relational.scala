@@ -1129,6 +1129,38 @@ object Relational {
             .as("z"))
         .orderBy("o_orderkey")),
 
+    // ---- window-frame semantics audit --------------------------------------
+    // Pins the full frame-specification surface against DuckDB on one
+    // per-customer pass: running first_value, whole-partition last_value
+    // and nth_value(2), a detached trailing frame (2 PRECEDING..1
+    // PRECEDING — empty on the first row, so the null→0 coalesce is part
+    // of the contract), and a forward-looking count. ONE shuffle on the
+    // partition key serves all five frames; the (date, orderkey) order is
+    // total, so every frame content — and therefore the hash — is
+    // deterministic. Integer cents only.
+    "window_frame_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("de"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("c"))
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("de"), col("o_orderkey"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val trail = ord.rowsBetween(-2, -1)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      base.select(col("o_custkey"), col("o_orderkey"),
+          first(col("c")).over(run).as("first_c"),
+          last(col("c")).over(full).as("last_c"),
+          nth_value(col("c"), 2).over(full).as("second_c"),
+          coalesce(sum(col("c")).over(trail), lit(0L)).as("prev2_sum"),
+          count(lit(1)).over(fwd).as("n_from_here"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ---- SCD2 interval construction ----------------------------------------
     // Slowly-changing-dimension type-2 view of each customer's order
     // history: every order's validity interval runs until the customer's
@@ -2367,6 +2399,46 @@ object Relational {
         .select(col("k_used"), col("kth_min"),
           ((col("k_used") - lit(1L)).cast("double") * lit(P.toDouble)
             / col("kth_min").cast("double")).as("est_ndv"),
+          col("exact_ndv"))
+    }),
+
+    // ---- KMV mergeability audit: distributed sketches ARE the global one ---
+    // The property that makes sketch architectures work at 100 TB: union
+    // the per-shard bottom-k sets, re-take bottom-k, and you get EXACTLY
+    // the global sketch (no approximation in the merge itself). Shards
+    // here are the 7 epoch-weekday groups of events; the audit emits the
+    // global and merged kth-mins side by side with an equality flag the
+    // oracle hash-checks. Per-shard bottom-k is a partition-local window
+    // over distinct hashes; nothing fact-scale crosses the wire.
+    "kmv_merge_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val P = graft.text.TextOps.P
+      val A = graft.text.TextOps.MIX % P
+      val B = (3 * A) % P
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val h = ((col("user_id") * lit(A) + lit(B)) % P + P) % P
+      val hashed = ev.select(
+        pmod(unix_date(col("ts").cast("date")).cast("long"), lit(7)).as("g"),
+        h.as("h"))
+      val perShard = hashed.distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("h"))))
+        .filter(col("rn") <= k)
+      val merged = perShard.select(col("h")).distinct()
+        .orderBy("h").limit(k)
+        .agg(count(lit(1)).as("k_merged"), max(col("h")).as("kth_merged"))
+      val global = ev.select(h.as("h")).distinct()
+        .orderBy("h").limit(k)
+        .agg(count(lit(1)).as("k_global"), max(col("h")).as("kth_global"))
+      global.crossJoin(merged)
+        .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_ndv")))
+        .select(col("k_global"), col("kth_global"), col("k_merged"),
+          col("kth_merged"),
+          (col("kth_global") === col("kth_merged") &&
+            col("k_global") === col("k_merged")).as("merge_lossless"),
+          ((col("k_global") - lit(1L)).cast("double") * lit(P.toDouble)
+            / col("kth_global").cast("double")).as("est_ndv"),
           col("exact_ndv"))
     }),
 
@@ -3614,6 +3686,70 @@ object Relational {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       true AS created_first, false AS created_second
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "window_frame_audit" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |              AS BIGINT) AS de,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS c
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey,
+        |  first_value(c) OVER (PARTITION BY o_custkey ORDER BY de, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_c,
+        |  last_value(c) OVER (PARTITION BY o_custkey ORDER BY de, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_c,
+        |  nth_value(c, 2) OVER (PARTITION BY o_custkey ORDER BY de, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_c,
+        |  CAST(coalesce(sum(c) OVER (PARTITION BY o_custkey
+        |    ORDER BY de, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS prev2_sum,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY de, o_orderkey
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |    AS n_from_here
+        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "kmv_merge_audit" -> {
+      val p = graft.text.TextOps.P
+      val a = graft.text.TextOps.MIX % p
+      val b = (3 * a) % p
+      s"""WITH hashed AS (
+         |  SELECT DISTINCT
+         |    (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7) AS g,
+         |    ((user_id * $a + $b) % $p + $p) % $p AS h
+         |  FROM events WHERE user_id IS NOT NULL
+         |), per_shard AS (
+         |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+         |  FROM hashed
+         |), merged_k AS (
+         |  SELECT DISTINCT h FROM per_shard WHERE rn <= 64
+         |  ORDER BY h LIMIT 64
+         |), m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k_merged, max(h) AS kth_merged
+         |  FROM merged_k
+         |), global_k AS (
+         |  SELECT DISTINCT ((user_id * $a + $b) % $p + $p) % $p AS h
+         |  FROM events WHERE user_id IS NOT NULL ORDER BY h LIMIT 64
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k_global, max(h) AS kth_global
+         |  FROM global_k
+         |), e AS (
+         |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_ndv
+         |  FROM events WHERE user_id IS NOT NULL
+         |)
+         |SELECT k_global, kth_global, k_merged, kth_merged,
+         |       kth_global = kth_merged AND k_global = k_merged
+         |         AS merge_lossless,
+         |       CAST(k_global - 1 AS DOUBLE) * CAST($p AS DOUBLE)
+         |         / CAST(kth_global AS DOUBLE) AS est_ndv,
+         |       exact_ndv
+         |FROM g, m, e""".stripMargin
+    },
+
     "kmv_distinct_users" -> {
       val p = graft.text.TextOps.P
       val a = graft.text.TextOps.MIX % p

@@ -282,6 +282,44 @@ class RelationalSpec extends SparkSpec {
     assert(hashEx == 1, s"expected a single hash exchange, got $hashEx:\n$plan")
   }
 
+  test("window frames: replicated per-customer on the raw rows") {
+    val rows = SparkEntry.queries("window_frame_audit")(spark, sfDir)
+      .collect()
+    val byCust = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_date(col("o_orderdate").cast("date")).cast("long").as("de"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(x => (x._3, x._2)).map(x => (x._2, x._4))
+      }
+    rows.groupBy(_.getLong(0)).foreach { case (cust, got) =>
+      val seq = byCust(cust)
+      val inOrder = got.sortBy(_.getLong(1))
+        .sortBy(r => seq.indexWhere(_._1 == r.getLong(1)))
+      inOrder.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(2) == seq.head._2, "first_c")
+        assert(r.getLong(3) == seq.last._2, "last_c")
+        if (seq.length >= 2) assert(r.getLong(4) == seq(1)._2, "second_c")
+        else assert(r.isNullAt(4))
+        assert(r.getLong(5) ==
+          seq.slice(math.max(0, i - 2), i).map(_._2).sum, "prev2_sum")
+        assert(r.getLong(6) == (seq.length - i).toLong, "n_from_here")
+      }
+    }
+  }
+
+  test("KMV merge is lossless: sharded bottom-k reunion equals global") {
+    val r = SparkEntry.queries("kmv_merge_audit")(spark, sfDir).head()
+    assert(r.getBoolean(4), "bottom-k merge must be exact")
+    val est = r.getDouble(5)
+    val exact = r.getLong(6).toDouble
+    assert(est > 0 && est / exact > 0.2 && est / exact < 5.0,
+      s"estimate $est wildly off exact $exact")
+  }
+
   test("merge upsert: updates repriced, inserts re-keyed, keeps untouched") {
     val rows = SparkEntry.queries("merge_upsert_orders")(spark, sfDir).collect()
     val orders = graft.Tables.load(spark, sfDir, "orders")
