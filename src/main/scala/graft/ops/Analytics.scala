@@ -671,6 +671,34 @@ object Analytics {
         .orderBy(col("n_name"), col("o_year"), col("o_orderpriority"))
     }),
 
+    // ---- l-diversity audit -------------------------------------------------
+    // k-anonymity's companion gate: a QI group can be large (k-safe) yet
+    // leak its sensitive attribute if every member shares one value.
+    // Per QI group (nation, order year, priority) count DISTINCT order
+    // statuses = the group's l; report the distribution of l (groups,
+    // rows, and the homogeneous l=1 population at risk of attribute
+    // disclosure). Two combinable aggregates after the same broadcast dim
+    // join as kanon_risk_audit — the second groupBy runs over one row per
+    // QI group, dimension-scale at any corpus size.
+    "ldiv_audit" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_year"), col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderstatus")).as("l"),
+          count(lit(1)).as("grp_rows"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("grp_rows")).as("n_rows"))
+        .withColumn("at_risk", col("l") < 2)
+        .orderBy(col("l"))
+    }),
+
     // ---- greedy k-center coreset seeding -----------------------------------
     // The [[kcenterSelect]] farthest-first traversal, surfaced as a query:
     // one row per pick with the greedy coverage radius at selection time.
@@ -1044,6 +1072,22 @@ object Analytics {
          |JOIN nation n ON c.c_nationkey = n.n_nationkey
          |GROUP BY 1, 2, 3
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    "ldiv_audit" ->
+      s"""WITH g AS (
+         |  SELECT n.n_name, strftime(o.o_orderdate, '%Y') AS o_year,
+         |         o.o_orderpriority,
+         |         CAST(count(DISTINCT o.o_orderstatus) AS BIGINT) AS l,
+         |         CAST(count(*) AS BIGINT) AS grp_rows
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sum(grp_rows) AS BIGINT) AS n_rows,
+         |       l < 2 AS at_risk
+         |FROM g GROUP BY l ORDER BY l""".stripMargin,
 
     "kcenter_coreset" -> {
       def d2(a: String, b: String): String =

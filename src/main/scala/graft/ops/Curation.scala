@@ -35,6 +35,15 @@ object Curation {
   /** Max edit distance for the blocked fuzzy name match. */
   val FuzzyMaxDist = 2
 
+  /** dp_randomized_response: the sensitive bit is value >= this threshold;
+    * the response mechanism keeps the true bit with p = 3/4 (epsilon =
+    * ln 3 local DP).
+    */
+  val DpThreshold = 50.0
+
+  /** sample_exact_k_per_source: rows kept per stratum. */
+  val SampleExactK = 10L
+
   /** Deterministic split fractions (percent): train 80 / val 10 / test 10. */
   val TrainPct = 80
   val ValPct = 90
@@ -414,6 +423,58 @@ object Curation {
         .agg((sum(when(col("x.h") === col("y.h"), 1).otherwise(0)) / lit(k))
           .as("jacc_est"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // ---- local differential privacy: randomized response -------------------
+    // The one DP mechanism expressible with ZERO transcendentals: each
+    // event reports its true bit (value >= DpThreshold) with probability
+    // p = 3/4, flipped otherwise, and the aggregate debiases with
+    // f̂ = (obs/n − (1−p)) / (2p−1). The "coin" is the engine-portable
+    // polyHash of the event id (mod 4 < 3), so the noisy report is
+    // deterministic per row, reproducible across engines and reruns —
+    // Laplace/Gaussian mechanisms need ln/erf whose libm rounding is not
+    // portable, which is exactly why the randomized-response form is the
+    // hash-gated registry's DP representative. One narrow projection +
+    // one combinable groupBy: zero extra shuffles at any scale.
+    "dp_randomized_response" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        col("event_type"),
+        (col("value") >= lit(DpThreshold)).as("b"),
+        (pmod(TextOps.polyHash(col("event_id").cast("string")), lit(4)) < 3)
+          .as("keep"))
+      e.withColumn("rep",
+          when(col("keep"), col("b")).otherwise(!col("b")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rep").cast("long")).as("n_reported"),
+          sum(col("b").cast("long")).as("n_true"))
+        .select(col("event_type"), col("n"), col("n_reported"),
+          ((col("n_reported").cast("double") / col("n").cast("double")
+            - lit(0.25)) / lit(0.5)).as("est_frac"),
+          (col("n_true").cast("double") / col("n").cast("double"))
+            .as("true_frac"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- exact-k per-group sampling (distributed reservoir) ----------------
+    // sample_hash_docs keeps a RATE; audits and eval sets need an exact
+    // COUNT per stratum. Deterministic reservoir: order each source's
+    // docs by the portable polyHash of their id (a uniform random permutation,
+    // frozen forever) and keep the first SampleExactK — same sample on
+    // any cluster size, any engine, any rerun. The rank<=K predicate is
+    // pushed into the shuffle by WindowGroupLimit, so each partition
+    // forwards at most K candidate rows per group — the classic
+    // distributed reservoir without any RNG state.
+    "sample_exact_k_per_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "documents")
+        .withColumn("hk", TextOps.polyHash(col("doc_id").cast("string")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("hk"), col("doc_id"))).cast("long"))
+        .filter(col("rnk") <= SampleExactK)
+        .select(col("source"), col("rnk"), col("doc_id"), col("lang"))
+        .orderBy(col("source"), col("rnk"))
     })
   )
 
@@ -575,5 +636,41 @@ object Curation {
          |       sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) / ${Dedup.K}.0 AS jacc_est
          |FROM sk x JOIN sk y ON x.pos = y.pos AND x.source < y.source
          |GROUP BY x.source, y.source ORDER BY src_a, src_b""".stripMargin
+    },
+
+    "dp_randomized_response" -> {
+      val h = TextSql.polyHash("CAST(event_id AS VARCHAR)")
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |         ("value" >= $DpThreshold) AS b,
+         |         (($h) % 4 < 3) AS keep
+         |  FROM events
+         |), r AS (
+         |  SELECT event_type, b,
+         |         CASE WHEN keep THEN b ELSE NOT b END AS rep
+         |  FROM e
+         |), a AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_reported,
+         |         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_true
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT event_type, n, n_reported,
+         |       (CAST(n_reported AS DOUBLE) / CAST(n AS DOUBLE) - 0.25)
+         |         / 0.5 AS est_frac,
+         |       CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE) AS true_frac
+         |FROM a ORDER BY event_type""".stripMargin
+    },
+
+    "sample_exact_k_per_source" -> {
+      val h = TextSql.polyHash("CAST(doc_id AS VARCHAR)")
+      s"""SELECT source, rnk, doc_id, lang FROM (
+         |  SELECT source, doc_id, lang,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY ($h), doc_id) AS BIGINT) AS rnk
+         |  FROM documents
+         |) WHERE rnk <= $SampleExactK ORDER BY source, rnk""".stripMargin
     })
 }

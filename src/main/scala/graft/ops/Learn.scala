@@ -104,6 +104,47 @@ object Learn {
           (col("g2").cast("double") / col("n") / lit(GdQ.toDouble)))
           .as("w2"))
 
+  /** nb_train_lang / nb_predict_lang: Laplace smoothing constant is the
+    * classic +1; NbQ is the log-likelihood quantization scale (10^6) and
+    * NbTopK the per-class tokens the train query reports.
+    *
+    * Quantization determinism note: the ONLY transcendental in the whole
+    * NB pair is ln() over the smoothed probability, and it is immediately
+    * floor-quantized to an integer weight at scale 10^6. Both engines
+    * evaluate ln on the bit-identical double (cnt+1)/(tot+V) — libm
+    * implementations agree to <1 ulp, so floor can only disagree if
+    * 10^6·ln(p) sits within ~1e-10 of an integer; weights are a function
+    * of the few hundred distinct (cnt, class) pairs, putting the overall
+    * flip probability around 1e-7 — and deterministic per corpus (green
+    * once = green forever). Every reduction over fact-scale rows (the
+    * per-doc score sums) is pure int64 arithmetic on those quantized
+    * weights, exactly the logreg discipline above.
+    */
+  val NbQ = 1000000L
+  val NbTopK = 5
+
+  /** documents → (doc_id, lang, tok) whitespace tokens, empty-token rows
+    * dropped (the zero-token documents drop out of both train and predict
+    * on both engines — noted in the scaladoc of the queries).
+    */
+  private def nbTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Per-(class, token) counts and per-class totals — the sufficient
+    * statistics of a multinomial NB model. One explode + two combinable
+    * groupBys; nothing fact-scale ever sits on one node.
+    */
+  private def nbCounts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val c = nbTokens(s, dir).groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = c.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
+    val v = c.agg(countDistinct(col("tok")).as("vocab"))
+    (c, t, v)
+  }
+
   /** Embeddings → (id, x, y, cell) points for the grid-blocked DBSCAN.
     * Floats widen to double EXACTLY before any arithmetic, so the
     * per-pair distance doubles are bit-identical to the oracle's.
@@ -189,6 +230,86 @@ object Learn {
         .select(col("n_points"), col("n_core"), col("n_border"),
           (col("n_points") - col("n_core") - col("n_border")).as("n_noise"),
           col("core_id_sum"), col("max_neighbors"))
+    }),
+
+    // ---- multinomial Naive Bayes: training statistics ----------------------
+    // The language-ID / quality-filter model family (fastText-style
+    // classifiers trained on warehouse text) reduced to its sufficient
+    // statistics: per-(class, token) counts, per-class totals, corpus
+    // vocabulary, and the Laplace-smoothed P(token|class) for the top-K
+    // tokens per class. Train IS aggregation for NB — one explode + two
+    // combinable groupBys — so the "training run" is a single Catalyst
+    // plan with map-side partial sums; the per-class top-K goes through a
+    // 5-partition window that WindowGroupLimit prunes to K rows per class
+    // before the final sort. At 100 TB the shuffle carries one row per
+    // distinct (class, token) per partition — vocabulary-, not
+    // corpus-scale.
+    "nb_train_lang" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (c, t, v) = nbCounts(s, dir)
+      c.join(broadcast(t), "lang").crossJoin(broadcast(v))
+        .withColumn("p",
+          (col("cnt") + 1).cast("double") /
+            (col("tot") + col("vocab")).cast("double"))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc, col("tok"))).cast("long"))
+        .filter(col("rnk") <= NbTopK)
+        .select(col("lang"), col("rnk"), col("tok"), col("cnt"), col("tot"),
+          col("vocab"), col("p"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
+    // ---- multinomial Naive Bayes: in-database inference --------------------
+    // Score every document against every class with the model trained on
+    // the same corpus (resubstitution confusion matrix — the standard
+    // first sanity check of a warehouse-trained classifier). Integer
+    // score discipline: weights are floor(10^6·ln p̂) quantized ONCE per
+    // distinct (cnt, class) pair (see NbQ scaladoc), unseen-token mass
+    // uses the same-quantized w0 = floor(10^6·ln 1/(tot+V)), priors
+    // likewise — so the per-doc reduction Σ c·w is exact int64 and
+    // order-independent on any partitioning. Distributed shape: the
+    // model (class table + weights) is dimension-scale and broadcast —
+    // exactly how a trained model deploys — while the per-doc token
+    // counts stay on the shuffle; argmax is a per-doc window over 5
+    // candidate rows (WindowGroupLimit prunes to rank 1).
+    "nb_predict_lang" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (c, t, v) = nbCounts(s, dir)
+      val docs = Tables.load(s, dir, "documents")
+      val d = docs.groupBy(col("lang").as("cand"))
+        .agg(count(lit(1)).as("n_docs"))
+      val na = docs.agg(count(lit(1)).as("n_all"))
+      val cls = t.withColumnRenamed("lang", "cand")
+        .crossJoin(v).join(d, "cand").crossJoin(na)
+        .select(col("cand"),
+          floor(lit(NbQ.toDouble) *
+            log(lit(1.0) / (col("tot") + col("vocab")).cast("double")))
+            .as("w0"),
+          floor(lit(NbQ.toDouble) *
+            log(col("n_docs").cast("double") / col("n_all").cast("double")))
+            .as("prior"))
+      val wts = c.join(t, "lang").crossJoin(v)
+        .select(col("lang").as("cand"), col("tok"),
+          floor(lit(NbQ.toDouble) *
+            log((col("cnt") + 1).cast("double") /
+              (col("tot") + col("vocab")).cast("double"))).as("w"))
+      val dt = nbTokens(s, dir)
+        .groupBy(col("doc_id"), col("lang").as("true_lang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val scored = dt.crossJoin(broadcast(cls))
+        .join(broadcast(wts), Seq("cand", "tok"), "left")
+        .groupBy(col("doc_id"), col("true_lang"), col("cand"))
+        .agg((min(col("prior")) +
+          sum(col("c") * coalesce(col("w"), col("w0")))).as("score"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id"), col("true_lang"))
+            .orderBy(col("score").desc, col("cand"))))
+        .filter(col("rnk") === 1)
+        .groupBy(col("true_lang"), col("cand").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("score_sum"))
+        .orderBy(col("true_lang"), col("pred_lang"))
     }))
 
   def oracle: Map[String, String] = {
@@ -279,7 +400,85 @@ object Learn {
            |         AS n_noise,
            |       (SELECT coalesce(CAST(sum(ai) AS BIGINT), 0) FROM core)
            |         AS core_id_sum,
-           |       (SELECT max(nn) FROM cnt) AS max_neighbors""".stripMargin
+           |       (SELECT max(nn) FROM cnt) AS max_neighbors""".stripMargin,
+
+      "nb_train_lang" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, lang, tok FROM (
+           |    SELECT doc_id, lang,
+           |           UNNEST(${graft.text.TextSql.tokens("text")}) AS tok
+           |    FROM documents)
+           |  WHERE tok <> ''
+           |), c AS (
+           |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM tk GROUP BY 1, 2
+           |), t AS (
+           |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1
+           |), v AS (
+           |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM c
+           |), r AS (
+           |  SELECT c.lang, tok, cnt, tot, vocab,
+           |         CAST(row_number() OVER (PARTITION BY c.lang
+           |           ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+           |  FROM c JOIN t ON c.lang = t.lang CROSS JOIN v
+           |)
+           |SELECT lang, rnk, tok, cnt, tot, vocab,
+           |       CAST(cnt + 1 AS DOUBLE) / CAST(tot + vocab AS DOUBLE) AS p
+           |FROM r WHERE rnk <= $NbTopK ORDER BY lang, rnk""".stripMargin,
+
+      "nb_predict_lang" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, lang, tok FROM (
+           |    SELECT doc_id, lang,
+           |           UNNEST(${graft.text.TextSql.tokens("text")}) AS tok
+           |    FROM documents)
+           |  WHERE tok <> ''
+           |), c AS (
+           |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM tk GROUP BY 1, 2
+           |), t AS (
+           |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1
+           |), v AS (
+           |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM c
+           |), d AS (
+           |  SELECT lang AS cand, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY 1
+           |), na AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents
+           |), cls AS (
+           |  SELECT t.lang AS cand,
+           |         CAST(floor($NbQ.0 *
+           |           ln(1.0 / CAST(tot + vocab AS DOUBLE))) AS BIGINT) AS w0,
+           |         CAST(floor($NbQ.0 *
+           |           ln(CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE)))
+           |           AS BIGINT) AS prior
+           |  FROM t CROSS JOIN v CROSS JOIN na JOIN d ON d.cand = t.lang
+           |), wts AS (
+           |  SELECT c.lang AS cand, tok,
+           |         CAST(floor($NbQ.0 *
+           |           ln(CAST(cnt + 1 AS DOUBLE) /
+           |              CAST(tot + vocab AS DOUBLE))) AS BIGINT) AS w
+           |  FROM c JOIN t ON c.lang = t.lang CROSS JOIN v
+           |), dt AS (
+           |  SELECT doc_id, lang AS true_lang, tok,
+           |         CAST(count(*) AS BIGINT) AS c
+           |  FROM tk GROUP BY 1, 2, 3
+           |), sc AS (
+           |  SELECT doc_id, true_lang, cls.cand,
+           |         min(prior) + sum(c * coalesce(w, w0)) AS score
+           |  FROM dt CROSS JOIN cls
+           |       LEFT JOIN wts ON wts.cand = cls.cand AND wts.tok = dt.tok
+           |  GROUP BY 1, 2, 3
+           |), pr AS (
+           |  SELECT true_lang, cand, score,
+           |         row_number() OVER (PARTITION BY doc_id, true_lang
+           |           ORDER BY score DESC, cand) AS rnk
+           |  FROM sc
+           |)
+           |SELECT true_lang, cand AS pred_lang,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(score) AS BIGINT) AS score_sum
+           |FROM pr WHERE rnk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }

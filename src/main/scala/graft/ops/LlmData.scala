@@ -131,6 +131,9 @@ object LlmData {
   val ChunkTokens = 40
   val ChunkStride = 32
   val VocabTopN = 100
+
+  /** bpe_char_pairs: merge candidates reported (top adjacent char pairs). */
+  val BpePairTopN = 20
   val MinContainment = 0.7
   val TfidfTopK = 3
   /** Decontamination: the source that plays the benchmark/eval set. */
@@ -417,6 +420,31 @@ object LlmData {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(VocabTopN)),
+
+    // The sub-word counterpart: adjacent CHARACTER-pair frequencies inside
+    // words, weighted by word frequency — the exact statistic BPE
+    // tokenizer training maximizes on its first merge step (Sennrich et
+    // al. 2016, public paper). Crucially the pair counting runs over the
+    // DISTINCT-word table (vocabulary-scale), not the corpus: a 100 TB
+    // corpus first collapses to its word-frequency table via one
+    // combinable groupBy, and the char-pair explode touches each distinct
+    // word once — the same two-level shape every real BPE trainer uses.
+    // sequence(1,0) would descend for 1-char words, hence the guard.
+    "bpe_char_pairs" -> ((s, dir) => {
+      val w = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      w.withColumn("pair", explode(
+          when(length(col("word")) >= 2,
+            expr("transform(sequence(1, length(word) - 1), " +
+              "i -> substring(word, i, 2))"))
+            .otherwise(array().cast("array<string>"))))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("n"), countDistinct(col("word")).as("n_words"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(BpePairTopN)
+    }),
 
     // Gopher-style repetition features (Rae et al. 2021, public paper):
     // most-frequent-bigram coverage and duplicated-bigram mass per doc.
@@ -1221,6 +1249,20 @@ object LlmData {
          |FROM (SELECT UNNEST(${TextSql.shingles("toks", 2)}) AS bigram FROM t
          |      WHERE len(toks) >= 2)
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $VocabTopN""".stripMargin,
+    "bpe_char_pairs" ->
+      s"""WITH w AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT UNNEST(${TextSql.tokens("text")}) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1
+         |), p AS (
+         |  SELECT word, freq,
+         |         UNNEST(list_transform(range(1, length(word)),
+         |           i -> substring(word, CAST(i AS INTEGER), 2))) AS pair
+         |  FROM w WHERE length(word) >= 2
+         |)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n,
+         |       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT $BpePairTopN""".stripMargin,
     "emb_quantize_int8" -> SimilaritySql.quantizeInt8(EmbDim),
     "emb_pq_codes" -> SimilaritySql.pqCodes(PqM, PqKsub, EmbDim),
     "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),

@@ -322,6 +322,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ldiv_audit: l distribution matches brute-force distinct counts") {
+    val got = Analytics.queries("ldiv_audit")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val base = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), date_format(col("o_orderdate"), "yyyy"),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getString(3)))
+    val groups = base.groupBy(_._1).view
+      .mapValues(vs => (vs.map(_._2).distinct.length.toLong, vs.length.toLong))
+    val expect = groups.values.toSeq.groupBy(_._1).view
+      .mapValues(gs => (gs.length.toLong, gs.map(_._2).sum)).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (l, (ng, nr, risk)) =>
+      assert((ng, nr) == expect(l))
+      assert(risk == (l < 2))
+    }
+    // every QI group lands in exactly one l bucket
+    assert(got.values.map(_._1).sum == groups.size.toLong)
+  }
+
   test("kcenter_coreset: replicates the greedy farthest-first traversal") {
     val got = Analytics.queries("kcenter_coreset")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

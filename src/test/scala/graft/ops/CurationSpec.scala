@@ -298,4 +298,48 @@ class CurationSpec extends SparkSpec {
       val j = r.getDouble(2); j >= 0.0 && j <= 1.0
     })
   }
+
+  private def jvmPolyHash(s: String): Long =
+    graft.functions.StringKernels.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  test("randomized response debiases to the replicated estimate exactly") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val exp = events.groupBy(_._2).toSeq.sortBy(_._1).map { case (et, es) =>
+      val reps = es.map { case (id, _, v) =>
+        val b = v >= Curation.DpThreshold
+        val keep = jvmPolyHash(id.toString) % 4 < 3
+        (b, if (keep) b else !b)
+      }
+      val n = es.length.toLong
+      val obs = reps.count(_._2).toLong
+      val tru = reps.count(_._1).toLong
+      (et, n, obs, (obs.toDouble / n - 0.25) / 0.5, tru.toDouble / n)
+    }
+    val got = Curation.queries("dp_randomized_response")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == exp)
+    // the debiased estimate must track truth (ln3-DP at this n is tight)
+    got.foreach { case (_, _, _, est, tru) =>
+      assert(math.abs(est - tru) < 0.25)
+    }
+  }
+
+  test("exact-k sampler keeps exactly the k hash-first docs per source") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val exp = docs.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (src, ds) =>
+      ds.sortBy(d => (jvmPolyHash(d._1.toString), d._1))
+        .take(Curation.SampleExactK.toInt).zipWithIndex
+        .map { case ((id, _, lang), i) => (src, (i + 1).toLong, id, lang) }
+    }
+    val got = Curation.queries("sample_exact_k_per_source")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == exp)
+  }
 }

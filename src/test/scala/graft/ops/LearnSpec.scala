@@ -180,4 +180,59 @@ class LearnSpec extends SparkSpec {
       assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("naive bayes train + predict match an in-memory replication exactly") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.flatMap { case (id, lang, text) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).map(t => (id, lang, t))
+    }
+    val cnt = toks.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    val tot = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vocab = cnt.keySet.map(_._2).size.toLong
+
+    // train: top-K per class by (cnt desc, tok asc)
+    val got = SparkEntry.queries("nb_train_lang")(spark, sfDir).collect()
+    val expTop = cnt.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap {
+      case (lang, ts) =>
+        ts.sortBy { case ((_, tok), c) => (-c, tok) }.take(Learn.NbTopK)
+          .zipWithIndex.map { case (((_, tok), c), i) =>
+            (lang, (i + 1).toLong, tok, c, tot(lang), vocab,
+              (c + 1).toDouble / (tot(lang) + vocab))
+          }
+    }
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getString(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq == expTop)
+
+    // predict: quantized-log-weight NB, exact integer scores
+    val q = Learn.NbQ.toDouble
+    val langs = tot.keys.toSeq.sorted
+    val w0 = langs.map(l =>
+      l -> math.floor(q * math.log(1.0 / (tot(l) + vocab))).toLong).toMap
+    val nDocs = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val prior = langs.map(l =>
+      l -> math.floor(q * math.log(nDocs(l).toDouble / docs.length)).toLong).toMap
+    val w = cnt.map { case ((l, t), c) =>
+      (l, t) -> math.floor(q *
+        math.log((c + 1).toDouble / (tot(l) + vocab))).toLong
+    }
+    val conf = toks.groupBy(t => (t._1, t._2)).toSeq.map { case ((_, tl), ts) =>
+      val byTok = ts.groupBy(_._3).view.mapValues(_.length.toLong)
+      val scores = langs.map { cand =>
+        cand -> (prior(cand) + byTok.map { case (tok, c) =>
+          c * w.getOrElse((cand, tok), w0(cand))
+        }.sum)
+      }
+      val (pred, score) = scores.minBy { case (cand, sc) => (-sc, cand) }
+      (tl, pred, score)
+    }
+    val expConf = conf.groupBy(c => (c._1, c._2)).toSeq.sortBy(_._1).map {
+      case ((tl, pl), rs) => (tl, pl, rs.length.toLong, rs.map(_._3).sum)
+    }
+    val gotConf = SparkEntry.queries("nb_predict_lang")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(gotConf == expConf)
+  }
 }

@@ -684,4 +684,26 @@ class LlmDataSpec extends SparkSpec {
     assert(got == ref)
     assert(got.nonEmpty)
   }
+
+  test("bpe char pairs match a frequency-weighted in-memory count") {
+    val words = Tables.load(spark, sfDir, "documents")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).trim.split("\\s+")).filter(_.nonEmpty)
+      .toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCnt = collection.mutable.Map.empty[String, (Long, Long)]
+    words.foreach { case (w, f) =>
+      val ps = (0 until w.length - 1).map(i => w.substring(i, i + 2))
+      ps.distinct.foreach { p =>
+        val reps = ps.count(_ == p).toLong
+        val (n, nw) = pairCnt.getOrElse(p, (0L, 0L))
+        pairCnt(p) = (n + reps * f, nw + 1)
+      }
+    }
+    val exp = pairCnt.toSeq
+      .sortBy { case (p, (n, _)) => (-n, p) }.take(LlmData.BpePairTopN)
+      .map { case (p, (n, nw)) => (p, n, nw) }
+    val got = SparkEntry.queries("bpe_char_pairs")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp)
+  }
 }
