@@ -167,6 +167,21 @@ object Similarity {
     parts.reduce(_ union _).orderBy("vec_id", "m")
   }
 
+  /** The per-(query, neighbor) ADC reduction: each group holds exactly
+    * one LUT distance per subspace, so m conditional single-row sums
+    * added in fixed subspace order reproduce the oracle's
+    * `list_reduce(list(d2q ORDER BY m))` left fold bit-for-bit —
+    * (((0+d₀)+d₁)+…) — while staying a plain codegen'd HASH aggregate.
+    * The previous collect_list → array_sort → fold formulation computed
+    * the same number but through ObjectHashAggregate (per-group array
+    * buffers plus a sort per group) — at scale the array buffers grow the
+    * shuffle rows m× and fall out of whole-stage codegen, so the flat
+    * m-counter form is the shape that survives a 100× corpus.
+    */
+  private def adcFold(m: Int): Column =
+    (0 until m).map(mi => sum(when(col("m") === mi, col("d2q"))))
+      .foldLeft(lit(0.0): Column)(_ + _).as("adc")
+
   /** PQ asymmetric-distance (ADC) top-k: the search half of product
     * quantization. Queries stay full-precision; each corpus vector is
     * its codes, and the approximate distance is the sum over subspaces
@@ -207,11 +222,17 @@ object Similarity {
             dotHof(col("c_vec"), col("c_vec"))).as("d2q"))
     }.reduce(_ union _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
-    codes.join(broadcast(lut), Seq("m"))
-      .filter(col("code") === col("c_id") && col("q_id") =!= col("n_id"))
+    // join ON (m, code=c_id), not m alone: with m as the only hash key
+    // every code row matches all ksub LUT entries of its subspace and the
+    // code equality runs as a post-join filter — a ksub× (16×) row blowup
+    // through the broadcast join (measured ~77 M intermediate rows at
+    // sf0.1). Keying the hash on the code too keeps matches to the
+    // nQueries rows that actually contribute.
+    codes.join(broadcast(lut.withColumnRenamed("m", "lm")),
+        col("m") === col("lm") && col("code") === col("c_id"))
+      .filter(col("q_id") =!= col("n_id"))
       .groupBy(col("q_id"), col("n_id"))
-      .agg(aggregate(array_sort(collect_list(struct(col("m"), col("d2q")))),
-        lit(0.0), (acc, x) => acc + x("d2q")).as("adc"))
+      .agg(adcFold(m))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
@@ -265,12 +286,16 @@ object Similarity {
             dotHof(col("c_vec"), col("c_vec"))).as("d2q"))
     }.reduce(_ union _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    // same join-key discipline as pqAdcTopK: the code equality is part of
+    // the broadcast hash key, so each candidate row matches exactly its
+    // one LUT entry instead of all ksub entries of the subspace
     cand.join(codes, Seq("n_id"))
-      .join(broadcast(lut), Seq("q_id", "m"))
-      .filter(col("code") === col("c_id"))
+      .join(broadcast(lut.withColumnRenamed("m", "lm")
+          .withColumnRenamed("q_id", "lq")),
+        col("q_id") === col("lq") && col("m") === col("lm") &&
+          col("code") === col("c_id"))
       .groupBy(col("q_id"), col("n_id"))
-      .agg(aggregate(array_sort(collect_list(struct(col("m"), col("d2q")))),
-        lit(0.0), (acc, x) => acc + x("d2q")).as("adc"))
+      .agg(adcFold(m))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
