@@ -42,6 +42,13 @@ object Dedup {
   /** SimHash width in bits (int64-safe). */
   val SIMBITS = 48
 
+  /** Sorted-neighborhood blocking: normalized-prefix key length and the
+    * sliding window width (each record pairs with its `SNM_W - 1`
+    * successors in key order).
+    */
+  val SnmKeyLen = 24
+  val SnmW = 6
+
   /** Exact dedup: keep the lowest doc id per identical text — the
     * hash-groupBy form (`min` per group; one shuffle on the text hash).
     * At scale one groups on `xxhash64(text)` first and resolves the rare
@@ -109,8 +116,17 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession,
       Int, String), DataFrame]()
 
+  /** Ranked sorted-neighborhood frame memo: (rn, id, s) per
+    * (session, docs plan, window params) — the plan-time cost of the
+    * checkpointed featurization+rank subtree is paid once per corpus,
+    * mirroring [[shBandCache]].
+    */
+  private val snmCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession,
+      Int, String), DataFrame]()
+
   def clearIndexCache(): Unit = {
-    shBandCache.clear(); bandOnlyCache.clear(); ccCache.clear()
+    shBandCache.clear(); bandOnlyCache.clear(); ccCache.clear(); snmCache.clear()
   }
 
   /** Drop memo entries whose session has stopped: the RDD blocks go with
@@ -522,6 +538,69 @@ object Dedup {
     val width = SIMBITS / nb
     array((0 until nb).map(k =>
       shiftrightunsigned(sim, k * width) % (1L << width)): _*)
+  }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo, "The
+    * merge/purge problem for large databases", SIGMOD'95): sort records by
+    * a normalized blocking key (here the first [[SnmKeyLen]] chars of
+    * [[TextOps.normalize]]d text), slide a [[SnmW]]-record window down the
+    * sorted order, and exact-verify only window-adjacent pairs — the
+    * classic entity-resolution alternative to hash blocking, catching
+    * near-dups whose edits fall OUTSIDE the key prefix that LSH banding
+    * on full content also catches, at linear candidate cost (N·(w-1)).
+    *
+    * The global rank is a two-level distributed prefix sum, NOT one
+    * unpartitioned window: order-preserving coarse buckets (first 2 key
+    * chars) get a serial offset window over O(#buckets) rows, and the
+    * per-bucket row_number runs partition-parallel — the same parallel-
+    * scan shape as [[graft.ops.Stats]]' rank machinery, so the sort
+    * scales with executors while the DuckDB oracle keeps its one-window
+    * formulation (identical integers). Window pairs come from a w-1-way
+    * sequence explode + equi-join on rank (narrow fan-out, no range
+    * join); verification is the same exact shingle-set Jaccard as the
+    * LSH families. Returns (a, b, jaccard), a < b.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = SnmW,
+                              keyLen: Int = SnmKeyLen, minJaccard: Double = 0.5,
+                              idCol: String = "doc_id", textCol: String = "text"
+                             ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    purgeStopped(snmCache)(_._1)
+    // checkpoint + memo: the ranked frame (with its regex-normalize +
+    // shingle featurization and two window passes) feeds BOTH sides of
+    // the rank self-join — without the lineage break the whole
+    // featurization plan recomputes per side (measured 8.7 s -> ~2 s at
+    // sf0.01), and the memo amortizes the checkpoint's one-time plan
+    // compilation across calls on the same corpus.
+    val ranked = snmCache.computeIfAbsent(
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
+        s"$idCol/$textCol/$keyLen"),
+      _ => {
+        val sh = docs.select(col(idCol).as("id"),
+            substring(TextOps.normalize(col(textCol)), 1, keyLen).as("key"),
+            TextOps.shingleHashes(TextOps.tokens(col(textCol))).as("s"))
+          .filter(size(col("s")) > 0)
+          .withColumn("bk", substring(col("key"), 1, 2))
+        val wOff = Window.orderBy(col("bk"))
+        val off = sh.groupBy(col("bk")).agg(count(lit(1)).as("cnt"))
+          .select(col("bk"), (sum(col("cnt")).over(wOff) - col("cnt")).as("off"))
+        val inner = Window.partitionBy(col("bk")).orderBy(col("key"), col("id"))
+        sh.join(off, "bk")
+          .withColumn("rn", row_number().over(inner) + col("off"))
+          .select(col("rn"), col("id"), col("s"))
+          .localCheckpoint(eager = false)
+      })
+    val left = ranked.select(col("rn"), col("id").as("ia"), col("s").as("sa"))
+      .withColumn("i", explode(sequence(lit(1), lit(window - 1))))
+      .select((col("rn") + col("i")).as("rn"), col("ia"), col("sa"))
+    left.join(ranked.select(col("rn"), col("id").as("ib"), col("s").as("sb")), "rn")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("sa"), col("sb"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Near-pairs by SimHash: candidates share >=1 of `nb` bands (pigeonhole:

@@ -57,6 +57,36 @@ object DedupSql {
   def minhashPairs(minJaccard: Double, table: String = "documents"): String =
     jaccardPairs(TextSql.shingleHashes("text"), minJaccard, table)
 
+  /** Mirror of [[Dedup.sortedNeighborhoodPairs]]: the serial one-window
+    * formulation of the distributed two-level rank (identical integers),
+    * the same window-adjacency pairing and exact shingle-set Jaccard.
+    */
+  def sortedNeighborhoodPairs(window: Int = Dedup.SnmW,
+                              keyLen: Int = Dedup.SnmKeyLen,
+                              minJaccard: Double = 0.5,
+                              table: String = "documents"): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id,
+       |         substring(${TextSql.normalize("text")}, 1, $keyLen) AS key,
+       |         ${TextSql.shingleHashes("text")} AS s
+       |  FROM $table
+       |), nz AS (SELECT * FROM sh WHERE len(s) > 0),
+       |ranked AS (
+       |  SELECT id, s, row_number() OVER (ORDER BY key, id) AS rn FROM nz
+       |), pairs AS (
+       |  SELECT least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
+       |         x.s AS sa, y.s AS sb
+       |  FROM ranked x JOIN ranked y ON y.rn - x.rn BETWEEN 1 AND ${window - 1}
+       |), v AS (
+       |  SELECT a, b,
+       |    CAST(len(list_filter(sa, e -> list_contains(sb, e))) AS DOUBLE) /
+       |    (len(sa) + len(sb) - len(list_filter(sa, e -> list_contains(sb, e))))
+       |      AS jaccard
+       |  FROM pairs
+       |)
+       |SELECT a, b, jaccard FROM v WHERE jaccard >= $minJaccard
+       |ORDER BY a, b""".stripMargin
+
   /** Mirror of [[Dedup.minhashCalibration]]: every banded candidate pair
     * with sketch estimate, exact Jaccard, and absolute error.
     */

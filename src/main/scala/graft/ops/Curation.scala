@@ -63,6 +63,26 @@ object Curation {
   /** Balanced sharding: number of output shards in shard_manifest. */
   val ShardCount = 8
 
+  /** mix_domain_weights: per-source repetition cap (max "epochs" any one
+    * domain may be upsampled — the standard guard against a tiny domain
+    * being replicated into memorization territory when rebalancing toward
+    * a uniform token mixture).
+    */
+  val MixMaxRepeat = 4.0
+
+  /** select_token_budget: total token budget of the selected subset, and
+    * the fixed-point scale for the integer quality score (distinct-token
+    * ratio in parts-per-million — exact integer division, no float rank
+    * keys).
+    */
+  val TokenBudget = 10000L
+  val ScoreScale = 1000000L
+  /** Coarse bucket width for the distributed running-token-sum: the rank
+    * key is `(ScoreScale - score) * 1e9 + doc_id`, so 1e12 groups ~1000
+    * score bands per bucket.
+    */
+  val BudgetBucketWidth = 1000000000000L
+
   private def weightCol: Column =
     least(expr("n_chars div 100") + 1, lit(WeightCap))
 
@@ -475,6 +495,66 @@ object Curation {
         .filter(col("rnk") <= SampleExactK)
         .select(col("source"), col("rnk"), col("doc_id"), col("lang"))
         .orderBy(col("source"), col("rnk"))
+    }),
+
+    // ---- domain mixture rebalancing ----------------------------------------
+    // The training-mixture rebalancing step every LLM data pipeline runs before
+    // sampling: per-source token counts → deviation from a uniform target
+    // mixture → per-source sampling weight `min(1/(k·share), cap)` →
+    // renormalized effective mixture. One fact-scale pass (tokenize +
+    // groupBy source); everything after runs on k source rows. The only
+    // float reduction across sources (the normalizer Z) is the sorted-
+    // array fold, so both engines add the k doubles in source order.
+    "mix_domain_weights" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("toks"))
+      val bySrc = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      val tot = bySrc.agg(sum(col("n_tokens")).as("tot"),
+        count(lit(1)).as("k"))
+      val w = bySrc.crossJoin(broadcast(tot))
+        .withColumn("share",
+          col("n_tokens").cast("double") / col("tot").cast("double"))
+        .withColumn("weight",
+          least(lit(1.0) / (col("k").cast("double") * col("share")),
+            lit(MixMaxRepeat)))
+        .withColumn("exp_tokens", col("weight") * col("n_tokens").cast("double"))
+      val z = w.agg(aggregate(
+        array_sort(collect_list(struct(col("source"), col("exp_tokens")))),
+        lit(0.0), (acc, x) => acc + x("exp_tokens")).as("z"))
+      w.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+          col("weight"), col("exp_tokens"),
+          (col("exp_tokens") / col("z")).as("mix_share"))
+        .orderBy("source")
+    }),
+
+    // ---- token-budget subset selection -------------------------------------
+    // "Give me the best documents that fit a token budget": rank docs by
+    // an integer quality score (distinct-token ratio in ppm — exact int
+    // division, no float sort keys), run a DISTRIBUTED running token sum
+    // down the quality order ([[Stats.bucketedCumsum]]'s two-level prefix
+    // sum — the serial window only ever sees O(#score-bands) rows), and
+    // keep the prefix whose cumulative tokens stay within the budget.
+    // Rank key = (ScoreScale - score)·1e9 + doc_id: descending quality,
+    // doc-id tie-break, one BIGINT — so the budget cut is total-order
+    // deterministic on both engines.
+    "select_token_budget" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("dtoks"))
+        .filter(col("toks") > 0)
+        .withColumn("score", expr(s"dtoks * $ScoreScale div toks"))
+        .withColumn("kk",
+          (lit(ScoreScale) - col("score")) * lit(1000000000L) + col("doc_id"))
+        .select(col("doc_id"), col("source"), col("toks"), col("score"), col("kk"))
+      Stats.bucketedCumsum(d, "kk", BudgetBucketWidth, Seq("toks"))
+        .filter(col("toks_cum") <= TokenBudget)
+        .select(col("doc_id"), col("source"), col("score"), col("toks"),
+          col("toks_cum"))
+        .orderBy("doc_id")
     })
   )
 
@@ -672,5 +752,61 @@ object Curation {
          |           ORDER BY ($h), doc_id) AS BIGINT) AS rnk
          |  FROM documents
          |) WHERE rnk <= $SampleExactK ORDER BY source, rnk""".stripMargin
-    })
+    },
+
+    "mix_domain_weights" ->
+      s"""WITH d AS (
+         |  SELECT source, CAST(len(${TextSql.tokens("text")}) AS BIGINT) AS toks
+         |  FROM documents
+         |), b AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(toks) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY source
+         |), t AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |         CAST(count(*) AS BIGINT) AS k
+         |  FROM b
+         |), s1 AS (
+         |  SELECT source, n_docs, n_tokens, k,
+         |         CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+         |  FROM b, t
+         |), w AS (
+         |  SELECT source, n_docs, n_tokens, share,
+         |         least(1.0 / (CAST(k AS DOUBLE) * share), $MixMaxRepeat) AS weight
+         |  FROM s1
+         |), e AS (
+         |  SELECT source, n_docs, n_tokens, share, weight,
+         |         weight * CAST(n_tokens AS DOUBLE) AS exp_tokens
+         |  FROM w
+         |), z AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(exp_tokens ORDER BY source)), (a, c) -> a + c) AS z
+         |  FROM e
+         |)
+         |SELECT source, n_docs, n_tokens, share, weight, exp_tokens,
+         |       exp_tokens / z AS mix_share
+         |FROM e, z ORDER BY source""".stripMargin,
+
+    "select_token_budget" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, source, ${TextSql.tokens("text")} AS toks0 FROM documents
+         |), d AS (
+         |  SELECT doc_id, source, CAST(len(toks0) AS BIGINT) AS toks,
+         |         CAST(len(list_distinct(toks0)) AS BIGINT) AS dtoks
+         |  FROM d0
+         |), f AS (
+         |  SELECT doc_id, source, toks, dtoks FROM d WHERE toks > 0
+         |), sc AS (
+         |  SELECT doc_id, source, toks, dtoks * $ScoreScale // toks AS score FROM f
+         |), kk AS (
+         |  SELECT doc_id, source, toks, score,
+         |         ($ScoreScale - score) * 1000000000 + doc_id AS kk
+         |  FROM sc
+         |), c AS (
+         |  SELECT doc_id, source, toks, score,
+         |         CAST(sum(toks) OVER (ORDER BY kk) AS BIGINT) AS toks_cum
+         |  FROM kk
+         |)
+         |SELECT doc_id, source, score, toks, toks_cum FROM c
+         |WHERE toks_cum <= $TokenBudget ORDER BY doc_id""".stripMargin)
 }

@@ -118,6 +118,16 @@ object LlmData {
     */
   val PqM = 8
   val PqKsub = 16
+  /** Matryoshka search: coarse-rank on the first 16 of 64 dims, re-rank
+    * the top 3k candidates exactly.
+    */
+  val MrlPrefix = 16
+  val MrlCands = 3 * AnnK
+  /** Binary-quantization search: 63-bit sign codes (bit 64 dropped — see
+    * [[graft.sim.Similarity.binarySignCode]]), re-rank top 3k by cosine.
+    */
+  val HamBits = 63
+  val HamCands = 3 * AnnK
   val MinJaccard = 0.5
   /** With 4 LSH bands over 48 bits, <=3 flips cannot miss every band —
     * banded candidate generation is COMPLETE for this threshold
@@ -521,6 +531,12 @@ object LlmData {
       Dedup.simhashPairs(docs(s, dir), MaxHamming)
         .orderBy("a", "b")),
 
+    // sorted-neighborhood (merge/purge) blocking — the entity-resolution
+    // complement to hash/LSH blocking. See Dedup.sortedNeighborhoodPairs.
+    "dedup_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(docs(s, dir), minJaccard = MinJaccard)
+        .orderBy("a", "b")),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), MinJaccard)
         .orderBy("a", "b")),
@@ -747,6 +763,26 @@ object LlmData {
       val e = emb(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
         EmbDim, PqM, PqKsub, IvfCentroids, nprobe = IvfProbes)
+    }),
+
+    // Matryoshka prefix search: coarse cosine on the first MrlPrefix dims
+    // (an MRL-trained prefix), exact re-rank of the top-MrlCands — the
+    // 4x-less-I/O coarse pass. See Similarity.mrlPrefixTopK.
+    "ann_mrl_prefix_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mrlPrefixTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
+        MrlPrefix, MrlCands)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Binary quantization + rescore: 63-bit sign codes, Hamming coarse
+    // rank (XOR + popcount — 8 bytes/vector), exact cosine re-rank of the
+    // top-HamCands. See Similarity.hammingRerankTopK.
+    "ann_hamming_rerank_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hammingRerankTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
+        HamCands, HamBits)
+        .orderBy("q_id", "rank")
     }),
 
     "emb_neardup_pairs" -> ((s, dir) =>
@@ -1038,6 +1074,8 @@ object LlmData {
     "dedup_minhash_pairs" -> DedupSql.minhashPairs(MinJaccard),
     "dedup_minhash_calibration" -> DedupSql.minhashCalibration(),
     "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
+    "dedup_sorted_neighborhood" ->
+      DedupSql.sortedNeighborhoodPairs(minJaccard = MinJaccard),
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
     "dedup_substring_spans" -> DedupSql.substringSpans(),
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),
@@ -1283,6 +1321,10 @@ object LlmData {
     "ann_pq_adc_topk" -> SimilaritySql.pqAdcTopK(AnnK, AnnQueries, PqM, PqKsub, EmbDim),
     "ann_ivfpq_topk" -> SimilaritySql.ivfPqTopK(AnnK, AnnQueries, PqM, PqKsub,
       IvfCentroids, EmbDim, IvfProbes),
+    "ann_mrl_prefix_topk" ->
+      SimilaritySql.mrlPrefixTopK(AnnK, AnnQueries, MrlPrefix, MrlCands, EmbDim),
+    "ann_hamming_rerank_topk" ->
+      SimilaritySql.hammingRerankTopK(AnnK, AnnQueries, HamCands, EmbDim, HamBits),
     "emb_neardup_pairs" -> SimilaritySql.nearDupPairs(NearDupCos, EmbDim),
     "ann_range_search" -> SimilaritySql.rangeSearch(RangeMinCos, AnnQueries, EmbDim),
     "dedup_ensemble_pairs" ->

@@ -124,7 +124,7 @@ object Stats {
     * Shared by the exact-rank, ECDF (KS), and rank-sum (Mann-Whitney)
     * paths so the offset arithmetic cannot drift between them.
     */
-  private def bucketedCumsum(g0: DataFrame, orderCol: String,
+  private[ops] def bucketedCumsum(g0: DataFrame, orderCol: String,
                              bucketWidth: Long, cs: Seq[String]): DataFrame = {
     val g = g0.withColumn("bk", expr(s"$orderCol div $bucketWidth"))
     val aggs = cs.map(c => sum(col(c)).as(s"bt_$c"))
@@ -395,6 +395,111 @@ object Stats {
                   ((col("n_a") + col("n_b")).cast("double") *
                    (col("n_a") + col("n_b") - 1).cast("double")))))
             .as("z"))
+    }),
+
+    // ---- one-way ANOVA: does mean order value differ across priorities? ----
+    // F = (SSB/(k-1)) / (SSW/(N-k)) from per-group (n, Σv, Σv²) — one
+    // partial-aggregated pass over facts, k output rows. The only
+    // order-sensitive float reduction (Σ_g s_g²/n_g over the k groups) is
+    // an explicit sorted-array fold in group-key order, so both engines
+    // add the same doubles in the same sequence; everything upstream is
+    // exact (cents BIGINT, squares DECIMAL(30,0)).
+    "anova_price_by_priority" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("p"), cents.as("c"))
+      val m = o.groupBy(col("p")).agg(count(lit(1)).as("ng"),
+        sum(col("c")).as("sg"),
+        sum((col("c") * col("c")).cast("decimal(30,0)")).as("ssg"))
+      val nd = (c: Column) => c.cast("double")
+      val terms = m.select(col("p"), col("ng"), col("sg"), col("ssg"),
+        (nd(col("sg")) * nd(col("sg")) / nd(col("ng"))).as("term"))
+      val agg = terms.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("t"), sum(col("ssg")).cast("decimal(38,0)").as("ss"),
+        aggregate(array_sort(collect_list(struct(col("p"), col("term")))),
+          lit(0.0), (acc, x) => acc + x("term")).as("fold"))
+      agg.select(col("k"), col("n"),
+          (col("fold") - nd(col("t")) * nd(col("t")) / nd(col("n"))).as("ssb"),
+          (nd(col("ss")) - col("fold")).as("ssw"))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"),
+          ((col("ssb") / (col("k").cast("double") - 1.0)) /
+            (col("ssw") / (col("n").cast("double") - col("k").cast("double"))))
+            .as("f"),
+          (col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+    }),
+
+    // ---- Kruskal-Wallis H: rank-based k-sample location test ---------------
+    // The k-group generalization of Mann-Whitney, on the same doubled-
+    // average-rank machinery ([[rank2Cnt]]'s distributed prefix sum —
+    // integral .5-tie ranks, fact-scale sorts bucket-partitioned): per
+    // group R2_g = Σ 2·rank, H = [12/(N(N+1))·Σ R̄_g²/n_g - 3(N+1)] / C
+    // with the tie correction C = 1 - Σ(t³-t)/(N³-N). The k-term float
+    // sum is the same sorted-array fold as the ANOVA; N³ runs in doubles
+    // (overflows int64 past ~2M rows), every rank sum stays int64.
+    "kruskal_price_by_priority" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("p"), cents.as("v"))
+      val ranked = rank2Cnt(o, "v", KsBucketWidth) // (v, cnt, v_r2)
+      val pv = o.groupBy(col("p"), col("v")).agg(count(lit(1)).as("npv"))
+      val byG = pv.join(ranked.select(col("v"), col("v_r2")), "v")
+        .groupBy(col("p")).agg(sum(col("npv")).as("ng"),
+          sum(col("npv") * col("v_r2")).as("r2g"))
+      val nd = (c: Column) => c.cast("double")
+      val terms = byG.select(col("p"), col("ng"), col("r2g"),
+        ((nd(col("r2g")) / 2.0) * (nd(col("r2g")) / 2.0) / nd(col("ng"))).as("term"))
+      val ties = ranked.agg(
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+      val agg = terms.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        aggregate(array_sort(collect_list(struct(col("p"), col("term")))),
+          lit(0.0), (acc, x) => acc + x("term")).as("fold"))
+      agg.crossJoin(ties)
+        .select(col("k"), col("n"), col("tie_term"),
+          (lit(12.0) / (nd(col("n")) * (nd(col("n")) + 1.0)) * col("fold") -
+            lit(3.0) * (nd(col("n")) + 1.0)).as("h_uncorrected"),
+          (lit(1.0) - nd(col("tie_term")) /
+            (nd(col("n")) * nd(col("n")) * nd(col("n")) - nd(col("n"))))
+            .as("tie_c"))
+        .select(col("k"), col("n"), col("tie_term"), col("h_uncorrected"),
+          (col("h_uncorrected") / col("tie_c")).as("h"))
+    }),
+
+    // ---- Page-Hinkley drift scan over 1997 daily revenue -------------------
+    // The sequential drift detector (Page 1954, PH variant): M_t =
+    // Σ_{j≤t}(x_j - x̄_j) with x̄_j the running mean, PH_t = M_t -
+    // min_{i≤t} M_i — a sustained downward shift grows PH. Inherently
+    // order-recursive (x̄_j depends on the prefix), so after the one
+    // daily-rollup shuffle the O(365) series runs the same array-state
+    // prefix fold as holt_daily_revenue: [S, M, j] triples, identical
+    // multiply-add sequence in both engines (array state — NOT struct;
+    // see the Holt note on DuckDB's struct_pack rebinding). O(days²)
+    // fold work on O(days) rows; facts are touched once.
+    "page_hinkley_drift" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(sum(cents).as("rev"))
+      val one = daily.agg(
+        array_sort(collect_list(struct(col("d"), col("rev")))).as("xs"))
+      val st = one.select(col("xs"),
+        transform(sequence(lit(1), size(col("xs"))), t =>
+          aggregate(slice(col("xs"), lit(1), t),
+            array(lit(0.0), lit(0.0), lit(0.0)),
+            (acc, x) => array(
+              element_at(acc, 1) + x("rev").cast("double"),
+              element_at(acc, 2) + (x("rev").cast("double") -
+                (element_at(acc, 1) + x("rev").cast("double")) /
+                  (element_at(acc, 3) + lit(1.0))),
+              element_at(acc, 3) + lit(1.0)))).as("stt"))
+        .select(col("xs"), transform(col("stt"), a => element_at(a, 2)).as("ms"))
+      st.select(explode(transform(sequence(lit(1), size(col("xs"))), t => struct(
+          element_at(col("xs"), t)("d").as("d"),
+          element_at(col("xs"), t)("rev").as("rev"),
+          element_at(col("ms"), t).as("m"),
+          (element_at(col("ms"), t) -
+            array_min(slice(col("ms"), lit(1), t))).as("ph")))).as("r"))
+        .select(col("r")("d").as("d"), col("r")("rev").as("rev"),
+          col("r")("m").as("m"), col("r")("ph").as("ph"))
+        .orderBy("d")
     }),
 
     // ---- seasonal-trend decomposition of daily revenue ---------------------
@@ -1195,6 +1300,99 @@ object Stats {
          |              (CAST(n_a + n_b AS DOUBLE) *
          |               CAST(n_a + n_b - 1 AS DOUBLE)))) AS z
          |FROM u""".stripMargin,
+
+    "anova_price_by_priority" ->
+      s"""WITH o AS (SELECT o_orderpriority AS p, $oracleCents AS c FROM orders),
+         |m AS (
+         |  SELECT p, CAST(count(*) AS BIGINT) AS ng, CAST(sum(c) AS BIGINT) AS sg,
+         |         CAST(sum(CAST(c AS DECIMAL(30,0)) * c) AS DECIMAL(30,0)) AS ssg
+         |  FROM o GROUP BY p
+         |), t AS (
+         |  SELECT p, ng, sg, ssg,
+         |         CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS term
+         |  FROM m
+         |), a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+         |         CAST(sum(sg) AS BIGINT) AS t_, CAST(sum(ssg) AS DECIMAL(38,0)) AS ss,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY p)),
+         |                     (x, y) -> x + y) AS fold
+         |  FROM t
+         |), b AS (
+         |  SELECT k, n,
+         |         fold - CAST(t_ AS DOUBLE) * CAST(t_ AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+         |         CAST(ss AS DOUBLE) - fold AS ssw
+         |  FROM a
+         |)
+         |SELECT k, n, ssb, ssw,
+         |       (ssb / (CAST(k AS DOUBLE) - 1.0)) /
+         |         (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f,
+         |       ssb / (ssb + ssw) AS eta_sq
+         |FROM b""".stripMargin,
+
+    "kruskal_price_by_priority" ->
+      s"""WITH o AS (SELECT o_orderpriority AS p, $oracleCents AS v FROM orders),
+         |g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY v),
+         |r AS (
+         |  SELECT v, cnt,
+         |         CAST(sum(cnt) OVER (ORDER BY v) * 2 - cnt + 1 AS BIGINT) AS r2
+         |  FROM g
+         |), pv AS (
+         |  SELECT p, v, CAST(count(*) AS BIGINT) AS npv FROM o GROUP BY p, v
+         |), bg AS (
+         |  SELECT p, CAST(sum(npv) AS BIGINT) AS ng,
+         |         CAST(sum(npv * r.r2) AS BIGINT) AS r2g
+         |  FROM pv JOIN r ON pv.v = r.v GROUP BY p
+         |), t AS (
+         |  SELECT p, ng, r2g,
+         |         (CAST(r2g AS DOUBLE) / 2.0) * (CAST(r2g AS DOUBLE) / 2.0)
+         |           / CAST(ng AS DOUBLE) AS term
+         |  FROM bg
+         |), ties AS (
+         |  SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term FROM g
+         |), a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY p)),
+         |                     (x, y) -> x + y) AS fold
+         |  FROM t
+         |), b AS (
+         |  SELECT k, n, tie_term,
+         |         12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * fold
+         |           - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_uncorrected,
+         |         1.0 - CAST(tie_term AS DOUBLE) /
+         |           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |             - CAST(n AS DOUBLE)) AS tie_c
+         |  FROM a, ties
+         |)
+         |SELECT k, n, tie_term, h_uncorrected, h_uncorrected / tie_c AS h
+         |FROM b""".stripMargin,
+
+    "page_hinkley_drift" ->
+      s"""WITH daily AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |         CAST(sum($oracleCents) AS BIGINT) AS rev
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY 1
+         |), series AS (
+         |  SELECT list(d ORDER BY d) AS ds, list(rev ORDER BY d) AS xs FROM daily
+         |), folded AS (
+         |  SELECT ds, xs,
+         |    list_transform(range(1, len(xs) + 1), t ->
+         |      list_reduce(
+         |        list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0],
+         |          list_transform(xs[1:t], v -> [CAST(v AS DOUBLE), 0.0, 0.0])),
+         |        (acc, x) -> [acc[1] + x[1],
+         |                     acc[2] + (x[1] - (acc[1] + x[1]) / (acc[3] + 1.0)),
+         |                     acc[3] + 1.0])) AS st
+         |  FROM series
+         |), withm AS (
+         |  SELECT ds, xs, list_transform(st, a -> a[2]) AS ms FROM folded
+         |)
+         |SELECT UNNEST(ds) AS d, UNNEST(xs) AS rev, UNNEST(ms) AS m,
+         |       UNNEST(list_transform(range(1, len(ms) + 1), t ->
+         |         ms[t] - list_min(ms[1:t]))) AS ph
+         |FROM withm ORDER BY d""".stripMargin,
 
     "stl_decompose_daily" ->
       s"""WITH daily AS (

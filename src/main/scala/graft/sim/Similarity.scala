@@ -557,6 +557,90 @@ object Similarity {
     topKBySim(q.join(lists, Seq("centroid")), k)
   }
 
+  /** Matryoshka-style prefix-dimension search (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS'22): rank the corpus by cosine over
+    * only the FIRST `dPrefix` dimensions (MRL-trained embeddings
+    * front-load information, so the prefix is a usable coarse score),
+    * keep the top `cands` candidates per query, then re-rank exactly on
+    * the full vector. Deterministic at both stages: prefix ties break on
+    * neighbor id, final rank is (sim DESC, n_id).
+    *
+    * Scale shape (100 TB): the coarse pass scans a `dPrefix/dim`-sized
+    * prefix column (store it as its own parquet column and the scan reads
+    * dPrefix/dim of the bytes — 4x less I/O at 16/64), queries broadcast,
+    * per-partition window top-`cands`. The re-rank gather is a BROADCAST
+    * of the (Q * cands)-row candidate id set against the corpus — the
+    * full-width vectors are touched only for candidates, never shuffled.
+    */
+  def mrlPrefixTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dPrefix: Int, cands: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      slice(col(vecCol), 1, dPrefix).as("q_pre")))
+    val cPre = corpus.select(col(idCol).as("n_id"),
+      slice(col(vecCol), 1, dPrefix).as("n_pre"))
+    val wPre = Window.partitionBy(col("q_id"))
+      .orderBy(col("pre_sim").desc, col("n_id"))
+    val candIds = q.crossJoin(cPre)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("pre_sim", cosine(col("q_pre"), col("n_pre")))
+      .withColumn("prerank", row_number().over(wPre))
+      .filter(col("prerank") <= cands)
+      .select(col("q_id"), col("n_id"))
+    val full = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val gathered = full.join(broadcast(candIds), Seq("n_id"))
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))),
+        Seq("q_id"))
+    topKBySim(gathered, k)
+  }
+
+  /** Pack the sign bits of the first `bits` dimensions into one BIGINT —
+    * the 1-bit-per-dim binary quantization behind Hamming-space search.
+    * Capped at 63 bits: bit 63 would make the code negative and a
+    * distinct-power SUM overflow-checked engines (the DuckDB oracle)
+    * reject; 63 of 64 dims costs ~1 bit of resolution and keeps the code
+    * arithmetic portable. Distinct powers of two, so + == OR.
+    */
+  def binarySignCode(v: Column, bits: Int): Column = {
+    require(bits <= 63, s"binarySignCode packs at most 63 bits, got $bits")
+    (0 until bits).map(i =>
+      when(element_at(v, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Binary-quantization ANN: corpus and queries collapse to 63-bit sign
+    * codes, the coarse rank is Hamming distance `bit_count(code XOR code)`
+    * (ties → lower neighbor id), the top `cands` per query re-rank by
+    * exact cosine. The modern "binary quantization + rescore" shape
+    * (e.g. RaBitQ-style deployments): at 100 TB the code column is
+    * 8 bytes/vector (vs 256 for float32x64), the whole coarse pass is a
+    * broadcast of the tiny query-code set plus an integer XOR/POPCNT per
+    * row — memory-bandwidth-bound, SIMD-friendly, zero shuffle of the
+    * corpus — and full vectors are gathered only for the candidate set
+    * via a broadcast semi-style join, exactly as [[mrlPrefixTopK]].
+    */
+  def hammingRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        cands: Int, bits: Int = 63,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      binarySignCode(col(vecCol), bits).as("q_code")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      binarySignCode(col(vecCol), bits).as("n_code"))
+    val wHam = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham").asc, col("n_id"))
+    val candIds = q.crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("ham", bit_count(col("q_code").bitwiseXOR(col("n_code"))))
+      .withColumn("prerank", row_number().over(wHam))
+      .filter(col("prerank") <= cands)
+      .select(col("q_id"), col("n_id"))
+    val full = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val gathered = full.join(broadcast(candIds), Seq("n_id"))
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))),
+        Seq("q_id"))
+    topKBySim(gathered, k)
+  }
+
   /** Embedding near-duplicate pairs: sign-LSH blocking, then exact cosine
     * threshold inside each bucket (a < b). `planeBits = None` derives the
     * bucket count from the corpus size ([[planeBitsFor]]) so the

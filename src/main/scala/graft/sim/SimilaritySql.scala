@@ -84,6 +84,63 @@ object SimilaritySql {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim FROM ranked
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Mirrors [[Similarity.mrlPrefixTopK]]: coarse cosine over the first
+    * `dPrefix` list positions (identical fold order to the engine's
+    * sliced prefix), top-`cands` by (pre_sim DESC, n_id), exact full-dim
+    * re-rank.
+    */
+  def mrlPrefixTopK(k: Int, nQueries: Int, dPrefix: Int, cands: Int, dim: Int,
+                    table: String = "embeddings"): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM $table WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM $table),
+       |pre AS (
+       |  SELECT q_id, n_id, q_vec, n_vec,
+       |         ${cosine("q_vec", "n_vec", dPrefix)} AS pre_sim
+       |  FROM q JOIN c ON q_id <> n_id
+       |), cand AS (
+       |  SELECT q_id, n_id, q_vec, n_vec,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY pre_sim DESC, n_id) AS prerank
+       |  FROM pre
+       |), re AS (
+       |  SELECT q_id, n_id, ${cosine("q_vec", "n_vec", dim)} AS sim
+       |  FROM cand WHERE prerank <= $cands
+       |), ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM re
+       |)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Mirrors [[Similarity.hammingRerankTopK]]: 63-bit sign codes (the
+    * same distinct-power CASE sum as [[signBucket]]), Hamming coarse rank
+    * via `bit_count(xor(...))` with ties to the lower neighbor id, exact
+    * cosine re-rank of the top-`cands`.
+    */
+  def hammingRerankTopK(k: Int, nQueries: Int, cands: Int, dim: Int,
+                        bits: Int = 63, table: String = "embeddings"): String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${signBucket("embedding", bits)} AS code FROM $table),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec, code AS q_code FROM b WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec, code AS n_code FROM b),
+       |ham AS (
+       |  SELECT q_id, n_id, q_vec, n_vec,
+       |         bit_count(xor(q_code, n_code)) AS ham
+       |  FROM q JOIN c ON q_id <> n_id
+       |), cand AS (
+       |  SELECT q_id, n_id, q_vec, n_vec,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, n_id) AS prerank
+       |  FROM ham
+       |), re AS (
+       |  SELECT q_id, n_id, ${cosine("q_vec", "n_vec", dim)} AS sim
+       |  FROM cand WHERE prerank <= $cands
+       |), ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM re
+       |)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
   def lshBucketTopK(k: Int, nQueries: Int, dim: Int,
                     table: String = "embeddings"): String =
     s"""WITH pbt AS (${planeBitsSql(table)}),

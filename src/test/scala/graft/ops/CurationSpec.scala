@@ -342,4 +342,53 @@ class CurationSpec extends SparkSpec {
         r.getString(3))).toSeq
     assert(got == exp)
   }
+
+  test("mix_domain_weights: capped weights, unit mixture, uniform target") {
+    val rows = Curation.queries("mix_domain_weights")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val k = rows.length.toDouble
+    // shares and the renormalized mixture each sum to 1
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._7).sum - 1.0) < 1e-9)
+    rows.foreach { case (_, _, _, share, w, expTok, _) =>
+      assert(w <= Curation.MixMaxRepeat + 1e-12)
+      // uncapped sources hit the uniform target exactly: w * share * k = 1
+      if (w < Curation.MixMaxRepeat - 1e-12)
+        assert(math.abs(w * share * k - 1.0) < 1e-9)
+      assert(expTok > 0.0)
+    }
+    // over-represented sources are downweighted, under-represented upweighted
+    rows.foreach { case (_, _, _, share, w, _, _) =>
+      if (share > 1.0 / k) assert(w < 1.0 + 1e-12) else assert(w >= 1.0 - 1e-12)
+    }
+  }
+
+  test("select_token_budget: greedy quality prefix, budget respected, maximal") {
+    val got = Curation.queries("select_token_budget")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    // brute-force emulation from the raw docs
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+        size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("dtoks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 > 0)
+    val ranked = docs.map { case (id, toks, dtoks) =>
+      (id, toks, dtoks * Curation.ScoreScale / toks)
+    }.sortBy { case (id, _, score) => (-score, id) }
+    var cum = 0L
+    val want = ranked.takeWhile { case (_, toks, _) =>
+      cum += toks; cum <= Curation.TokenBudget
+    }.map(_._1).toSet
+    assert(got.map(_._1).toSet == want)
+    assert(got.map(_._5).max <= Curation.TokenBudget)
+    // maximality: adding the best unselected doc would exceed the budget
+    val selTok = got.map(_._5).max
+    val unsel = ranked.filter(d => !want.contains(d._1))
+    if (unsel.nonEmpty) assert(selTok + unsel.head._2 > Curation.TokenBudget)
+  }
 }

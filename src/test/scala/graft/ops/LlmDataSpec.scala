@@ -706,4 +706,88 @@ class LlmDataSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == exp)
   }
+
+  private def embVectors: Map[Long, Array[Float]] =
+    Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def dotD(a: Array[Float], b: Array[Float], d: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < d) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def cosD(a: Array[Float], b: Array[Float], d: Int): Double =
+    dotD(a, b, d) / (math.sqrt(dotD(a, a, d)) * math.sqrt(dotD(b, b, d)))
+
+  test("mrl prefix search matches a brute-force two-stage emulation") {
+    val vecs = embVectors
+    val want = vecs.keys.filter(_ < LlmData.AnnQueries).toVector.sorted.flatMap { q =>
+      val qv = vecs(q)
+      val cands = vecs.toVector.filter(_._1 != q)
+        .map { case (n, nv) => (n, cosD(qv, nv, LlmData.MrlPrefix)) }
+        .sortBy { case (n, s) => (-s, n) }.take(LlmData.MrlCands).map(_._1)
+      cands.map(n => (n, cosD(qv, vecs(n), LlmData.EmbDim)))
+        .sortBy { case (n, s) => (-s, n) }.take(LlmData.AnnK).zipWithIndex
+        .map { case ((n, s), i) => (q, (i + 1).toLong, n, s) }
+    }
+    val got = SparkEntry.queries("ann_mrl_prefix_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toVector
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) <= 1e-12)
+    }
+  }
+
+  test("hamming rerank search matches a brute-force two-stage emulation") {
+    val vecs = embVectors
+    def code(v: Array[Float]): Long =
+      (0 until LlmData.HamBits).foldLeft(0L)((acc, i) =>
+        if (v(i) > 0f) acc | (1L << i) else acc)
+    val want = vecs.keys.filter(_ < LlmData.AnnQueries).toVector.sorted.flatMap { q =>
+      val qv = vecs(q)
+      val qc = code(qv)
+      val cands = vecs.toVector.filter(_._1 != q)
+        .map { case (n, nv) => (n, java.lang.Long.bitCount(qc ^ code(nv))) }
+        .sortBy { case (n, h) => (h, n) }.take(LlmData.HamCands).map(_._1)
+      cands.map(n => (n, cosD(qv, vecs(n), LlmData.EmbDim)))
+        .sortBy { case (n, s) => (-s, n) }.take(LlmData.AnnK).zipWithIndex
+        .map { case ((n, s), i) => (q, (i + 1).toLong, n, s) }
+    }
+    val got = SparkEntry.queries("ann_hamming_rerank_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toVector
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) <= 1e-12)
+    }
+  }
+
+  test("sorted-neighborhood pairs match a brute-force window emulation") {
+    import graft.text.TextOps
+    val feats = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        substring(TextOps.normalize(col("text")), 1,
+          graft.dedup.Dedup.SnmKeyLen).as("key"),
+        TextOps.shingleHashes(TextOps.tokens(col("text"))).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2).toSet))
+      .filter(_._3.nonEmpty)
+    val sorted = feats.sortBy(t => (t._2, t._1))
+    val w = graft.dedup.Dedup.SnmW
+    val want = sorted.indices.flatMap { i =>
+      ((i + 1) until math.min(i + w, sorted.length)).flatMap { j =>
+        val (ia, _, sa) = sorted(i)
+        val (ib, _, sb) = sorted(j)
+        val inter = sa.intersect(sb).size.toLong
+        val jac = inter.toDouble / (sa.size + sb.size - inter)
+        if (jac >= LlmData.MinJaccard)
+          Some((math.min(ia, ib), math.max(ia, ib), jac))
+        else None
+      }
+    }.sortBy(t => (t._1, t._2)).toVector
+    val got = SparkEntry.queries("dedup_sorted_neighborhood")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
+    assert(want.nonEmpty, "no SNM pairs at sf0.001 — the window is never exercised")
+    assert(got == want)
+  }
 }

@@ -454,4 +454,93 @@ class StatsSpec extends SparkSpec {
     assert(aShare + bShare <= 0.95 + 1e-12)
     assert(rows.keySet.subsetOf(Set("A", "B", "C")))
   }
+
+  test("anova_price_by_priority matches a brute-force recomputation") {
+    val r = Stats.queries("anova_price_by_priority")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val groups = o.groupBy(_._1).toVector.sortBy(_._1)
+    val k = groups.size
+    val n = o.length.toLong
+    val t = o.map(_._2).sum
+    val ss = groups.map(_._2.map(v => BigInt(v._2) * v._2).sum).sum
+    val fold = groups.foldLeft(0.0) { case (acc, (_, vs)) =>
+      val sg = vs.map(_._2).sum
+      acc + sg.toDouble * sg.toDouble / vs.size.toDouble
+    }
+    val ssb = fold - t.toDouble * t.toDouble / n.toDouble
+    val ssw = ss.toDouble - fold
+    val f = (ssb / (k - 1.0)) / (ssw / (n.toDouble - k))
+    assert(row.getLong(0) == k && row.getLong(1) == n)
+    assert(math.abs(row.getDouble(2) - ssb) <= 1e-6 * math.abs(ssb))
+    assert(math.abs(row.getDouble(3) - ssw) <= 1e-6 * math.abs(ssw))
+    assert(math.abs(row.getDouble(4) - f) <= 1e-6 * math.abs(f))
+    assert(row.getDouble(5) > 0.0 && row.getDouble(5) < 1.0)
+  }
+
+  test("kruskal_price_by_priority matches a brute-force rank recomputation") {
+    val r = Stats.queries("kruskal_price_by_priority")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = o.length.toLong
+    // average rank per distinct value (ties share the mean rank)
+    val cnt = o.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val avgRank = {
+      var cum = 0L
+      cnt.toVector.sortBy(_._1).map { case (v, c) =>
+        cum += c
+        v -> (cum * 2 - c + 1).toDouble / 2.0
+      }.toMap
+    }
+    val groups = o.groupBy(_._1).toVector.sortBy(_._1)
+    val k = groups.size
+    val fold = groups.foldLeft(0.0) { case (acc, (_, vs)) =>
+      val rg = vs.map(x => avgRank(x._2)).sum
+      acc + rg * rg / vs.size.toDouble
+    }
+    val hUnc = 12.0 / (n.toDouble * (n + 1.0)) * fold - 3.0 * (n + 1.0)
+    val tie = cnt.values.map(c => BigInt(c) * c * c - c).sum
+    val c = 1.0 - tie.toDouble / (n.toDouble * n.toDouble * n.toDouble - n.toDouble)
+    val h = hUnc / c
+    assert(row.getLong(0) == k && row.getLong(1) == n)
+    assert(row.getLong(2) == tie.toLong)
+    assert(math.abs(row.getDouble(3) - hUnc) <= 1e-6 * math.abs(hUnc) + 1e-9)
+    assert(math.abs(row.getDouble(4) - h) <= 1e-6 * math.abs(h) + 1e-9)
+    assert(row.getDouble(4) >= 0.0)
+  }
+
+  test("page_hinkley_drift matches the sequential definition; ph >= 0") {
+    val got = Stats.queries("page_hinkley_drift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toVector
+    val daily = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toVector.sortBy(_._1)
+    assert(got.map(g => (g._1, g._2)) == daily)
+    var s = 0.0
+    var m = 0.0
+    var j = 0.0
+    var minM = Double.PositiveInfinity
+    daily.zip(got).foreach { case ((_, v), (_, _, gm, gph)) =>
+      s += v.toDouble
+      m += v.toDouble - s / (j + 1.0)
+      j += 1.0
+      minM = math.min(minM, m)
+      assert(math.abs(gm - m) <= 1e-9 * math.abs(m) + 1e-9)
+      assert(math.abs(gph - (m - minM)) <= 1e-9 * math.abs(m) + 1e-9)
+      assert(gph >= 0.0)
+    }
+  }
 }
