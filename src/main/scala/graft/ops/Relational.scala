@@ -340,7 +340,15 @@ object Relational {
       var e = adj.select(col("src"), explode(col("adj")).as("dst"))
         .localCheckpoint(true)
       var rows = Vector((0, k, adj.count(), e.count()))
-      for (r <- 1 to KcoreRounds) {
+      // fixed-point early exit: once (survivors, edges) repeats, the
+      // survivor set is stable (same edges → same degrees → same
+      // survivors), so every later round emits the SAME counts — fill
+      // the remaining profile rows without running further Spark jobs.
+      // The oracle's fixed-depth recursion computes those rounds
+      // literally and lands on identical rows.
+      var r = 1
+      var converged = false
+      while (r <= KcoreRounds && !converged) {
         val surv = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= k).select(col("src").as("node"))
           .localCheckpoint(true)
@@ -348,6 +356,12 @@ object Relational {
           .join(surv.withColumnRenamed("node", "dst"), "dst")
           .localCheckpoint(true)
         rows :+= ((r, k, surv.count(), e.count()))
+        converged = rows(r)._3 == rows(r - 1)._3 && rows(r)._4 == rows(r - 1)._4
+        r += 1
+      }
+      while (r <= KcoreRounds) {
+        rows :+= ((r, k, rows.last._3, rows.last._4))
+        r += 1
       }
       import s.implicits._
       rows.toDF("round", "k", "survivors", "edges_directed")
@@ -1521,6 +1535,67 @@ object Relational {
         .orderBy("priority", "d")
     }),
 
+    // ---- Holt-Winters triple exponential smoothing (additive, period 7) ----
+    // The seasonal extension of holt_daily_revenue: coupled level/trend/
+    // seasonal state l_t = α(x_t - s_{t-7}) + (1-α)(l+b), b_t = γ(l_t-l)
+    // + (1-γ)b, s_t = δ(x_t - l_t) + (1-δ)s_{t-7}, α=0.5, γ=δ=0.25 (exact
+    // binary fractions). State = a 10-element DOUBLE ARRAY [l, b, s₀..s₆,
+    // t] — the seasonal ring indexed by t mod 7 INSIDE the fold via a
+    // computed element_at, the step counter carried as state (array state,
+    // never struct — see the holt_daily_revenue note on DuckDB's
+    // struct_pack rebinding). Same O(days²)-fold-on-O(days)-rows scale
+    // shape as Holt/EWMA, per-priority groups fold in parallel.
+    "holt_winters_daily" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val sidx = (acc: Column) =>
+        (element_at(acc, 10).cast("long") % 7).cast("int") + lit(3)
+      val lvl = (acc: Column, x: Column) =>
+        lit(0.5) * (x("rev") - element_at(acc, sidx(acc))) +
+          lit(0.5) * (element_at(acc, 1) + element_at(acc, 2))
+      val step = (acc: Column, x: Column) => {
+        val es = (0 until 7).map(k =>
+          when(element_at(acc, 10).cast("long") % 7 === k,
+            lit(0.25) * (x("rev") - lvl(acc, x)) +
+              lit(0.75) * element_at(acc, k + 3))
+            .otherwise(element_at(acc, k + 3)))
+        array(Seq(
+          lvl(acc, x),
+          lit(0.25) * (lvl(acc, x) - element_at(acc, 1)) +
+            lit(0.75) * element_at(acc, 2)) ++ es :+
+          (element_at(acc, 10) + lit(1.0)): _*)
+      }
+      daily.groupBy(col("priority"))
+        .agg(array_sort(collect_list(struct(col("d"), col("rev")))).as("xs"))
+        .select(col("priority"),
+          explode(transform(sequence(lit(1), size(col("xs"))), t => struct(
+            element_at(col("xs"), t)("d").as("d"),
+            element_at(col("xs"), t)("rev").as("revenue"),
+            aggregate(slice(col("xs"), lit(2), t - 1),
+              array((Seq(
+                element_at(col("xs"), lit(1))("rev"),
+                element_at(col("xs"), lit(2))("rev") -
+                  element_at(col("xs"), lit(1))("rev")) ++
+                Seq.fill(7)(lit(0.0)) :+ lit(1.0)): _*),
+              step).as("hb"),
+            t.as("t"))))
+            .as("r"))
+        .select(col("priority"), col("r")("d").as("d"),
+          col("r")("revenue").as("revenue"),
+          element_at(col("r")("hb"), 1).as("level"),
+          element_at(col("r")("hb"), 2).as("trend"),
+          element_at(col("r")("hb"),
+            ((col("r")("t") - 1) % 7).cast("int") + lit(3)).as("seasonal"),
+          (element_at(col("r")("hb"), 1) + element_at(col("r")("hb"), 2) +
+            element_at(col("r")("hb"),
+              (col("r")("t") % 7).cast("int") + lit(3))).as("forecast_next"))
+        .orderBy("priority", "d")
+    }),
+
     // ---- cohort retention ---------------------------------------------------
     // Users bucketed by signup week, activity tracked by week offset — the
     // (cohort, offset) -> distinct-user matrix every product warehouse
@@ -2442,6 +2517,54 @@ object Relational {
           col("exact_ndv"))
     }),
 
+    // ---- theta-sketch set intersection: estimated audience overlap --------
+    // The theta-sketch composition rule (Dasgupta et al., "A framework
+    // for estimating stream expression cardinalities"): each side keeps
+    // its bottom-k distinct hashes; θ = min of the two sketch thresholds
+    // (a sketch that retained EVERYTHING — k_used < k — has θ = P);
+    // the intersection estimate is |common retained hashes below θ|·P/θ.
+    // Same deterministic universal hash as kmv_distinct_users, so the
+    // estimate itself is oracle-hash-exact; the exact intersection rides
+    // alongside for the error story. Scale shape: two TakeOrdered
+    // bottom-k passes + a k-row join — set-expression cardinalities over
+    // any number of 100 TB streams compose from KB-sized sketches
+    // without ever joining the raw streams.
+    "theta_intersect_users" -> ((s, dir) => {
+      val k = 256
+      val P = graft.text.TextOps.P
+      val A = graft.text.TextOps.MIX % P
+      val B = (3 * A) % P
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val h = ((col("user_id") * lit(A) + lit(B)) % P + P) % P
+      def bottomK(t: String) = ev.filter(col("event_type") === t)
+        .select(h.as("h")).distinct().orderBy("h").limit(k)
+      val sa = bottomK("click")
+      val sb = bottomK("purchase")
+      val ta = sa.agg(count(lit(1)).as("k_a"), max(col("h")).as("kth_a"))
+        .select(col("k_a"), col("kth_a"),
+          when(col("k_a") < k, lit(P)).otherwise(col("kth_a")).as("theta_a"))
+      val tb = sb.agg(count(lit(1)).as("k_b"), max(col("h")).as("kth_b"))
+        .select(col("k_b"), col("kth_b"),
+          when(col("k_b") < k, lit(P)).otherwise(col("kth_b")).as("theta_b"))
+      val thetas = ta.crossJoin(tb)
+        .withColumn("theta", least(col("theta_a"), col("theta_b")))
+      val nCommon = sa.join(sb, "h")
+        .crossJoin(thetas.select(col("theta").as("th")))
+        .filter(col("h") < col("th"))
+        .agg(count(lit(1)).as("n_common"))
+      val exact = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct(), "user_id")
+        .agg(count(lit(1)).as("exact_intersection"))
+      thetas.crossJoin(nCommon).crossJoin(exact)
+        .select(col("k_a"), col("kth_a"), col("k_b"), col("kth_b"),
+          col("theta"), col("n_common"),
+          (col("n_common").cast("double") * lit(P.toDouble) /
+            col("theta").cast("double")).as("est_intersection"),
+          col("exact_intersection"))
+    }),
+
     // ---- Gini coefficient of customer revenue per nation ------------------
     // Inequality metric over the sorted revenue distribution:
     // G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x sorted asc.
@@ -3307,6 +3430,46 @@ object Relational {
         |       UNNEST(list_transform(hb, h -> h[2])) AS trend,
         |       UNNEST(list_transform(hb, h -> h[1] + h[2])) AS forecast_next
         |FROM folded ORDER BY priority, d""".stripMargin,
+    "holt_winters_daily" -> {
+      val L = "0.5*(x[1] - acc[CAST(acc[10] AS BIGINT) % 7 + 3]) + 0.5*(acc[1] + acc[2])"
+      val sk = (0 until 7).map(k =>
+        s"CASE WHEN CAST(acc[10] AS BIGINT) % 7 = $k THEN 0.25*(x[1] - ($L)) + 0.75*acc[${k + 3}] ELSE acc[${k + 3}] END")
+        .mkString(",\n        |             ")
+      s"""WITH daily AS (
+         |  SELECT o_orderpriority AS priority,
+         |         strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY 1, 2
+         |), series AS (
+         |  SELECT priority, list(d ORDER BY d) AS ds, list(rev ORDER BY d) AS xs
+         |  FROM daily GROUP BY priority
+         |), folded AS (
+         |  SELECT priority, ds, xs,
+         |    list_transform(range(1, len(xs) + 1), t ->
+         |      list_reduce(
+         |        list_prepend([xs[1], xs[2] - xs[1],
+         |                      0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+         |          list_transform(xs[2:t], v ->
+         |            [v, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+         |        (acc, x) -> [
+         |             $L,
+         |             0.25*(($L) - acc[1]) + 0.75*acc[2],
+         |             $sk,
+         |             acc[10] + 1.0])) AS hb
+         |  FROM series
+         |)
+         |SELECT priority, UNNEST(ds) AS d, UNNEST(xs) AS revenue,
+         |       UNNEST(list_transform(hb, h -> h[1])) AS level,
+         |       UNNEST(list_transform(hb, h -> h[2])) AS trend,
+         |       UNNEST(list_transform(range(1, len(hb) + 1), t ->
+         |         hb[t][(t - 1) % 7 + 3])) AS seasonal,
+         |       UNNEST(list_transform(range(1, len(hb) + 1), t ->
+         |         hb[t][1] + hb[t][2] + hb[t][t % 7 + 3])) AS forecast_next
+         |FROM folded ORDER BY priority, d""".stripMargin
+    },
     "cohort_retention" ->
       """WITH cohorts AS (
         |  SELECT user_id,
@@ -3765,6 +3928,48 @@ object Relational {
          |         / CAST(kth_min AS DOUBLE) AS est_ndv,
          |       exact_ndv
          |FROM s, e""".stripMargin
+    },
+    "theta_intersect_users" -> {
+      val p = graft.text.TextOps.P
+      val a = graft.text.TextOps.MIX % p
+      val b = (3 * a) % p
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL
+         |), hh AS (
+         |  SELECT event_type, ((user_id * $a + $b) % $p + $p) % $p AS h FROM ev
+         |), sa AS (
+         |  SELECT h FROM (SELECT DISTINCT h FROM hh WHERE event_type = 'click')
+         |  ORDER BY h LIMIT 256
+         |), sb AS (
+         |  SELECT h FROM (SELECT DISTINCT h FROM hh WHERE event_type = 'purchase')
+         |  ORDER BY h LIMIT 256
+         |), ta AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k_a, max(h) AS kth_a,
+         |         CAST(CASE WHEN count(*) < 256 THEN $p ELSE max(h) END AS BIGINT)
+         |           AS theta_a
+         |  FROM sa
+         |), tb AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k_b, max(h) AS kth_b,
+         |         CAST(CASE WHEN count(*) < 256 THEN $p ELSE max(h) END AS BIGINT)
+         |           AS theta_b
+         |  FROM sb
+         |), th AS (
+         |  SELECT k_a, kth_a, k_b, kth_b, least(theta_a, theta_b) AS theta
+         |  FROM ta, tb
+         |), com AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sa JOIN sb ON sa.h = sb.h, th WHERE sa.h < th.theta
+         |), ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+         |  FROM (SELECT DISTINCT user_id FROM ev WHERE event_type = 'click') x
+         |  JOIN (SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase') y
+         |    ON x.user_id = y.user_id
+         |)
+         |SELECT k_a, kth_a, k_b, kth_b, theta, n_common,
+         |       CAST(n_common AS DOUBLE) * CAST($p AS DOUBLE)
+         |         / CAST(theta AS DOUBLE) AS est_intersection,
+         |       exact_intersection
+         |FROM th, com, ex""".stripMargin
     },
     "gini_revenue_by_nation" ->
       """WITH cr AS (

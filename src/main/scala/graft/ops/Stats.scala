@@ -462,6 +462,44 @@ object Stats {
           (col("h_uncorrected") / col("tie_c")).as("h"))
     }),
 
+    // ---- classifier evaluation: AUC via the rank-sum identity --------------
+    // AUC of a quality score against a binary label (is the doc English?)
+    // WITHOUT sorting per threshold: AUC = U/(n⁺·n⁻), the Mann-Whitney
+    // identity, on the same doubled-average-rank prefix-sum machinery as
+    // kruskal/mann-whitney — tie-correct, exact integers until the one
+    // final division. The score is the integer distinct-token ppm ratio
+    // (shared with select_token_budget). This is how model-eval AUC runs
+    // at 100 TB: one groupBy score value, one O(distinct-scores) ranked
+    // pass, no per-example sort.
+    "score_auc_langid" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+          size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long")
+            .as("dtoks"))
+        .filter(col("toks") > 0)
+        .select(expr("dtoks * 1000000 div toks").as("v"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          when(col("lang") === "en", 0L).otherwise(1L).as("neg"))
+      val ranked = bucketedCumsum(
+        d.groupBy(col("v")).agg(sum(col("pos")).as("pos"),
+            sum(col("neg")).as("neg"))
+          .withColumn("cnt", col("pos") + col("neg")),
+        "v", 10000L, Seq("cnt"))
+        .select(col("pos"), col("neg"),
+          (col("cnt_cum") * 2 - col("cnt") + 1).as("r2"))
+      ranked.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+          sum(col("pos") * col("r2")).as("r2_pos"))
+        .select(col("n_pos"), col("n_neg"),
+          (col("r2_pos") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          (col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+            .as("auc"))
+        .select(col("n_pos"), col("n_neg"), col("u2"), col("auc"),
+          (col("auc") * 2.0 - 1.0).as("gini"))
+    }),
+
     // ---- Page-Hinkley drift scan over 1997 daily revenue -------------------
     // The sequential drift detector (Page 1954, PH variant): M_t =
     // Σ_{j≤t}(x_j - x̄_j) with x̄_j the running mean, PH_t = M_t -
@@ -1365,6 +1403,43 @@ object Stats {
          |)
          |SELECT k, n, tie_term, h_uncorrected, h_uncorrected / tie_c AS h
          |FROM b""".stripMargin,
+
+    "score_auc_langid" -> {
+      val toks = graft.text.TextSql.tokens("text")
+      s"""WITH d0 AS (SELECT lang, $toks AS toks0 FROM documents),
+         |d AS (
+         |  SELECT lang, CAST(len(toks0) AS BIGINT) AS toks,
+         |         CAST(len(list_distinct(toks0)) AS BIGINT) AS dtoks
+         |  FROM d0
+         |), f AS (
+         |  SELECT dtoks * 1000000 // toks AS v,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |         CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS neg
+         |  FROM d WHERE toks > 0
+         |), g AS (
+         |  SELECT v, CAST(sum(pos) AS BIGINT) AS pos,
+         |         CAST(sum(neg) AS BIGINT) AS neg,
+         |         CAST(sum(pos) + sum(neg) AS BIGINT) AS cnt
+         |  FROM f GROUP BY v
+         |), r AS (
+         |  SELECT pos, neg,
+         |         CAST(sum(cnt) OVER (ORDER BY v) * 2 - cnt + 1 AS BIGINT) AS r2
+         |  FROM g
+         |), m AS (
+         |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |         CAST(sum(neg) AS BIGINT) AS n_neg,
+         |         CAST(sum(pos * r2) AS BIGINT) AS r2_pos
+         |  FROM r
+         |), u AS (
+         |  SELECT n_pos, n_neg, r2_pos - n_pos * (n_pos + 1) AS u2 FROM m
+         |), a AS (
+         |  SELECT n_pos, n_neg, u2,
+         |         CAST(u2 AS DOUBLE) /
+         |           (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+         |  FROM u
+         |)
+         |SELECT n_pos, n_neg, u2, auc, auc * 2.0 - 1.0 AS gini FROM a""".stripMargin
+    },
 
     "page_hinkley_drift" ->
       s"""WITH daily AS (

@@ -320,6 +320,90 @@ class RelationalSpec extends SparkSpec {
       s"estimate $est wildly off exact $exact")
   }
 
+  test("theta sketch intersection: exact when both sets fit the sketch, " +
+    "theta is the min threshold") {
+    val r = SparkEntry.queries("theta_intersect_users")(spark, sfDir).head()
+    val (kA, kthA, kB, kthB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val theta = r.getLong(4)
+    val nCommon = r.getLong(5)
+    val est = r.getDouble(6)
+    val exact = r.getLong(7)
+    val p = graft.text.TextOps.P
+    // theta = min of the two per-sketch thresholds (P when undersubscribed)
+    val tA = if (kA < 256) p else kthA
+    val tB = if (kB < 256) p else kthB
+    assert(theta == math.min(tA, tB))
+    // when both sketches retained everything, the "estimate" IS exact
+    if (kA < 256 && kB < 256) {
+      assert(theta == p && nCommon == exact)
+      assert(math.abs(est - exact.toDouble) < 1e-6)
+    } else {
+      // sketch estimate within a loose multiplicative band of exact
+      assert(est >= 0.0)
+      if (exact > 0) assert(est / exact > 0.2 && est / exact < 5.0,
+        s"estimate $est wildly off exact $exact")
+    }
+  }
+
+  test("holt_winters_daily matches a sequential scala recomputation") {
+    val got = SparkEntry.queries("holt_winters_daily")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rowsUnsorted) =>
+      val rows = rowsUnsorted.sortBy(_._2)
+      val xs = rows.map(_._3)
+      if (xs.length >= 2) {
+        var l = xs(0)
+        var b = xs(1) - xs(0)
+        val sea = Array.fill(7)(0.0)
+        // position 1 = init state
+        assert(math.abs(rows(0)._4 - l) < 1e-9)
+        assert(math.abs(rows(0)._5 - b) < 1e-9)
+        assert(rows(0)._6 == 0.0)
+        for (t <- 2 to xs.length) {
+          val x = xs(t - 1)
+          val slot = (t - 1) % 7
+          val sOld = sea(slot)
+          val l2 = 0.5 * (x - sOld) + 0.5 * (l + b)
+          val b2 = 0.25 * (l2 - l) + 0.75 * b
+          sea(slot) = 0.25 * (x - l2) + 0.75 * sOld
+          l = l2; b = b2
+          val row = rows(t - 1)
+          assert(math.abs(row._4 - l) < 1e-6 * math.max(1.0, math.abs(l)), s"level t=$t")
+          assert(math.abs(row._5 - b) < 1e-6 * math.max(1.0, math.abs(b)), s"trend t=$t")
+          assert(math.abs(row._6 - sea(slot)) < 1e-6 * math.max(1.0, math.abs(sea(slot))),
+            s"seasonal t=$t")
+          val fc = l + b + sea(t % 7)
+          assert(math.abs(row._7 - fc) < 1e-6 * math.max(1.0, math.abs(fc)), s"forecast t=$t")
+        }
+      }
+    }
+  }
+
+  test("score_auc_langid equals the pairwise-comparison AUC definition") {
+    val r = Stats.queries("score_auc_langid")(spark, sfDir).head()
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+      .map { case (lang, text) =>
+        // engine semantics: split(trim(text), "\\s+") yields [""] for an
+        // empty text (size 1), so toks is never 0 here
+        val toks = text.trim.split("\\s+")
+        (lang == "en", toks.distinct.length.toLong * 1000000L / toks.length)
+      }
+    val pos = docs.filter(_._1).map(_._2)
+    val neg = docs.filterNot(_._1).map(_._2)
+    var u = 0.0
+    for (p0 <- pos; n0 <- neg) {
+      if (p0 > n0) u += 1.0 else if (p0 == n0) u += 0.5
+    }
+    val auc = u / (pos.length.toDouble * neg.length.toDouble)
+    assert(r.getLong(0) == pos.length.toLong && r.getLong(1) == neg.length.toLong)
+    assert(math.abs(r.getDouble(3) - auc) < 1e-9, s"auc ${r.getDouble(3)} vs $auc")
+  }
+
   test("merge upsert: updates repriced, inserts re-keyed, keeps untouched") {
     val rows = SparkEntry.queries("merge_upsert_orders")(spark, sfDir).collect()
     val orders = graft.Tables.load(spark, sfDir, "orders")
