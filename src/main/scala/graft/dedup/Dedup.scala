@@ -49,6 +49,14 @@ object Dedup {
   val SnmKeyLen = 24
   val SnmW = 6
 
+  /** Content-defined chunking: gram width for the rolling boundary hash
+    * and the boundary mask (cut where `hash % CDC_MASK == 0` → expected
+    * chunk length ≈ CDC_MASK chars). Top-N duplicated chunks reported.
+    */
+  val CDC_K = 7
+  val CDC_MASK = 64
+  val CDC_TOP = 50
+
   /** Exact dedup: keep the lowest doc id per identical text — the
     * hash-groupBy form (`min` per group; one shuffle on the text hash).
     * At scale one groups on `xxhash64(text)` first and resolves the rare
@@ -601,6 +609,59 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Content-defined chunking duplicate report (the Rabin/FastCDC family:
+    * Muthitacharoen et al., "A low-bandwidth network file system",
+    * SOSP'01): cut each document where the rolling [[CDC_K]]-gram hash
+    * ≡ 0 mod [[CDC_MASK]], so chunk boundaries follow CONTENT, not
+    * offsets — an insertion early in a document shifts every byte but
+    * re-synchronizes at the next content-defined cut, which is why CDC
+    * (not fixed-size blocks) is the storage-dedup primitive. Each chunk
+    * is identified by its polynomial hash; the report is the top
+    * [[CDC_TOP]] chunks appearing more than once corpus-wide, with
+    * occurrence and distinct-document counts.
+    *
+    * Scale shape (100 TB): one narrow pass per document (gram hashes →
+    * cut positions → substrings — all codegen'd HOFs, no UDFs), then ONE
+    * map-side-combined groupBy on the chunk hash; only (hash, counts)
+    * pairs shuffle, never chunk text. The top-N is TakeOrdered.
+    */
+  /** The (id, chunk) exploded frame behind [[cdcChunkDuplicates]] —
+    * exposed for callers that need raw chunks (delta-sync manifests,
+    * chunk-level storage dedup).
+    */
+  def cdcChunks(docs: DataFrame, mask: Int = CDC_MASK, k: Int = CDC_K,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = TextOps.charGramHashes(col(textCol), k)
+    // positions 2..n_grams (a cut at 1 would open a zero-length chunk);
+    // the greatest() floor keeps `sequence` ascending on degenerate short
+    // texts — its out-of-range probe lands on a NULL gram and drops
+    val cuts = filter(sequence(lit(2), greatest(size(grams), lit(2))),
+      p => element_at(grams, p) % mask === 0)
+    val bounds = concat(array(lit(1)), cuts,
+      array(length(col(textCol)) + 1))
+    val chunks = transform(sequence(lit(1), size(bounds) - 1), j =>
+      col(textCol).substr(element_at(bounds, j),
+        element_at(bounds, j + 1) - element_at(bounds, j)))
+    docs.select(col(idCol).as("id"), explode(chunks).as("chunk"))
+      .filter(length(col("chunk")) > 0)
+  }
+
+  def cdcChunkDuplicates(docs: DataFrame, mask: Int = CDC_MASK,
+                         k: Int = CDC_K, topN: Int = CDC_TOP,
+                         idCol: String = "doc_id", textCol: String = "text"
+                        ): DataFrame = {
+    cdcChunks(docs, mask, k, idCol, textCol)
+      .select(col("id"), TextOps.polyHash(col("chunk")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("clen"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("clen")).as("chunk_len"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("chunk_hash"))
+      .limit(topN)
   }
 
   /** Near-pairs by SimHash: candidates share >=1 of `nb` bands (pigeonhole:

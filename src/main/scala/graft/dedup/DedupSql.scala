@@ -87,6 +87,39 @@ object DedupSql {
        |SELECT a, b, jaccard FROM v WHERE jaccard >= $minJaccard
        |ORDER BY a, b""".stripMargin
 
+  /** Mirror of [[Dedup.cdcChunkDuplicates]]: same rolling-gram boundary
+    * rule, same substring chunking, same polynomial chunk identity.
+    */
+  def cdcChunkDuplicates(mask: Int = Dedup.CDC_MASK, k: Int = Dedup.CDC_K,
+                         topN: Int = Dedup.CDC_TOP,
+                         table: String = "documents"): String = {
+    val grams = TextSql.charGramHashes("text", k)
+    s"""WITH g AS (
+       |  SELECT doc_id AS id, text, $grams AS grams FROM $table
+       |), b AS (
+       |  SELECT id, text,
+       |         list_concat(list_concat([1],
+       |           list_filter(range(2, greatest(len(grams), 2) + 1),
+       |                       p -> grams[p] % $mask = 0)),
+       |           [length(text) + 1]) AS bounds
+       |  FROM g
+       |), ch AS (
+       |  SELECT id, UNNEST(list_transform(range(1, len(bounds)), j ->
+       |    substring(text, bounds[j], bounds[j + 1] - bounds[j]))) AS chunk
+       |  FROM b
+       |), nz AS (SELECT id, chunk FROM ch WHERE length(chunk) > 0),
+       |h AS (
+       |  SELECT id, ${TextSql.polyHash("chunk")} AS chunk_hash,
+       |         CAST(length(chunk) AS BIGINT) AS clen
+       |  FROM nz
+       |)
+       |SELECT chunk_hash, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_occurrences,
+       |       min(clen) AS chunk_len
+       |FROM h GROUP BY chunk_hash HAVING count(*) > 1
+       |ORDER BY n_occurrences DESC, chunk_hash LIMIT $topN""".stripMargin
+  }
+
   /** Mirror of [[Dedup.minhashCalibration]]: every banded candidate pair
     * with sketch estimate, exact Jaccard, and absolute error.
     */

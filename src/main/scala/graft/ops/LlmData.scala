@@ -537,6 +537,11 @@ object LlmData {
       Dedup.sortedNeighborhoodPairs(docs(s, dir), minJaccard = MinJaccard)
         .orderBy("a", "b")),
 
+    // content-defined chunking: shift-resistant chunk boundaries + the
+    // corpus-wide duplicated-chunk report. See Dedup.cdcChunkDuplicates.
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunkDuplicates(docs(s, dir))),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), MinJaccard)
         .orderBy("a", "b")),
@@ -1076,6 +1081,7 @@ object LlmData {
     "dedup_simhash_pairs" -> DedupSql.simhashPairs(MaxHamming),
     "dedup_sorted_neighborhood" ->
       DedupSql.sortedNeighborhoodPairs(minJaccard = MinJaccard),
+    "dedup_cdc_chunks" -> DedupSql.cdcChunkDuplicates(),
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
     "dedup_substring_spans" -> DedupSql.substringSpans(),
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),

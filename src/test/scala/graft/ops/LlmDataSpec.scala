@@ -790,4 +790,30 @@ class LlmDataSpec extends SparkSpec {
     assert(want.nonEmpty, "no SNM pairs at sf0.001 — the window is never exercised")
     assert(got == want)
   }
+
+  test("cdc chunks reconstruct each document and re-sync after an insertion") {
+    import spark.implicits._
+    val base = Tables.load(spark, sfDir, "documents")
+      .orderBy("doc_id").select("text").head().getString(0)
+    val shifted = "Z" + base
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = graft.dedup.Dedup.cdcChunks(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val c1 = chunks.filter(_._1 == 1L).map(_._2)
+    val c2 = chunks.filter(_._1 == 2L).map(_._2)
+    // chunks partition the text (explode preserves array order)
+    assert(c1.mkString == base)
+    assert(c2.mkString == shifted)
+    assert(c1.length > 3, s"only ${c1.length} chunks — boundary rule never fires")
+    // content-defined re-sync: a 1-char insertion at the front leaves the
+    // chunk stream identical from the first shared boundary on
+    val shared = c1.toSet.intersect(c2.toSet).size
+    assert(shared >= c1.length - 2,
+      s"only $shared of ${c1.length} chunks survived a 1-char shift")
+    // duplicated-chunk report is exercised on the real corpus
+    val rep = SparkEntry.queries("dedup_cdc_chunks")(spark, sfDir).collect()
+    assert(rep.nonEmpty)
+    assert(rep.forall(r => r.getLong(2) > 1L))
+    assert(rep.forall(r => r.getLong(1) <= r.getLong(2)))
+  }
 }
