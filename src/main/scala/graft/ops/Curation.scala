@@ -364,6 +364,56 @@ object Curation {
             / size(col("ms"))).as("centroid"))
         .orderBy("label", "dim")),
 
+    // ---- per-label centroid margin audit -----------------------------------
+    // The label-quality score behind dataset cartography: per vector,
+    // cosine to its OWN label centroid minus the best cosine to any OTHER
+    // centroid — negative margin ⇒ the vector sits closer to a foreign
+    // class (mislabeled/ambiguous). Centroids are the exact vec-id-ordered
+    // folds of emb_label_centroids; the k-centroid table broadcasts and
+    // the corpus is scanned ONCE (k·N cosine rows, k small). The per-label
+    // mean margin is summed as floor(margin·2⁴⁰) int64 — identical floors
+    // of identical doubles on both engines, no float reassociation across
+    // rows (int64 headroom to ~4e12 vectors/label; decimal beyond).
+    "emb_centroid_margin" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val dotD = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val cents = e.select(col("label").cast("long").as("cl"), col("vec_id"),
+          posexplode(col("embedding")))
+        .select(col("cl"), col("pos"),
+          struct(col("vec_id"), col("col").cast("double").as("x")).as("m"))
+        .groupBy(col("cl"), col("pos"))
+        .agg(sort_array(collect_list(col("m"))).as("ms"))
+        .select(col("cl"), col("pos"),
+          (aggregate(col("ms"), lit(0.0), (acc, m) => acc + m.getField("x"))
+            / size(col("ms"))).as("c"))
+        .groupBy(col("cl"))
+        .agg(collect_list(struct(col("pos"), col("c"))).as("pc"))
+        .select(col("cl"), transform(array_sort(col("pc")), x => x("c")).as("cent"))
+      val pairs = e.select(col("vec_id"), col("label").cast("long").as("vl"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("vl"), col("cl"),
+          (dotD(col("v"), col("cent")) /
+            (sqrt(dotD(col("v"), col("v"))) * sqrt(dotD(col("cent"), col("cent")))))
+            .as("cos"))
+      pairs.groupBy(col("vec_id"), col("vl"))
+        .agg(max(when(col("cl") === col("vl"), col("cos"))).as("own"),
+          max(when(col("cl") =!= col("vl"), col("cos"))).as("best_other"))
+        .select(col("vl"), (col("own") - col("best_other")).as("margin"))
+        .select(col("vl"),
+          col("margin"),
+          floor(col("margin") * lit(1099511627776.0)).cast("long").as("qm"))
+        .groupBy(col("vl"))
+        .agg(count(lit(1)).as("n"), sum(col("qm")).as("qsum"),
+          sum(when(col("margin") < 0, 1L).otherwise(0L)).as("n_negative"))
+        .select(col("vl").as("label"), col("n"), col("qsum"),
+          (col("qsum").cast("double") /
+            (col("n").cast("double") * lit(1099511627776.0))).as("avg_margin"),
+          col("n_negative"))
+        .orderBy("label")
+    }),
+
     // ---- embedding outliers ------------------------------------------------
     // The farthest-from-centroid report that catches corrupt/mislabeled
     // vectors before they poison ANN indexes or dedup thresholds. Global
@@ -672,6 +722,46 @@ object Curation {
          |         / count(*) AS centroid
          |FROM embeddings, range(0, ${LlmData.EmbDim}) i(i)
          |GROUP BY label, i.i ORDER BY label, dim""".stripMargin,
+    "emb_centroid_margin" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${LlmData.EmbDim + 1}), i -> ($a)[i] * ($b)[i]))"
+      s"""WITH cells AS (
+         |  SELECT CAST(label AS BIGINT) AS cl, i.i AS pos,
+         |         list_sum(list(CAST(embedding[i.i + 1] AS DOUBLE) ORDER BY vec_id))
+         |           / count(*) AS c
+         |  FROM embeddings, range(0, ${LlmData.EmbDim}) i(i)
+         |  GROUP BY cl, i.i
+         |), cents AS (
+         |  SELECT cl, list(c ORDER BY pos) AS cent FROM cells GROUP BY cl
+         |), ve AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS vl,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT vec_id, vl, cl,
+         |         ${dot("v", "cent")} /
+         |           NULLIF(sqrt(${dot("v", "v")}) * sqrt(${dot("cent", "cent")}), 0)
+         |           AS cos
+         |  FROM ve, cents
+         |), pv AS (
+         |  SELECT vec_id, vl,
+         |         max(CASE WHEN cl = vl THEN cos END) AS own,
+         |         max(CASE WHEN cl <> vl THEN cos END) AS best_other
+         |  FROM pairs GROUP BY vec_id, vl
+         |), m AS (
+         |  SELECT vl, own - best_other AS margin,
+         |         CAST(floor((own - best_other) * 1099511627776.0) AS BIGINT) AS qm
+         |  FROM pv
+         |)
+         |SELECT vl AS label, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(qm) AS BIGINT) AS qsum,
+         |       CAST(sum(qm) AS DOUBLE) /
+         |         (CAST(count(*) AS DOUBLE) * 1099511627776.0) AS avg_margin,
+         |       CAST(sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_negative
+         |FROM m GROUP BY vl ORDER BY label""".stripMargin
+    },
+
     "emb_outliers" ->
       s"""WITH cells AS (
          |  SELECT i.i AS pos,

@@ -790,6 +790,14 @@ object LlmData {
         .orderBy("q_id", "rank")
     }),
 
+    // contrastive hard-negative mining: most-similar DIFFERENT-label
+    // neighbors per query. See Similarity.hardNegativesTopK.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegativesTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
+        .orderBy("q_id", "rank")
+    }),
+
     "emb_neardup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), NearDupCos,
         corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
@@ -1331,6 +1339,8 @@ object LlmData {
       SimilaritySql.mrlPrefixTopK(AnnK, AnnQueries, MrlPrefix, MrlCands, EmbDim),
     "ann_hamming_rerank_topk" ->
       SimilaritySql.hammingRerankTopK(AnnK, AnnQueries, HamCands, EmbDim, HamBits),
+    "emb_hard_negatives" ->
+      SimilaritySql.hardNegativesTopK(AnnK, AnnQueries, EmbDim),
     "emb_neardup_pairs" -> SimilaritySql.nearDupPairs(NearDupCos, EmbDim),
     "ann_range_search" -> SimilaritySql.rangeSearch(RangeMinCos, AnnQueries, EmbDim),
     "dedup_ensemble_pairs" ->

@@ -1596,6 +1596,81 @@ object Relational {
         .orderBy("priority", "d")
     }),
 
+    // ---- rolling 28-day revenue/volume correlation -------------------------
+    // Windowed Pearson correlation between daily revenue and daily order
+    // count — the co-movement diagnostic behind "is revenue growth just
+    // volume?". All five window sums are EXACT (cents int64; squares as
+    // DECIMAL(19,0)×DECIMAL(19,0) products — a daily total squared
+    // overflows int64 from sf0.1 up); one mirrored double formula per
+    // emitted day, full 28-row windows only. The serial window runs on
+    // the O(days) rollup (bucketable by the [[graft.ops.Stats]] prefix-sum
+    // recipe if days ever outgrew one partition).
+    "rolling_corr_daily" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(sum(cents).as("x"), count(lit(1)).as("y"))
+      val w = Window.orderBy(col("d")).rowsBetween(-27, 0)
+      val d19 = (c: Column) => c.cast("decimal(19,0)")
+      val nd = (c: Column) => c.cast("double")
+      daily.select(col("d"), col("x"), col("y"),
+          count(lit(1)).over(w).as("nw"),
+          sum(col("x")).over(w).as("sx"),
+          sum(col("y")).over(w).as("sy"),
+          sum(d19(col("x")) * d19(col("x"))).over(w).as("sxx"),
+          sum(d19(col("y")) * d19(col("y"))).over(w).as("syy"),
+          sum(d19(col("x")) * d19(col("y"))).over(w).as("sxy"))
+        .filter(col("nw") === 28)
+        .select(col("d"), col("x"), col("y"),
+          ((nd(col("nw")) * nd(col("sxy")) - nd(col("sx")) * nd(col("sy"))) /
+            (sqrt(nd(col("nw")) * nd(col("sxx")) - nd(col("sx")) * nd(col("sx"))) *
+             sqrt(nd(col("nw")) * nd(col("syy")) - nd(col("sy")) * nd(col("sy")))))
+            .as("corr28"))
+        .orderBy("d")
+    }),
+
+    // ---- incremental JOIN maintenance audit --------------------------------
+    // Delta-maintenance of a join aggregate: with lineitem static and the
+    // orders delta Δ, Δ(orders ⋈ lineitem) = Δorders ⋈ lineitem — so the
+    // refreshed aggregate is base(pre-cut) ⊎ delta(post-cut), and the
+    // audit proves it equals the full recompute per group, exact-cents.
+    // This is how a 100 TB daily pipeline avoids re-joining history:
+    // the delta join touches only new orders (partition-pruned by date),
+    // the base aggregate is a materialized k-row table, and the merge is
+    // a k-row full-outer fold.
+    "join_incremental_refresh" -> ((s, dir) => {
+      val cut = Curation.RefreshCut
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      def agg(odf: DataFrame) =
+        odf.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("rev"))
+      val base = agg(o.filter(col("o_orderdate") < lit(cut).cast("timestamp")))
+        .select(col("o_orderpriority"), col("n").as("n_b"), col("rev").as("rev_b"))
+      val delta = agg(o.filter(col("o_orderdate") >= lit(cut).cast("timestamp")))
+        .select(col("o_orderpriority"), col("n").as("n_d"), col("rev").as("rev_d"))
+      val refreshed = base.join(delta, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_d"), lit(0L)).as("n_delta"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_refreshed"),
+          (coalesce(col("rev_b"), lit(0L)) + coalesce(col("rev_d"), lit(0L)))
+            .as("rev_refreshed"))
+      val full = agg(o)
+        .select(col("o_orderpriority"), col("n").as("n_full"),
+          col("rev").as("rev_full"))
+      refreshed.join(full, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"), col("n_delta"), col("n_refreshed"),
+          col("n_full"), col("rev_refreshed"), col("rev_full"),
+          (col("n_refreshed") === col("n_full") &&
+            col("rev_refreshed") === col("rev_full")).as("consistent"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- cohort retention ---------------------------------------------------
     // Users bucketed by signup week, activity tracked by week offset — the
     // (cohort, offset) -> distinct-user matrix every product warehouse
@@ -3470,6 +3545,69 @@ object Relational {
          |         hb[t][1] + hb[t][2] + hb[t][t % 7 + 3])) AS forecast_next
          |FROM folded ORDER BY priority, d""".stripMargin
     },
+    "rolling_corr_daily" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT d, x, y,
+        |         CAST(count(*) OVER win AS BIGINT) AS nw,
+        |         CAST(sum(x) OVER win AS BIGINT) AS sx,
+        |         CAST(sum(y) OVER win AS BIGINT) AS sy,
+        |         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) OVER win AS sxx,
+        |         sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER win AS syy,
+        |         sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER win AS sxy
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT d, x, y,
+        |       (CAST(nw AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |         (sqrt(CAST(nw AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |          sqrt(CAST(nw AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr28
+        |FROM w WHERE nw = 28 ORDER BY d""".stripMargin,
+
+    "join_incremental_refresh" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey,
+         |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM lineitem
+         |), base AS (
+         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_b,
+         |         CAST(sum(c) AS BIGINT) AS rev_b
+         |  FROM orders JOIN li ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate < TIMESTAMP '${Curation.RefreshCut}'
+         |  GROUP BY o_orderpriority
+         |), delta AS (
+         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_d,
+         |         CAST(sum(c) AS BIGINT) AS rev_d
+         |  FROM orders JOIN li ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= TIMESTAMP '${Curation.RefreshCut}'
+         |  GROUP BY o_orderpriority
+         |), refreshed AS (
+         |  SELECT o_orderpriority,
+         |         coalesce(n_d, 0) AS n_delta,
+         |         coalesce(n_b, 0) + coalesce(n_d, 0) AS n_refreshed,
+         |         coalesce(rev_b, 0) + coalesce(rev_d, 0) AS rev_refreshed
+         |  FROM base FULL OUTER JOIN delta USING (o_orderpriority)
+         |), fullr AS (
+         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_full,
+         |         CAST(sum(c) AS BIGINT) AS rev_full
+         |  FROM orders JOIN li ON o_orderkey = l_orderkey
+         |  GROUP BY o_orderpriority
+         |)
+         |SELECT o_orderpriority, CAST(n_delta AS BIGINT) AS n_delta,
+         |       CAST(n_refreshed AS BIGINT) AS n_refreshed, n_full,
+         |       CAST(rev_refreshed AS BIGINT) AS rev_refreshed, rev_full,
+         |       n_refreshed = n_full AND rev_refreshed = rev_full AS consistent
+         |FROM refreshed FULL OUTER JOIN fullr USING (o_orderpriority)
+         |ORDER BY o_orderpriority""".stripMargin,
+
     "cohort_retention" ->
       """WITH cohorts AS (
         |  SELECT user_id,

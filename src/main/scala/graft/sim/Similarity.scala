@@ -594,6 +594,24 @@ object Similarity {
     topKBySim(gathered, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors of a DIFFERENT label — the "hardest"
+    * negatives are the near-misses, and mining them is a first-class
+    * step of every embedding-training pipeline. Identical contract and
+    * scale shape to [[cosineTopK]] (broadcast queries, one corpus pass,
+    * per-partition window top-k); the label inequality is a narrow
+    * pre-filter on the candidate stream.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_lab")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("n_lab"))
+    topKBySim(q.crossJoin(c).filter(col("q_lab") =!= col("n_lab")), k)
+  }
+
   /** Pack the sign bits of the first `bits` dimensions into one BIGINT —
     * the 1-bit-per-dim binary quantization behind Hamming-space search.
     * Capped at 63 bits: bit 63 would make the code negative and a

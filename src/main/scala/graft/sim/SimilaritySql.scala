@@ -141,6 +141,25 @@ object SimilaritySql {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim FROM ranked
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Mirrors [[Similarity.hardNegativesTopK]] on the first `nQueries`
+    * vectors as queries.
+    */
+  def hardNegativesTopK(k: Int, nQueries: Int, dim: Int,
+                        table: String = "embeddings"): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_lab
+       |           FROM $table WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec, label AS n_lab FROM $table),
+       |sims AS (
+       |  SELECT q_id, n_id, ${cosine("q_vec", "n_vec", dim)} AS sim
+       |  FROM q JOIN c ON q_id <> n_id AND q_lab <> n_lab
+       |), ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
   def lshBucketTopK(k: Int, nQueries: Int, dim: Int,
                     table: String = "embeddings"): String =
     s"""WITH pbt AS (${planeBitsSql(table)}),

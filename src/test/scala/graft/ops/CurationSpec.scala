@@ -343,6 +343,47 @@ class CurationSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("emb_centroid_margin matches a brute-force centroid recomputation") {
+    val rows = Curation.queries("emb_centroid_margin")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val e = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2).toLong))
+    assert(rows.map(_._2).sum == e.length.toLong)
+    // brute centroids: per (label, dim), mean with members folded in
+    // vec-id order — same arithmetic as the engine
+    val dim = e.head._2.length
+    val cents = e.groupBy(_._3).view.mapValues { vs =>
+      val sorted = vs.sortBy(_._1)
+      Array.tabulate(dim) { d =>
+        sorted.foldLeft(0.0)((acc, v) => acc + v._2(d).toDouble) / vs.size
+      }
+    }.toMap
+    def dotDD(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cosVC(v: Array[Float], c: Array[Double]) = {
+      val vd = v.map(_.toDouble)
+      dotDD(vd, c) / (math.sqrt(dotDD(vd, vd)) * math.sqrt(dotDD(c, c)))
+    }
+    val margins = e.map { case (_, v, lab) =>
+      val own = cosVC(v, cents(lab))
+      val other = cents.collect { case (l, c) if l != lab => cosVC(v, c) }.max
+      (lab, own - other)
+    }
+    val byLab = margins.groupBy(_._1)
+    rows.foreach { case (lab, n, _, avgMargin, nNeg) =>
+      val ms = byLab(lab).map(_._2)
+      assert(n == ms.length.toLong)
+      assert(nNeg == ms.count(_ < 0).toLong)
+      val want = ms.map(m => math.floor(m * 1099511627776.0)).sum /
+        (ms.length * 1099511627776.0)
+      assert(math.abs(avgMargin - want) < 1e-9, s"label $lab: $avgMargin vs $want")
+    }
+  }
+
   test("mix_domain_weights: capped weights, unit mixture, uniform target") {
     val rows = Curation.queries("mix_domain_weights")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),

@@ -791,6 +791,29 @@ class LlmDataSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hard negatives: every neighbor has a different label, sims are " +
+    "the true cosines in rank order") {
+    val labels = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val vecs = embVectors
+    val got = SparkEntry.queries("emb_hard_negatives")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, n, sim) =>
+      assert(labels(q) != labels(n), s"neighbor $n shares label with query $q")
+      assert(math.abs(sim - cosD(vecs(q), vecs(n), LlmData.EmbDim)) <= 1e-12)
+    }
+    // per query: ranked descending, and none better than rank 1 among
+    // different-label corpus vectors
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sims = rows.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      val best = vecs.keys.filter(n => n != q && labels(n) != labels(q))
+        .map(n => cosD(vecs(q), vecs(n), LlmData.EmbDim)).max
+      assert(math.abs(sims.head - best) <= 1e-12)
+    }
+  }
+
   test("cdc chunks reconstruct each document and re-sync after an insertion") {
     import spark.implicits._
     val base = Tables.load(spark, sfDir, "documents")

@@ -404,6 +404,50 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - auc) < 1e-9, s"auc ${r.getDouble(3)} vs $auc")
   }
 
+  test("rolling_corr_daily: full windows only, |corr| <= 1, one window " +
+    "matches brute force") {
+    val rows = SparkEntry.queries("rolling_corr_daily")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4.isNaN || math.abs(r._4) <= 1.0 + 1e-12))
+    val daily = graft.Tables.load(spark, sfDir, "orders")
+      .groupBy(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          (org.apache.spark.sql.functions.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("x"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length == daily.length - 27)
+    // brute-force the last emitted window
+    val win = daily.takeRight(28)
+    val n = 28.0
+    val sx = win.map(_._2).sum.toDouble
+    val sy = win.map(_._3).sum.toDouble
+    val sxx = win.map(w => BigInt(w._2) * w._2).sum.toDouble
+    val syy = win.map(w => BigInt(w._3) * w._3).sum.toDouble
+    val sxy = win.map(w => BigInt(w._2) * w._3).sum.toDouble
+    val corr = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(rows.last._4 - corr) < 1e-9, s"${rows.last._4} vs $corr")
+  }
+
+  test("join_incremental_refresh: delta maintenance equals full recompute") {
+    val rows = SparkEntry.queries("join_incremental_refresh")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(6), s"inconsistent refresh row: $r")
+      assert(r.getLong(2) == r.getLong(3))
+      assert(r.getLong(4) == r.getLong(5))
+    }
+    // the delta is non-trivial (cut date splits the data)
+    assert(rows.map(_.getLong(1)).sum > 0)
+    assert(rows.map(r => r.getLong(2) - r.getLong(1)).sum > 0)
+  }
+
   test("merge upsert: updates repriced, inserts re-keyed, keeps untouched") {
     val rows = SparkEntry.queries("merge_upsert_orders")(spark, sfDir).collect()
     val orders = graft.Tables.load(spark, sfDir, "orders")
