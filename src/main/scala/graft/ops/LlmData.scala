@@ -128,6 +128,18 @@ object LlmData {
     */
   val HamBits = 63
   val HamCands = 3 * AnnK
+
+  /** NDCG position discounts 1/log2(i+1), i = 1..AnnK, as pre-evaluated
+    * decimal literals — both engines parse the same digit string to the
+    * same correctly-rounded double (the Benford-shares rule: no runtime
+    * log2 across two libms).
+    */
+  val NdcgDiscounts: Seq[(Int, String)] = Seq(
+    1 -> "1.0",
+    2 -> "0.6309297535714575",
+    3 -> "0.5",
+    4 -> "0.43067655807339306",
+    5 -> "0.38685280723454163")
   val MinJaccard = 0.5
   /** With 4 LSH bands over 48 bits, <=3 flips cannot miss every band —
     * banded candidate generation is COMPLETE for this threshold
@@ -830,6 +842,37 @@ object LlmData {
         .orderBy("q_id")
     }),
 
+    // ---- NDCG@k of the LSH index against exact retrieval -------------------
+    // The graded complement of ann_recall_report: recall treats every hit
+    // equally, NDCG discounts by position with the EXACT cosine as gain —
+    // an index that finds the right neighbors in the wrong order (or
+    // only the easy ones) scores below 1 even at full recall. Discounts
+    // 1/log2(i+1) are shared decimal literals (runtime log2 is at the
+    // mercy of two libms — the Benford-shares rule); both engines fold
+    // the k per-query contributions in rank order. Composes the two
+    // REGISTERED pipelines; one k-row-per-query join, no new corpus pass.
+    "ann_ndcg_audit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < AnnQueries)
+      val disc = (rank: org.apache.spark.sql.Column) =>
+        NdcgDiscounts.foldLeft(lit(0.0)) { case (acc, (i, d)) =>
+          when(rank === i, lit(d).cast("double")).otherwise(acc)
+        }
+      def dcg(df: DataFrame, out: String) =
+        df.select(col("q_id"), col("rank"), (col("sim") * disc(col("rank"))).as("c"))
+          .groupBy(col("q_id"))
+          .agg(aggregate(array_sort(collect_list(struct(col("rank"), col("c")))),
+            lit(0.0), (acc, x) => acc + x("c")).as(out))
+      val ideal = dcg(Similarity.cosineTopK(e, q, AnnK), "idcg")
+      val got = dcg(Similarity.lshBucketTopK(e, q, AnnK,
+        corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))),
+        "dcg")
+      ideal.join(got, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+          (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+        .orderBy("q_id")
+    }),
+
     // multi-signal (ensemble) near-dup: text MinHash-LSH pairs FULL OUTER
     // embedding-cosine pairs over the shared id space, with a bitmask of
     // which signal(s) fired (1 = text, 2 = embedding, 3 = both). The
@@ -1331,6 +1374,30 @@ object LlmData {
          |LEFT JOIN (${SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim)}) a
          |  ON e.q_id = a.q_id AND e.n_id = a.n_id
          |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
+    "ann_ndcg_audit" -> {
+      // CAST('…' AS DOUBLE), not a bare numeric literal: DuckDB parses a
+      // bare decimal literal into DECIMAL and its decimal→double cast is
+      // not correctly rounded (observed off-by-one-ulp at 17 digits);
+      // the VARCHAR→DOUBLE parse matches the engine's string-literal cast.
+      val vals = NdcgDiscounts.map { case (i, d) =>
+        s"($i, CAST('$d' AS DOUBLE))" }.mkString(", ")
+      s"""WITH ex AS (${SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim)}),
+         |ap AS (${SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim)}),
+         |dt(i, disc) AS (VALUES $vals),
+         |ideal AS (
+         |  SELECT q_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(sim * disc ORDER BY rank)), (a, b) -> a + b) AS idcg
+         |  FROM ex JOIN dt ON ex.rank = dt.i GROUP BY q_id
+         |), got AS (
+         |  SELECT q_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(sim * disc ORDER BY rank)), (a, b) -> a + b) AS dcg
+         |  FROM ap JOIN dt ON ap.rank = dt.i GROUP BY q_id
+         |)
+         |SELECT i.q_id, coalesce(g.dcg, 0.0) AS dcg, i.idcg,
+         |       coalesce(g.dcg, 0.0) / i.idcg AS ndcg
+         |FROM ideal i LEFT JOIN got g ON i.q_id = g.q_id
+         |ORDER BY i.q_id""".stripMargin
+    },
     "ann_ivf_topk" -> SimilaritySql.ivfTopK(AnnK, AnnQueries, IvfCentroids, EmbDim, IvfProbes),
     "ann_pq_adc_topk" -> SimilaritySql.pqAdcTopK(AnnK, AnnQueries, PqM, PqKsub, EmbDim),
     "ann_ivfpq_topk" -> SimilaritySql.ivfPqTopK(AnnK, AnnQueries, PqM, PqKsub,

@@ -814,6 +814,23 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("ndcg audit: bounded by 1, consistent with a brute-force dcg") {
+    val rows = SparkEntry.queries("ann_ndcg_audit")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == LlmData.AnnQueries)
+    val disc = LlmData.NdcgDiscounts.map { case (i, d) => i.toLong -> d.toDouble }.toMap
+    val exact = SparkEntry.queries("ann_cosine_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val wantIdcg = exact.groupBy(_._1).view.mapValues(rs =>
+      rs.sortBy(_._2).foldLeft(0.0)((acc, r) => acc + r._3 * disc(r._2))).toMap
+    rows.foreach { case (q, dcg, idcg, ndcg) =>
+      assert(idcg > 0.0)
+      assert(dcg <= idcg + 1e-12, s"q=$q dcg above ideal")
+      assert(ndcg <= 1.0 + 1e-12 && ndcg >= 0.0)
+      assert(math.abs(idcg - wantIdcg(q)) < 1e-12)
+    }
+  }
+
   test("cdc chunks reconstruct each document and re-sync after an insertion") {
     import spark.implicits._
     val base = Tables.load(spark, sfDir, "documents")
