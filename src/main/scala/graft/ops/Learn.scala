@@ -187,6 +187,35 @@ object Learn {
             lit(GdQ.toDouble * GdQ.toDouble)).as("mse"))
     }),
 
+    // ---- calibration (reliability) bins for the trained quality gate -------
+    // The eval every deployed filter-model needs: bin predictions into
+    // centiles of the (rational, deterministic) sigmoid and compare the
+    // mean predicted probability with the observed positive rate per
+    // bin — a well-calibrated gate sits on the diagonal. Reuses the
+    // EXACT registered training (same unrolled plan); predictions are
+    // floor-quantized at 2^-20 before the per-bin sum, so every cross-
+    // row reduction is int64 and the two final ratios are mirrored
+    // divisions. Same one-scan-per-step shape as logreg_quality_gd plus
+    // one 10-row aggregation pass.
+    "logreg_calibration_bins" -> ((s, dir) => {
+      val facts = gdFacts(s, dir)
+      val w0 = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
+        lit(0.0).as("w2"))
+      val wN = (1 to GdIters).foldLeft(w0)((w, _) => gdStep(facts, w))
+      withResidual(facts.crossJoin(broadcast(wN)))
+        .withColumn("qs", floor(col("s") * lit(GdQ.toDouble)).cast("long"))
+        .withColumn("bin", least(floor(col("s") * 100).cast("long"), lit(99L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("qs")).as("qsum"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          (col("qsum").cast("double") / col("n").cast("double") /
+            lit(GdQ.toDouble)).as("mean_pred"),
+          (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
+        .withColumn("gap", col("mean_pred") - col("frac_pos"))
+        .orderBy("bin")
+    }),
+
     // ---- DBSCAN core/border/noise over the embedding plane -----------------
     // Density classification on the first two embedding coordinates:
     // grid-block each point into an eps-sized cell, fan each point out to
@@ -360,6 +389,37 @@ object Learn {
            |  FROM (SELECT f.*, w.*,
            |               w0 + w1 * (x1i / CAST(50000000.0 AS DOUBLE)) + w2 * x2 AS z
            |        FROM f, s3 w))""".stripMargin,
+
+      "logreg_calibration_bins" ->
+        s"""WITH f AS ($facts),
+           |w0i AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
+           |               0.0::DOUBLE AS w2),
+           |s1 AS (${step("w0i")}),
+           |s2 AS (${step("s1")}),
+           |s3 AS (${step("s2")}),
+           |act AS (
+           |  SELECT y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS s
+           |  FROM (SELECT f.*, w.*,
+           |               w0 + w1 * (x1i / CAST(50000000.0 AS DOUBLE)) + w2 * x2 AS z
+           |        FROM f, s3 w)
+           |), q AS (
+           |  SELECT y, CAST(floor(s * $GdQ.0) AS BIGINT) AS qs,
+           |         least(CAST(floor(s * 100) AS BIGINT), 99) AS bin
+           |  FROM act
+           |), b AS (
+           |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(y) AS BIGINT) AS n_pos,
+           |         CAST(sum(qs) AS BIGINT) AS qsum
+           |  FROM q GROUP BY bin
+           |), m AS (
+           |  SELECT bin, n, n_pos,
+           |         CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) / $GdQ.0 AS mean_pred,
+           |         CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+           |  FROM b
+           |)
+           |SELECT bin, n, n_pos, mean_pred, frac_pos,
+           |       mean_pred - frac_pos AS gap
+           |FROM m ORDER BY bin""".stripMargin,
 
       "dbscan_grid_cores" ->
         s"""WITH p AS (

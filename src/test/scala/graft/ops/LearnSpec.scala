@@ -235,4 +235,24 @@ class LearnSpec extends SparkSpec {
       .toSeq
     assert(gotConf == expConf)
   }
+
+  test("calibration bins: partition the facts, means sit inside their bin") {
+    val rows = SparkEntry.queries("logreg_calibration_bins")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val nOrders = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(rows.map(_._2).sum == nOrders)
+    rows.foreach { case (bin, n, nPos, meanPred, fracPos, gap) =>
+      assert(bin >= 0 && bin <= 99)
+      assert(nPos >= 0 && nPos <= n)
+      assert(fracPos >= 0.0 && fracPos <= 1.0)
+      // the quantized mean prediction lies within its centile (floor
+      // quantization can undershoot the lower edge by at most 2^-20)
+      assert(meanPred >= bin / 100.0 - 1.0 / (1 << 20))
+      assert(meanPred < (bin + 1) / 100.0)
+      assert(math.abs(gap - (meanPred - fracPos)) < 1e-15)
+    }
+  }
 }
