@@ -129,6 +129,18 @@ object LlmData {
   val HamBits = 63
   val HamCands = 3 * AnnK
 
+  /** Gopher rule thresholds (Rae et al. 2021, Appendix A): word-count
+    * bounds and the required-stopword list. The canonical rule demands
+    * ≥ 2 distinct list words; this corpus is synthetic word soup whose
+    * vocabulary carries at most one, so the parameter is 1 here — the
+    * rule machinery is what's under test, the threshold is a knob.
+    */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinStops = 1L
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** NDCG position discounts 1/log2(i+1), i = 1..AnnK, as pre-evaluated
     * decimal literals — both engines parse the same digit string to the
     * same correctly-rounded double (the Benford-shares rule: no runtime
@@ -243,6 +255,47 @@ object LlmData {
       d.select((col("doc_id") +: feats :+
         TextOps.qualityScore(col("text"), col("toks")).as("quality")): _*)
         .orderBy("doc_id")
+    }),
+
+    // ---- Gopher quality rules (Rae et al. 2021, Appendix A) ----------------
+    // The named rule-based filter most production pipelines start from:
+    // word-count bounds, mean-word-length band, symbol-to-word ratio,
+    // alphabetic-word fraction, and required-stopword presence. Flags are
+    // computed per document (integer counts + row-wise IEEE divisions —
+    // deterministic cross-engine) and reported as a per-source failure
+    // breakdown, the shape a curation dashboard actually consumes. One
+    // fact pass, one map-side-combined groupBy(source).
+    "quality_gopher_rules" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val per = docs(s, dir).select(col("source"),
+          size(toks).cast("long").as("n"),
+          (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+            size(toks)).as("mean_len"),
+          ((regexp_count(col("text"), lit("#")) +
+            regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") /
+            size(toks)).as("symbol_ratio"),
+          (size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+            size(toks)).as("alpha_frac"),
+          GopherStops.map(w =>
+            when(array_contains(toks, w), 1L).otherwise(0L)).reduce(_ + _)
+            .as("stop_hits"))
+        .select(col("source"),
+          (col("n") >= GopherMinWords && col("n") <= GopherMaxWords).as("f_words"),
+          (col("mean_len") >= 3.0 && col("mean_len") <= 10.0).as("f_wordlen"),
+          (col("symbol_ratio") <= 0.1).as("f_symbol"),
+          (col("alpha_frac") >= 0.8).as("f_alpha"),
+          (col("stop_hits") >= GopherMinStops).as("f_stop"))
+      val fail = (c: String) => sum(when(!col(c), 1L).otherwise(0L))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          fail("f_words").as("fail_words"),
+          fail("f_wordlen").as("fail_wordlen"),
+          fail("f_symbol").as("fail_symbol"),
+          fail("f_alpha").as("fail_alpha"),
+          fail("f_stop").as("fail_stopwords"),
+          sum(when(col("f_words") && col("f_wordlen") && col("f_symbol") &&
+            col("f_alpha") && col("f_stop"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
     }),
 
     // ---- cross-source score calibration ------------------------------------
@@ -1090,6 +1143,46 @@ object LlmData {
     "text_sentiment" ->
       s"""SELECT doc_id, ${TextSql.sentimentScore("text")} AS sentiment
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_gopher_rules" -> {
+      val stopSum = GopherStops.map(w =>
+        s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      def failOf(c: String) =
+        s"CAST(sum(CASE WHEN NOT $c THEN 1 ELSE 0 END) AS BIGINT)"
+      s"""WITH t AS (
+         |  SELECT source, ${TextSql.tokens("text")} AS toks, text FROM documents
+         |), per AS (
+         |  SELECT source,
+         |    CAST(len(toks) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |      / len(toks) AS mean_len,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |         + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |      / len(toks) AS symbol_ratio,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+         |         AS DOUBLE) / len(toks) AS alpha_frac,
+         |    ($stopSum) AS stop_hits
+         |  FROM t
+         |), fl AS (
+         |  SELECT source,
+         |    n >= $GopherMinWords AND n <= $GopherMaxWords AS f_words,
+         |    mean_len >= 3.0 AND mean_len <= 10.0 AS f_wordlen,
+         |    symbol_ratio <= 0.1 AS f_symbol,
+         |    alpha_frac >= 0.8 AS f_alpha,
+         |    stop_hits >= $GopherMinStops AS f_stop
+         |  FROM per
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  ${failOf("f_words")} AS fail_words,
+         |  ${failOf("f_wordlen")} AS fail_wordlen,
+         |  ${failOf("f_symbol")} AS fail_symbol,
+         |  ${failOf("f_alpha")} AS fail_alpha,
+         |  ${failOf("f_stop")} AS fail_stopwords,
+         |  CAST(sum(CASE WHEN f_words AND f_wordlen AND f_symbol AND f_alpha
+         |                     AND f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM fl GROUP BY source ORDER BY source""".stripMargin
+    },
+
     "text_quality" -> {
       val feats = TextSql.qualityFeatures("text")
         .map { case (n, e) => s"  $e AS $n" }.mkString(",\n")

@@ -926,6 +926,31 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // ---- schema evolution: mergeSchema read across writer epochs -----------
+    // The lake reality every long-lived table hits: an old writer epoch
+    // without a column and a new epoch with it must read back as ONE
+    // frame (mergeSchema), old rows null-filled, and aggregate correctly.
+    // Round-trip proof in the roundtrip-family contract: the merged-scan
+    // aggregate must hash-equal the oracle recomputed from the source
+    // table. Scratch I/O per run; the aggregate is the usual
+    // partial-agg'd groupBy. At scale mergeSchema=true is a footer-only
+    // schema union — no data rewrite, which is the point.
+    "schema_evolution_agg" -> ((s, dir) => {
+      val scratch = scratchDir(s, "evolve/orders")
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$scratch/epoch1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$scratch/epoch2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$scratch/epoch1", s"$scratch/epoch2")
+        .groupBy(coalesce(col("o_orderstatus"), lit("<pre-schema>")).as("status"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("status")
+    }),
+
     // ---- CSV round trip: the reference's native input format as a full
     // sink/source pair. DateType serializes as yyyy-MM-dd, doubles as
     // shortest-round-trip decimals, and the explicit-schema read restores
@@ -3282,6 +3307,12 @@ object Relational {
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "schema_evolution_agg" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+        |            ELSE o_orderstatus END AS status,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     "orc_roundtrip_agg" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,

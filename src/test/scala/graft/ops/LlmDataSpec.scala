@@ -814,6 +814,34 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: counts partition the corpus and the filter bites") {
+    val rows = SparkEntry.queries("quality_gopher_rules")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum == nDocs)
+    rows.foreach { case (_, n, fw, fl, fs, fa, fst, kept) =>
+      Seq(fw, fl, fs, fa, fst).foreach(f => assert(f >= 0 && f <= n))
+      assert(kept >= 0 && kept <= n)
+      // kept can't exceed docs passing any single rule
+      assert(kept <= n - Seq(fw, fl, fs, fa, fst).max)
+    }
+    assert(rows.map(_._8).sum > 0, "filter keeps nothing — thresholds broken")
+    assert(rows.map(r => r._2 - r._8).sum > 0, "filter rejects nothing")
+  }
+
+  test("schema evolution: merged read preserves totals, old epoch null-fills") {
+    val rows = SparkEntry.queries("schema_evolution_agg")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val pre = rows.filter(_._1 == "<pre-schema>")
+    assert(pre.length == 1, "old-epoch rows must null-fill into one group")
+    val o = Tables.load(spark, sfDir, "orders")
+    assert(rows.map(_._2).sum == o.count())
+    assert(pre.head._2 ==
+      o.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
   test("ndcg audit: bounded by 1, consistent with a brute-force dcg") {
     val rows = SparkEntry.queries("ann_ndcg_audit")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
