@@ -611,6 +611,37 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Persist the word-shingle MinHash-LSH index: the raw hash sets and
+    * the (id, band, bh) band table, the latter PARTITIONED BY band so a
+    * probe that only needs some bands reads only those directories —
+    * the train-once/search-many deployment shape, mirroring
+    * [[graft.sim.Similarity.writeIvfIndex]]. At 100 TB the index is
+    * built by one featurization pass and appended per ingested batch;
+    * every downstream dedup/decontamination job starts from the files
+    * instead of re-hashing the corpus.
+    */
+  def writeLshIndex(docs: DataFrame, indexDir: String,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val (sh, bands) = shingleBandIndex(docs, "word", wordSets(idCol, textCol),
+      BANDS, R)
+    sh.write.mode("overwrite").parquet(s"$indexDir/sets")
+    bands.select(col("id"), col("bh"), col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$indexDir/bands")
+  }
+
+  /** Near-dup pairs from a persisted index ([[writeLshIndex]]): identical
+    * result contract to [[minhashPairs]] — candidate band self-join on
+    * the persisted band table, exact-Jaccard verify against the persisted
+    * sets. No corpus re-featurization.
+    */
+  def minhashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, minJaccard: Double): DataFrame = {
+    val sh = spark.read.parquet(s"$indexDir/sets")
+    val bands = spark.read.parquet(s"$indexDir/bands")
+      .select(col("id"), col("band"), col("bh"))
+    verifyJaccard(candidatePairs(bands, bands), sh, minJaccard)
+  }
+
   /** Content-defined chunking duplicate report (the Rabin/FastCDC family:
     * Muthitacharoen et al., "A low-bandwidth network file system",
     * SOSP'01): cut each document where the rolling [[CDC_K]]-gram hash

@@ -607,6 +607,16 @@ object LlmData {
     "dedup_cdc_chunks" -> ((s, dir) =>
       Dedup.cdcChunkDuplicates(docs(s, dir))),
 
+    // persisted-index dedup: write the LSH index once, answer from the
+    // files — result contract identical to dedup_minhash_pairs (same
+    // oracle), physical path = parquet band/sets tables, band-partitioned.
+    "dedup_minhash_from_index" -> ((s, dir) => {
+      val idx = Tables.scratchDir(s, "lsh_index")
+      Dedup.writeLshIndex(docs(s, dir), idx)
+      Dedup.minhashPairsFromIndex(s, idx, MinJaccard)
+        .orderBy("a", "b")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), MinJaccard)
         .orderBy("a", "b")),
@@ -1226,6 +1236,9 @@ object LlmData {
     "dedup_sorted_neighborhood" ->
       DedupSql.sortedNeighborhoodPairs(minJaccard = MinJaccard),
     "dedup_cdc_chunks" -> DedupSql.cdcChunkDuplicates(),
+    // identical result contract to the in-memory pipeline — ONE oracle
+    // definition for both physical paths
+    "dedup_minhash_from_index" -> DedupSql.minhashPairs(MinJaccard),
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
     "dedup_substring_spans" -> DedupSql.substringSpans(),
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),

@@ -2665,6 +2665,106 @@ object Relational {
           col("exact_intersection"))
     }),
 
+    // ---- bitmap-index audience intersection (EXACT, vs the theta sketch) ---
+    // The warehouse bitmap-index pattern: per audience, a presence bitmap
+    // as (word = id div 63, bits = OR of 1<<id%63) rows; intersection
+    // cardinality = Σ popcount(wa AND wb) over the word-equi-join. All
+    // bitwise int64, 63 ids per word — bit 63 would trip DuckDB's
+    // overflow-checked left shift, and one bit of density is a cheap
+    // price for a portable mask (the binarySignCode precedent). At
+    // scale: bitmaps are ~64× denser than id lists, the AND join shuffles
+    // only word-keyed rows, and any number of audiences compose by more
+    // AND/OR joins — this is the exact complement of theta_intersect_users
+    // (sketch = sublinear estimate; bitmap = compressed exact).
+    "bitmap_intersect_users" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      def bm(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id")).distinct()
+        .select(expr("user_id div 63").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").as("bit"))
+        .groupBy(col("word")).agg(bit_or(col("bit")).as("bits"))
+      val a = bm("click").select(col("word"), col("bits").as("wa"))
+      val b = bm("purchase").select(col("word"), col("bits").as("wb"))
+      val na = a.agg(sum(bit_count(col("wa"))).as("n_click"),
+        count(lit(1)).as("words_click"))
+      val nb = b.agg(sum(bit_count(col("wb"))).as("n_purchase"),
+        count(lit(1)).as("words_purchase"))
+      val both = a.join(b, "word")
+        .agg(coalesce(sum(bit_count(col("wa").bitwiseAND(col("wb")))), lit(0L))
+          .as("n_both"))
+      val exact = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct(), "user_id")
+        .agg(count(lit(1)).as("exact_intersection"))
+      na.crossJoin(nb).crossJoin(both).crossJoin(exact)
+        .select(col("n_click"), col("words_click"), col("n_purchase"),
+          col("words_purchase"), col("n_both"), col("exact_intersection"),
+          (col("n_both") === col("exact_intersection")).as("bitmap_exact"))
+    }),
+
+    // ---- GDPR deletion cascade audit ---------------------------------------
+    // Right-to-erasure across the referential chain: a deleted-customer
+    // list anti-joins customers directly, orders by custkey, and
+    // lineitems through the deleted orders' keys (depth-2 cascade). The
+    // audit reports per-table (total, removed, after) plus a `clean`
+    // proof that a semi-join of the survivors against the deletion set
+    // is EMPTY — the shape a compliance job runs after every purge.
+    // Anti/semi joins broadcast the (small) deletion set; fact tables
+    // are scanned once each.
+    "gdpr_delete_cascade" -> ((s, dir) => {
+      val mod = 97
+      val cust = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val del = cust.filter(col("c_custkey") % mod === 0)
+        .select(col("c_custkey").as("k"))
+      val delOrders = orders.join(broadcast(del), col("o_custkey") === col("k"))
+        .select(col("o_orderkey").as("ok"))
+      val cAfter = cust.join(broadcast(del), col("c_custkey") === col("k"), "left_anti")
+      val oAfter = orders.join(broadcast(del), col("o_custkey") === col("k"), "left_anti")
+      val lAfter = li.join(delOrders, col("l_orderkey") === col("ok"), "left_anti")
+      def row(name: String, total: DataFrame, after: DataFrame,
+              leaked: DataFrame) =
+        total.agg(count(lit(1)).as("n_total"))
+          .crossJoin(after.agg(count(lit(1)).as("n_after")))
+          .crossJoin(leaked.agg(count(lit(1)).as("n_leaked")))
+          .select(lit(name).as("table_name"), col("n_total"),
+            (col("n_total") - col("n_after")).as("n_removed"), col("n_after"),
+            (col("n_leaked") === 0L).as("clean"))
+      row("customer", cust, cAfter,
+          cAfter.join(broadcast(del), col("c_custkey") === col("k"), "left_semi"))
+        .unionByName(row("orders", orders, oAfter,
+          oAfter.join(broadcast(del), col("o_custkey") === col("k"), "left_semi")))
+        .unionByName(row("lineitem", li, lAfter,
+          lAfter.join(delOrders, col("l_orderkey") === col("ok"), "left_semi")))
+        .orderBy("table_name")
+    }),
+
+    // ---- multiset (ALL) set-operation audit --------------------------------
+    // EXCEPT ALL / INTERSECT ALL semantics over the click/purchase
+    // user-id MULTISETS (per-user multiplicities preserved), alongside
+    // the distinct counts and the partition identity
+    // |A| = |A EXCEPT ALL B| + |A INTERSECT ALL B| that distinguishes
+    // bag from set semantics — engine-parity surface for the ALL
+    // variants the set/reshape family didn't yet pin.
+    "set_multiset_audit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val a = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val b = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(b.agg(count(lit(1)).as("n_b")))
+        .crossJoin(a.exceptAll(b).agg(count(lit(1)).as("n_except_all")))
+        .crossJoin(a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all")))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_except_distinct")))
+        .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect_distinct")))
+        .select(col("n_a"), col("n_b"), col("n_except_all"),
+          col("n_intersect_all"), col("n_except_distinct"),
+          col("n_intersect_distinct"),
+          (col("n_a") === col("n_except_all") + col("n_intersect_all"))
+            .as("bag_identity"))
+    }),
+
     // ---- Gini coefficient of customer revenue per nation ------------------
     // Inequality metric over the sorted revenue distribution:
     // G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x sorted asc.
@@ -4140,6 +4240,84 @@ object Relational {
          |       exact_intersection
          |FROM th, com, ex""".stripMargin
     },
+    "bitmap_intersect_users" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL
+        |), ca AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'),
+        |cb AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'),
+        |wa AS (
+        |  SELECT user_id // 63 AS word,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bits
+        |  FROM ca GROUP BY 1
+        |), wb AS (
+        |  SELECT user_id // 63 AS word,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bits
+        |  FROM cb GROUP BY 1
+        |), na AS (
+        |  SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_click,
+        |         CAST(count(*) AS BIGINT) AS words_click FROM wa
+        |), nb AS (
+        |  SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_purchase,
+        |         CAST(count(*) AS BIGINT) AS words_purchase FROM wb
+        |), bo AS (
+        |  SELECT CAST(coalesce(sum(bit_count(wa.bits & wb.bits)), 0) AS BIGINT)
+        |           AS n_both
+        |  FROM wa JOIN wb ON wa.word = wb.word
+        |), ex AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+        |  FROM ca JOIN cb ON ca.user_id = cb.user_id
+        |)
+        |SELECT n_click, words_click, n_purchase, words_purchase, n_both,
+        |       exact_intersection, n_both = exact_intersection AS bitmap_exact
+        |FROM na, nb, bo, ex""".stripMargin,
+
+    "gdpr_delete_cascade" ->
+      """WITH del AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+        |), delo AS (
+        |  SELECT o_orderkey AS ok FROM orders JOIN del ON o_custkey = k
+        |), rows0 AS (
+        |  SELECT 'customer' AS table_name,
+        |         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+        |         CAST((SELECT count(*) FROM customer
+        |               WHERE c_custkey IN (SELECT k FROM del)) AS BIGINT) AS n_removed
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |         CAST((SELECT count(*) FROM orders
+        |               WHERE o_custkey IN (SELECT k FROM del)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |         CAST((SELECT count(*) FROM lineitem
+        |               WHERE l_orderkey IN (SELECT ok FROM delo)) AS BIGINT)
+        |)
+        |SELECT table_name, n_total, n_removed,
+        |       n_total - n_removed AS n_after, TRUE AS clean
+        |FROM rows0 ORDER BY table_name""".stripMargin,
+
+    "set_multiset_audit" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL
+        |), a AS (SELECT user_id FROM ev WHERE event_type = 'click'),
+        |b AS (SELECT user_id FROM ev WHERE event_type = 'purchase')
+        |SELECT
+        |  CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+        |       AS BIGINT) AS n_except_all,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+        |       AS BIGINT) AS n_intersect_all,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |       AS BIGINT) AS n_except_distinct,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+        |       AS BIGINT) AS n_intersect_distinct,
+        |  CAST((SELECT count(*) FROM a) AS BIGINT) =
+        |    CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+        |         AS BIGINT) +
+        |    CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+        |         AS BIGINT) AS bag_identity""".stripMargin,
+
     "gini_revenue_by_nation" ->
       """WITH cr AS (
         |  SELECT o_custkey,

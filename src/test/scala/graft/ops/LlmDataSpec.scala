@@ -814,6 +814,20 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("persisted LSH index answers identically to the in-memory pipeline " +
+    "and is band-partitioned on disk") {
+    val fromIdx = SparkEntry.queries("dedup_minhash_from_index")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val inMem = SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(fromIdx == inMem)
+    assert(fromIdx.nonEmpty)
+    val idx = new java.io.File(graft.Tables.scratchDir(spark, "lsh_index"), "bands")
+    val bandDirs = idx.listFiles().filter(_.getName.startsWith("band="))
+    assert(bandDirs.length == graft.dedup.Dedup.BANDS,
+      s"expected ${graft.dedup.Dedup.BANDS} band partitions, got ${bandDirs.length}")
+  }
+
   test("gopher rules: counts partition the corpus and the filter bites") {
     val rows = SparkEntry.queries("quality_gopher_rules")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

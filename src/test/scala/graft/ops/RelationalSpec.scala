@@ -448,6 +448,64 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(2) - r.getLong(1)).sum > 0)
   }
 
+  test("bitmap intersection is exact and word counts reconcile") {
+    val r = SparkEntry.queries("bitmap_intersect_users")(spark, sfDir).head()
+    assert(r.getBoolean(6), "bitmap AND must equal the exact intersection")
+    val ev = graft.Tables.events(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("user_id").isNotNull)
+      .select("event_type", "user_id").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val clicks = ev.filter(_._1 == "click").map(_._2).toSet
+    val buys = ev.filter(_._1 == "purchase").map(_._2).toSet
+    assert(r.getLong(0) == clicks.size.toLong)
+    assert(r.getLong(2) == buys.size.toLong)
+    assert(r.getLong(4) == clicks.intersect(buys).size.toLong)
+    assert(r.getLong(1) == clicks.map(_ / 63).size.toLong)
+    assert(r.getLong(3) == buys.map(_ / 63).size.toLong)
+  }
+
+  test("gdpr cascade: clean flags hold and removals match brute force") {
+    val rows = SparkEntry.queries("gdpr_delete_cascade")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    assert(rows.values.forall(_._4), "a survivor still references a deleted key")
+    rows.values.foreach { case (total, removed, after, _) =>
+      assert(total == removed + after)
+    }
+    val delCust = graft.Tables.load(spark, sfDir, "customer").collect()
+      .map(_.getLong(0)).filter(_ % 97 == 0).toSet
+    assert(rows("customer")._2 == delCust.size.toLong)
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val delOrders = orders.filter(o => delCust.contains(o._2)).map(_._1).toSet
+    assert(rows("orders")._2 == delOrders.size.toLong)
+    val delLi = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+      .count(delOrders.contains)
+    assert(rows("lineitem")._2 == delLi.toLong)
+  }
+
+  test("multiset audit: bag identity and brute-force EXCEPT ALL") {
+    val r = SparkEntry.queries("set_multiset_audit")(spark, sfDir).head()
+    assert(r.getBoolean(6), "|A| must equal |A EXCEPT ALL B| + |A INTERSECT ALL B|")
+    val ev = graft.Tables.events(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("user_id").isNotNull)
+      .select("event_type", "user_id").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    def multi(t: String) = ev.filter(_._1 == t).groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap
+    val ma = multi("click")
+    val mb = multi("purchase")
+    val exceptAll = ma.map { case (k, n) => math.max(0L, n - mb.getOrElse(k, 0L)) }.sum
+    val intersectAll = ma.map { case (k, n) => math.min(n, mb.getOrElse(k, 0L)) }.sum
+    assert(r.getLong(2) == exceptAll)
+    assert(r.getLong(3) == intersectAll)
+    assert(r.getLong(4) == ma.keySet.count(k => !mb.contains(k)).toLong)
+    assert(r.getLong(5) == ma.keySet.count(mb.contains).toLong)
+  }
+
   test("merge upsert: updates repriced, inserts re-keyed, keeps untouched") {
     val rows = SparkEntry.queries("merge_upsert_orders")(spark, sfDir).collect()
     val orders = graft.Tables.load(spark, sfDir, "orders")
