@@ -736,6 +736,78 @@ object Relational {
     // later step processes a strict subset. Output is the tall (step,
     // users) funnel table; counts only, so timestamp-precision differences
     // between engines cannot surface.
+    // ---- funnel conversion latency distribution ----------------------------
+    // Time-to-convert (first view → first subsequent purchase) per user,
+    // summarized as exact quartiles + mean: latencies stay integer
+    // MICROSECONDS end to end (epoch_us deltas — no float time math),
+    // quartiles come from the distinct-value cumulative-count selection
+    // (the boxplot_price_by_priority recipe: no per-user sort of facts,
+    // the serial window only sees O(distinct latencies) rows), and the
+    // mean is one mirrored double division. Two filtered aggregates +
+    // one user-keyed join.
+    "funnel_latency_quartiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts").cast("timestamp"))).as("tv"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tp"))
+      val lat = v.join(p, "user_id").filter(col("tp") >= col("tv"))
+        .groupBy(col("user_id"), col("tv")).agg(min(col("tp")).as("tp"))
+        .select((col("tp") - col("tv")).as("lat"))
+      val g = lat.groupBy(col("lat")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("lat"))
+      val cum = g.select(col("lat"), col("cnt"), sum(col("cnt")).over(w).as("cw"))
+      val tot = lat.agg(count(lit(1)).as("n"), sum(col("lat")).as("sum_lat"))
+      def pick(rank: Column) = min(when(col("cw") >= rank, col("lat")))
+      cum.crossJoin(tot)
+        .groupBy(col("n"), col("sum_lat"))
+        .agg(pick(expr("(n + 3) div 4")).as("q1_us"),
+          pick(expr("(n + 1) div 2")).as("med_us"),
+          pick(expr("(n * 3 + 3) div 4")).as("q3_us"))
+        .select(col("n").as("n_converted"), col("q1_us"), col("med_us"),
+          col("q3_us"),
+          (col("sum_lat").cast("double") / col("n").cast("double") /
+            lit(1000000.0)).as("mean_seconds"))
+    }),
+
+    // ---- null-safe equality (<=>) join audit -------------------------------
+    // The <=> operator contrast every engine-parity suite needs: a plain
+    // equi join drops NULL keys, a null-safe join matches NULL to NULL.
+    // Audited on (click, error) user pairs WITHOUT a raw null×null row
+    // explosion: both sides pre-aggregate to (key, multiplicity) — the
+    // null group rides along as one row — and the pair counts are
+    // Σ ca·cb over the null-safe key join. One tiny keyed join of two
+    // pre-aggregated frames; the identity n_nullsafe = n_eq + n_nullpairs
+    // is emitted as a checked flag.
+    "join_null_safe_audit" -> ((s, dir) => {
+      // the synthetic corpus has no NULL user_ids, so mask every 11th
+      // event (a deterministic PII-redaction stand-in) — the NULL key
+      // group must exist for the <=> contrast to be non-vacuous
+      val ev = Tables.events(s, dir)
+        .withColumn("uid", when(col("event_id") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")))
+      def side(t: String, k: String, c: String) =
+        ev.filter(col("event_type") === t).groupBy(col("uid").as(k))
+          .agg(count(lit(1)).as(c))
+      val a = side("click", "ka", "ca")
+      val b = side("error", "kb", "cb")
+      val eqPairs = a.join(b, col("ka") === col("kb"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("n_eq_join"))
+      val nsPairs = a.join(b, col("ka") <=> col("kb"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("n_nullsafe_join"))
+      val nulls = a.filter(col("ka").isNull)
+        .agg(coalesce(sum(col("ca")), lit(0L)).as("na_null"))
+        .crossJoin(b.filter(col("kb").isNull)
+          .agg(coalesce(sum(col("cb")), lit(0L)).as("nb_null")))
+        .select((col("na_null") * col("nb_null")).as("n_null_pairs"))
+      eqPairs.crossJoin(nsPairs).crossJoin(nulls)
+        .select(col("n_eq_join"), col("n_nullsafe_join"), col("n_null_pairs"),
+          (col("n_nullsafe_join") === col("n_eq_join") + col("n_null_pairs"))
+            .as("identity_holds"))
+    }),
+
     "funnel_view_click_purchase" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       def step(t: String) = ev.filter(col("event_type") === t)
@@ -3056,6 +3128,61 @@ object Relational {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "funnel_latency_quartiles" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL
+        |), v AS (
+        |  SELECT user_id, min(t) AS tv FROM ev WHERE event_type = 'view'
+        |  GROUP BY user_id
+        |), lat AS (
+        |  SELECT CAST(min(p.t) - v.tv AS BIGINT) AS lat
+        |  FROM v JOIN ev p ON v.user_id = p.user_id
+        |  WHERE p.event_type = 'purchase' AND p.t >= v.tv
+        |  GROUP BY v.user_id, v.tv
+        |), g AS (
+        |  SELECT lat, CAST(count(*) AS BIGINT) AS cnt FROM lat GROUP BY lat
+        |), cum AS (
+        |  SELECT lat, cnt, CAST(sum(cnt) OVER (ORDER BY lat) AS BIGINT) AS cw
+        |  FROM g
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(lat) AS BIGINT) AS sum_lat
+        |  FROM lat
+        |)
+        |SELECT n AS n_converted,
+        |       min(CASE WHEN cw >= (n + 3) // 4 THEN lat END) AS q1_us,
+        |       min(CASE WHEN cw >= (n + 1) // 2 THEN lat END) AS med_us,
+        |       min(CASE WHEN cw >= (n * 3 + 3) // 4 THEN lat END) AS q3_us,
+        |       CAST(sum_lat AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |         AS mean_seconds
+        |FROM cum, tot GROUP BY n, sum_lat""".stripMargin,
+
+    "join_null_safe_audit" ->
+      """WITH em AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS uid
+        |  FROM events
+        |), a AS (
+        |  SELECT uid AS ka, CAST(count(*) AS BIGINT) AS ca FROM em
+        |  WHERE event_type = 'click' GROUP BY uid
+        |), b AS (
+        |  SELECT uid AS kb, CAST(count(*) AS BIGINT) AS cb FROM em
+        |  WHERE event_type = 'error' GROUP BY uid
+        |), eq AS (
+        |  SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS n_eq_join
+        |  FROM a JOIN b ON ka = kb
+        |), ns AS (
+        |  SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS n_nullsafe_join
+        |  FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+        |), nl AS (
+        |  SELECT CAST(coalesce((SELECT sum(ca) FROM a WHERE ka IS NULL), 0) *
+        |         coalesce((SELECT sum(cb) FROM b WHERE kb IS NULL), 0) AS BIGINT)
+        |           AS n_null_pairs
+        |)
+        |SELECT n_eq_join, n_nullsafe_join, n_null_pairs,
+        |       n_nullsafe_join = n_eq_join + n_null_pairs AS identity_holds
+        |FROM eq, ns, nl""".stripMargin,
+
     "funnel_view_click_purchase" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -448,6 +448,38 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(2) - r.getLong(1)).sum > 0)
   }
 
+  test("funnel latency: quartiles ordered, mean consistent, brute count") {
+    val r = SparkEntry.queries("funnel_latency_quartiles")(spark, sfDir).head()
+    val (n, q1, med, q3) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0)
+    assert(q1 <= med && med <= q3)
+    assert(q1 >= 0)
+    val ev = graft.Tables.events(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("user_id").isNotNull)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")).as("t"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val lats = ev.filter(_._2 == "view").groupBy(_._1)
+      .flatMap { case (u, vs) =>
+        val tv = vs.map(_._3).min
+        val ps = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= tv)
+        if (ps.isEmpty) None else Some(ps.map(_._3).min - tv)
+      }.toVector.sorted
+    assert(n == lats.length.toLong)
+    assert(med == lats((((lats.length + 1) / 2) - 1).max(0)))
+    val mean = lats.sum.toDouble / lats.length / 1e6
+    assert(math.abs(r.getDouble(4) - mean) < 1e-9 * math.max(1.0, mean))
+  }
+
+  test("null-safe join audit: identity holds and the NULL group is exercised") {
+    val r = SparkEntry.queries("join_null_safe_audit")(spark, sfDir).head()
+    assert(r.getBoolean(3))
+    assert(r.getLong(2) > 0, "no NULL pairs — the <=> path is vacuous")
+    assert(r.getLong(1) == r.getLong(0) + r.getLong(2))
+  }
+
   test("bitmap intersection is exact and word counts reconcile") {
     val r = SparkEntry.queries("bitmap_intersect_users")(spark, sfDir).head()
     assert(r.getBoolean(6), "bitmap AND must equal the exact intersection")
