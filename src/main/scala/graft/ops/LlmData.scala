@@ -865,6 +865,45 @@ object LlmData {
         .orderBy("q_id", "rank")
     }),
 
+    // ---- k-NN label classification via the LSH index -----------------------
+    // Leave-one-out k-NN over the WHOLE corpus (every vector is a query;
+    // self-matches excluded by the search contract): neighbors from the
+    // registered sign-LSH pipeline, majority vote with deterministic
+    // ties (count DESC, label ASC), per-label accuracy report. Vectors
+    // whose bucket holds no peer are reported via n_scored < n_total.
+    // Scale shape: the bucket join bounds candidate work at
+    // O(N · targetBucket); votes/argmax are k-row-per-query windows
+    // (WindowGroupLimit); the eval is how embedding quality is actually
+    // scored warehouse-side — no model server in the loop.
+    "emb_knn_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val labels = e.select(col("vec_id"), col("label").cast("long").as("lab"))
+      val nn = Similarity.lshBucketTopK(e, e, AnnK,
+        corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
+      val votes = nn
+        .join(labels.select(col("vec_id").as("n_id"), col("lab").as("n_lab")),
+          "n_id")
+        .groupBy(col("q_id"), col("n_lab")).agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("v").desc, col("n_lab"))
+      val pred = votes.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("q_id"), col("n_lab").as("pred"))
+      val tot = labels.groupBy(col("lab").as("true_label"))
+        .agg(count(lit(1)).as("n_total"))
+      val sc = pred
+        .join(labels.select(col("vec_id").as("q_id"), col("lab")), "q_id")
+        .groupBy(col("lab").as("true_label"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("pred") === col("lab"), 1L).otherwise(0L)).as("n_correct"))
+      tot.join(sc, "true_label")
+        .select(col("true_label"), col("n_total"), col("n_scored"),
+          col("n_correct"),
+          (col("n_correct").cast("double") / col("n_scored").cast("double"))
+            .as("accuracy"))
+        .orderBy("true_label")
+    }),
+
     // contrastive hard-negative mining: most-similar DIFFERENT-label
     // neighbors per query. See Similarity.hardNegativesTopK.
     "emb_hard_negatives" -> ((s, dir) => {
@@ -1508,6 +1547,32 @@ object LlmData {
     "ann_pq_adc_topk" -> SimilaritySql.pqAdcTopK(AnnK, AnnQueries, PqM, PqKsub, EmbDim),
     "ann_ivfpq_topk" -> SimilaritySql.ivfPqTopK(AnnK, AnnQueries, PqM, PqKsub,
       IvfCentroids, EmbDim, IvfProbes),
+    "emb_knn_eval" ->
+      s"""WITH nn AS (${SimilaritySql.lshBucketTopK(AnnK, 2000000000, EmbDim)}),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+         |votes AS (
+         |  SELECT nn.q_id, l.lab AS n_lab, CAST(count(*) AS BIGINT) AS v
+         |  FROM nn JOIN lab l ON nn.n_id = l.vec_id GROUP BY 1, 2
+         |), pred AS (
+         |  SELECT q_id, n_lab AS pred FROM (
+         |    SELECT q_id, n_lab,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY v DESC, n_lab)
+         |             AS rnk
+         |    FROM votes) WHERE rnk = 1
+         |), tot AS (
+         |  SELECT lab AS true_label, CAST(count(*) AS BIGINT) AS n_total
+         |  FROM lab GROUP BY 1
+         |), sc AS (
+         |  SELECT l.lab AS true_label, CAST(count(*) AS BIGINT) AS n_scored,
+         |         CAST(sum(CASE WHEN p.pred = l.lab THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_correct
+         |  FROM pred p JOIN lab l ON p.q_id = l.vec_id GROUP BY 1
+         |)
+         |SELECT t.true_label, t.n_total, s.n_scored, s.n_correct,
+         |       CAST(s.n_correct AS DOUBLE) / CAST(s.n_scored AS DOUBLE)
+         |         AS accuracy
+         |FROM tot t JOIN sc s ON t.true_label = s.true_label
+         |ORDER BY t.true_label""".stripMargin,
     "ann_mrl_prefix_topk" ->
       SimilaritySql.mrlPrefixTopK(AnnK, AnnQueries, MrlPrefix, MrlCands, EmbDim),
     "ann_hamming_rerank_topk" ->

@@ -814,6 +814,25 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("knn eval: per-label counts reconcile and accuracy is a valid ratio") {
+    val rows = SparkEntry.queries("emb_knn_eval")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val e = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => r.getInt(2).toLong)
+    val totals = e.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (lab, nTotal, nScored, nCorrect, acc) =>
+      assert(totals(lab) == nTotal)
+      assert(nScored <= nTotal && nScored > 0)
+      assert(nCorrect <= nScored)
+      assert(math.abs(acc - nCorrect.toDouble / nScored) < 1e-15)
+    }
+    // the classifier must beat the 10-label random baseline on this corpus
+    val overall = rows.map(_._4).sum / rows.length
+    assert(overall > 0.1, s"mean per-label accuracy $overall at chance level")
+  }
+
   test("persisted LSH index answers identically to the in-memory pipeline " +
     "and is band-partitioned on disk") {
     val fromIdx = SparkEntry.queries("dedup_minhash_from_index")(spark, sfDir)
