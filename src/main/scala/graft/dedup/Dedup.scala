@@ -664,18 +664,29 @@ object Dedup {
     */
   def cdcChunks(docs: DataFrame, mask: Int = CDC_MASK, k: Int = CDC_K,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grams = TextOps.charGramHashes(col(textCol), k)
-    // positions 2..n_grams (a cut at 1 would open a zero-length chunk);
-    // the greatest() floor keeps `sequence` ascending on degenerate short
-    // texts — its out-of-range probe lands on a NULL gram and drops
-    val cuts = filter(sequence(lit(2), greatest(size(grams), lit(2))),
-      p => element_at(grams, p) % mask === 0)
-    val bounds = concat(array(lit(1)), cuts,
-      array(length(col(textCol)) + 1))
-    val chunks = transform(sequence(lit(1), size(bounds) - 1), j =>
-      col(textCol).substr(element_at(bounds, j),
-        element_at(bounds, j + 1) - element_at(bounds, j)))
-    docs.select(col(idCol).as("id"), explode(chunks).as("chunk"))
+    // The cut list goes through posexplode + collect_list, NOT a nested
+    // HOF chain: lambdas re-inline free subexpressions per element, so a
+    // `chunks` transform whose bounds embed the gram computation re-runs
+    // the full rolling hash for EVERY element_at probe — measured 100 s
+    // at sf0.1 vs ~2 s for this aggregation-barrier form (the gram pass
+    // runs once per document; the explode/groupBy carries only integer
+    // cut positions). Cut rule: 1-based gram start >= 2 (a cut at 1
+    // would open a zero-length chunk) with hash % mask == 0.
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val cuts = base
+      .select(col("id"), posexplode(TextOps.charGramHashes(col("t"), k)))
+      .filter(col("pos") >= 1 && col("col") % mask === 0)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list((col("pos") + 1).cast("int"))).as("cuts"))
+    base.join(cuts, Seq("id"), "left")
+      .withColumn("bounds", concat(array(lit(1)),
+        coalesce(col("cuts"), array().cast("array<int>")),
+        array((length(col("t")) + 1).cast("int"))))
+      .select(col("id"),
+        explode(transform(sequence(lit(1), size(col("bounds")) - 1), j =>
+          col("t").substr(element_at(col("bounds"), j),
+            element_at(col("bounds"), j + 1) - element_at(col("bounds"), j))))
+          .as("chunk"))
       .filter(length(col("chunk")) > 0)
   }
 
