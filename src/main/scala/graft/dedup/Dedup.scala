@@ -625,7 +625,12 @@ object Dedup {
     val (sh, bands) = shingleBandIndex(docs, "word", wordSets(idCol, textCol),
       BANDS, R)
     sh.write.mode("overwrite").parquet(s"$indexDir/sets")
+    // cluster by band before the partitioned write: one file per band
+    // directory instead of (tasks × bands) shards — at any scale the
+    // band dirs stay one-file-per-writer-wave, and the probe-side reads
+    // of a single band stay sequential
     bands.select(col("id"), col("bh"), col("band"))
+      .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$indexDir/bands")
   }
 
