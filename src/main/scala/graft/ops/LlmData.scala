@@ -818,6 +818,15 @@ object LlmData {
         .orderBy("q_id", "rank")
     }),
 
+    // multi-probe LSH: own bucket + 1-bit-flip buckets — recall recovery
+    // without extra hash tables. See Similarity.multiProbeTopK.
+    "ann_multiprobe_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.multiProbeTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
+        corpusSize = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
+        .orderBy("q_id", "rank")
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
@@ -1507,6 +1516,8 @@ object LlmData {
     "emb_pq_codes" -> SimilaritySql.pqCodes(PqM, PqKsub, EmbDim),
     "ann_cosine_topk" -> SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim),
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
+    "ann_multiprobe_topk" ->
+      SimilaritySql.multiProbeTopK(AnnK, AnnQueries, EmbDim),
     // composes the two registered pipelines as subqueries — the oracle
     // recomputes BOTH top-k sets independently and re-derives the overlap
     "ann_recall_report" ->

@@ -348,6 +348,39 @@ object Similarity {
     topKBySim(q.join(c, Seq("bucket")), k)
   }
 
+  /** Multi-probe sign-LSH top-k (Lv et al., "Multi-probe LSH: efficient
+    * indexing for high-dimensional similarity search", VLDB'07): each
+    * query probes its own bucket PLUS every 1-bit-flip neighbor bucket —
+    * the planes a near neighbor most plausibly fell on the far side of —
+    * recovering most of the recall a single-bucket probe loses without
+    * adding hash tables. Candidates are DISTINCT (q, n) id pairs (a pair
+    * can surface via several probes); vectors are gathered back by
+    * broadcast id joins, so the corpus is scanned once narrow and once
+    * for the candidate gather — the [[mrlPrefixTopK]] shape with a
+    * (bits+1)-way probe fan-out on the tiny query side only.
+    */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     planeBits: Option[Int] = None,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     corpusSize: Option[Long] = None): DataFrame = {
+    val bits = planeBits.getOrElse(planeBitsFor(corpusSize.getOrElse(corpus.count())))
+    val base = signBucket(col(vecCol), bits)
+    val probes = array((base +: (0 until bits).map(i =>
+      base.bitwiseXOR(lit(1L << i)))): _*)
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      explode(probes).as("bucket")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val candIds = q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val full = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val gathered = full.join(broadcast(candIds), Seq("n_id"))
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))),
+        Seq("q_id"))
+    topKBySim(gathered, k)
+  }
+
   /** Radius (range) search: every corpus vector with `cosine >= minCos`
     * of each query — the "all sufficiently-similar neighbors" variant of
     * ANN (retrieval dedup, paraphrase mining), where top-k's fixed cutoff

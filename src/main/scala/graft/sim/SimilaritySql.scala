@@ -177,6 +177,39 @@ object SimilaritySql {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim FROM ranked
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Mirrors [[Similarity.multiProbeTopK]]: own bucket + every
+    * 1-bit-flip bucket on the query side, DISTINCT candidate pairs,
+    * exact cosine rank.
+    */
+  def multiProbeTopK(k: Int, nQueries: Int, dim: Int,
+                     table: String = "embeddings"): String =
+    s"""WITH pbt AS (${planeBitsSql(table)}),
+       |b AS (SELECT vec_id, embedding, ${signBucketDynamic("embedding")} AS bucket
+       |      FROM $table, pbt),
+       |qp AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec,
+       |         UNNEST(list_concat([bucket],
+       |           list_transform(range(0, (SELECT pb FROM pbt)), i ->
+       |             xor(bucket, CAST(1 AS BIGINT) << CAST(i AS INTEGER)))))
+       |           AS bucket
+       |  FROM b WHERE vec_id < $nQueries
+       |), cand AS (
+       |  SELECT DISTINCT qp.q_id, c.vec_id AS n_id
+       |  FROM qp JOIN b c ON qp.bucket = c.bucket AND qp.q_id <> c.vec_id
+       |), sims AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |         ${cosine("q.embedding", "c.embedding", dim)} AS sim
+       |  FROM cand
+       |  JOIN $table q ON cand.q_id = q.vec_id
+       |  JOIN $table c ON cand.n_id = c.vec_id
+       |), ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM sims
+       |)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, sim FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
   /** Mirrors [[Similarity.ivfTopK]] including the deterministic k-means
     * refinement: seed centroids = first `nCentroids` vectors, ONE Lloyd
     * step whose per-centroid per-dimension mean folds members in vec-id

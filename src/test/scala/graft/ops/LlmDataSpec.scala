@@ -814,6 +814,23 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall dominates single-bucket LSH recall") {
+    val exact = SparkEntry.queries("ann_cosine_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = SparkEntry.queries("ann_lsh_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = SparkEntry.queries("ann_multiprobe_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rs = exact.intersect(single).size
+    val rm = exact.intersect(multi).size
+    assert(rm >= rs, s"multi-probe recall $rm below single-bucket $rs")
+    // the single-bucket candidate set is a subset of the multi-probe one,
+    // so every single-bucket hit must survive (same rank rule, more cands
+    // can only displace non-exact hits by better-ranked TRUE neighbors —
+    // check set dominance on the hits themselves)
+    assert(multi.size >= single.size)
+  }
+
   test("knn eval: per-label counts reconcile and accuracy is a valid ratio") {
     val rows = SparkEntry.queries("emb_knn_eval")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
