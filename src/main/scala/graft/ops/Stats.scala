@@ -462,6 +462,53 @@ object Stats {
           (col("h_uncorrected") / col("tie_c")).as("h"))
     }),
 
+    // ---- Kaplan-Meier survival curve over user lifetimes -------------------
+    // The right-censored survival estimator (Kaplan & Meier 1958) on user
+    // activity spans: lifetime = last-first event HOURS, a user still
+    // active within 24 hours of the corpus end is CENSORED (contributes to
+    // risk sets but not deaths). Risk sets and death counts are exact
+    // integers from one distinct-lifetime rollup (reverse running sum);
+    // the survival product Π(1 - dᵢ/rᵢ) is inherently order-recursive,
+    // so it runs as the usual sorted-array prefix fold on the O(distinct
+    // lifetimes) rows — facts are touched once.
+    "survival_kaplan_meier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("d"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("t0"), max(col("d")).as("t1"))
+      val maxD = ev.agg(max(col("d")).as("dmax"))
+      val lt = users.crossJoin(broadcast(maxD))
+        .select((col("t1") - col("t0")).as("lt"),
+          when(col("t1") < col("dmax") - 24, 1L).otherwise(0L).as("death"))
+      val g = lt.groupBy(col("lt"))
+        .agg(count(lit(1)).as("n"), sum(col("death")).as("dd"))
+      val w = Window.orderBy(col("lt"))
+      val tot = lt.agg(count(lit(1)).as("ntot"))
+      val cum = g.crossJoin(broadcast(tot))
+        .select(col("lt"), col("n"), col("dd"),
+          (col("ntot") - sum(col("n")).over(w) + col("n")).as("n_risk"))
+      val one = cum.filter(col("dd") > 0)
+        .agg(array_sort(collect_list(struct(col("lt"), col("n_risk"),
+          col("dd")))).as("xs"))
+        // guard: sequence(1, 0) runs DESCENDING on an empty fold input
+        // and the element_at probe would throw — no deaths ⇒ no rows
+        .filter(size(col("xs")) > 0)
+      one.select(explode(transform(sequence(lit(1), size(col("xs"))), t => struct(
+          element_at(col("xs"), t)("lt").as("lifetime_hours"),
+          element_at(col("xs"), t)("n_risk").as("n_risk"),
+          element_at(col("xs"), t)("dd").as("n_deaths"),
+          aggregate(slice(col("xs"), lit(1), t), lit(1.0),
+            (acc, x) => acc * (lit(1.0) -
+              x("dd").cast("double") / x("n_risk").cast("double")))
+            .as("survival")))).as("r"))
+        .select(col("r")("lifetime_hours").as("lifetime_hours"),
+          col("r")("n_risk").as("n_risk"),
+          col("r")("n_deaths").as("n_deaths"),
+          col("r")("survival").as("survival"))
+        .orderBy("lifetime_hours")
+    }),
+
     // ---- classifier evaluation: AUC via the rank-sum identity --------------
     // AUC of a quality score against a binary label (is the doc English?)
     // WITHOUT sorting per threshold: AUC = U/(n⁺·n⁻), the Mann-Whitney
@@ -1403,6 +1450,41 @@ object Stats {
          |)
          |SELECT k, n, tie_term, h_uncorrected, h_uncorrected / tie_c AS h
          |FROM b""".stripMargin,
+
+    "survival_kaplan_meier" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL
+        |), u AS (
+        |  SELECT user_id, min(d) AS t0, max(d) AS t1 FROM ev GROUP BY user_id
+        |), mx AS (SELECT max(d) AS dmax FROM ev),
+        |lt AS (
+        |  SELECT CAST(t1 - t0 AS BIGINT) AS lt,
+        |         CASE WHEN t1 < dmax - 24 THEN 1 ELSE 0 END AS death
+        |  FROM u, mx
+        |), g AS (
+        |  SELECT lt, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(death) AS BIGINT) AS dd
+        |  FROM lt GROUP BY lt
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM lt),
+        |cum AS (
+        |  SELECT lt, n, dd,
+        |         CAST(ntot - sum(n) OVER (ORDER BY lt) + n AS BIGINT) AS n_risk
+        |  FROM g, tot
+        |), dr AS (SELECT lt, n_risk, dd FROM cum WHERE dd > 0),
+        |series AS (
+        |  SELECT list(lt ORDER BY lt) AS ls, list(n_risk ORDER BY lt) AS rs,
+        |         list(dd ORDER BY lt) AS ds
+        |  FROM dr
+        |)
+        |SELECT UNNEST(ls) AS lifetime_hours, UNNEST(rs) AS n_risk,
+        |       UNNEST(ds) AS n_deaths,
+        |       UNNEST(list_transform(range(1, len(ls) + 1), t ->
+        |         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |           list_transform(range(1, t + 1), j ->
+        |             1.0 - CAST(ds[j] AS DOUBLE) / CAST(rs[j] AS DOUBLE))),
+        |           (a, b) -> a * b))) AS survival
+        |FROM series ORDER BY lifetime_hours""".stripMargin,
 
     "score_auc_langid" -> {
       val toks = graft.text.TextSql.tokens("text")

@@ -517,6 +517,24 @@ class StatsSpec extends SparkSpec {
     assert(row.getDouble(4) >= 0.0)
   }
 
+  test("kaplan-meier: survival is the sequential product, monotone in [0,1]") {
+    val rows = Stats.queries("survival_kaplan_meier")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "no deaths at sf0.001 — censoring horizon broken")
+    var prev = 1.0
+    var s = 1.0
+    rows.sortBy(_._1).foreach { case (_, nRisk, nDeaths, surv) =>
+      assert(nDeaths > 0 && nDeaths <= nRisk)
+      s *= 1.0 - nDeaths.toDouble / nRisk
+      assert(math.abs(surv - s) < 1e-12, s"$surv vs $s")
+      assert(surv <= prev + 1e-15 && surv >= 0.0 && surv <= 1.0)
+      prev = surv
+    }
+    // risk sets shrink as lifetime grows
+    val risks = rows.sortBy(_._1).map(_._2)
+    assert(risks.zip(risks.tail).forall { case (a, b) => a >= b })
+  }
+
   test("page_hinkley_drift matches the sequential definition; ph >= 0") {
     val got = Stats.queries("page_hinkley_drift")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
