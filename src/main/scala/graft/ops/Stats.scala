@@ -462,6 +462,39 @@ object Stats {
           (col("h_uncorrected") / col("tie_c")).as("h"))
     }),
 
+    // ---- two-proportion z-test: A/B rate comparison ------------------------
+    // The experimentation-platform staple: units hash-split into two
+    // arms (customer-key parity — the deterministic assignment every
+    // A/B system uses) and the pooled two-proportion z statistic on a
+    // binary outcome (order ended FAILED). One partial-agg'd pass to
+    // two rows of exact integers; every ratio is a mirrored final
+    // double formula. (The event-stream conversion variant is
+    // degenerate on this corpus — every clicker purchases, p = 1 —
+    // so the outcome with real variance is the one under test.)
+    "ab_conversion_ztest" -> ((s, dir) => {
+      val m = Tables.load(s, dir, "orders")
+        .groupBy((col("o_custkey") % 2).as("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("x"))
+      val a = m.filter(col("arm") === 0)
+        .select(col("n").as("n_a"), col("x").as("x_a"))
+      val b = m.filter(col("arm") === 1)
+        .select(col("n").as("n_b"), col("x").as("x_b"))
+      val nd = (c: Column) => c.cast("double")
+      a.crossJoin(b)
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          (nd(col("x_a")) / nd(col("n_a"))).as("p_a"),
+          (nd(col("x_b")) / nd(col("n_b"))).as("p_b"),
+          ((nd(col("x_a")) + nd(col("x_b"))) /
+            (nd(col("n_a")) + nd(col("n_b")))).as("p_pooled"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          col("p_a"), col("p_b"), col("p_pooled"),
+          ((col("p_a") - col("p_b")) /
+            sqrt(col("p_pooled") * (lit(1.0) - col("p_pooled")) *
+              (lit(1.0) / nd(col("n_a")) + lit(1.0) / nd(col("n_b")))))
+            .as("z"))
+    }),
+
     // ---- Kaplan-Meier survival curve over user lifetimes -------------------
     // The right-censored survival estimator (Kaplan & Meier 1958) on user
     // activity spans: lifetime = last-first event HOURS, a user still
@@ -1450,6 +1483,29 @@ object Stats {
          |)
          |SELECT k, n, tie_term, h_uncorrected, h_uncorrected / tie_c AS h
          |FROM b""".stripMargin,
+
+    "ab_conversion_ztest" ->
+      """WITH m AS (
+        |  SELECT o_custkey % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS x
+        |  FROM orders GROUP BY 1
+        |), ab AS (
+        |  SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+        |  FROM m a, m b WHERE a.arm = 0 AND b.arm = 1
+        |), p AS (
+        |  SELECT n_a, x_a, n_b, x_b,
+        |         CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |         CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |         (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE)) /
+        |           (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p_pooled
+        |  FROM ab
+        |)
+        |SELECT n_a, x_a, n_b, x_b, p_a, p_b, p_pooled,
+        |       (p_a - p_b) /
+        |         sqrt(p_pooled * (1.0 - p_pooled) *
+        |           (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+        |FROM p""".stripMargin,
 
     "survival_kaplan_meier" ->
       """WITH ev AS (

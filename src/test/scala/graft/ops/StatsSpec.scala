@@ -517,6 +517,22 @@ class StatsSpec extends SparkSpec {
     assert(row.getDouble(4) >= 0.0)
   }
 
+  test("ab z-test matches a brute-force two-proportion computation") {
+    val r = Stats.queries("ab_conversion_ztest")(spark, sfDir).head()
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus")).collect()
+      .map(x => (x.getLong(0) % 2, x.getString(1) == "F"))
+    val (na, xa) = (o.count(_._1 == 0).toLong, o.count(t => t._1 == 0 && t._2).toLong)
+    val (nb, xb) = (o.count(_._1 == 1).toLong, o.count(t => t._1 == 1 && t._2).toLong)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((na, xa, nb, xb)))
+    val pa = xa.toDouble / na
+    val pb = xb.toDouble / nb
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(7) - z) < 1e-12, s"${r.getDouble(7)} vs $z")
+  }
+
   test("kaplan-meier: survival is the sequential product, monotone in [0,1]") {
     val rows = Stats.queries("survival_kaplan_meier")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
