@@ -462,6 +462,30 @@ object Stats {
           (col("h_uncorrected") / col("tie_c")).as("h"))
     }),
 
+    // ---- Poisson overdispersion of daily event volume ----------------------
+    // The index-of-dispersion test (variance-to-mean ratio; ≈1 under a
+    // Poisson arrival process, >1 ⇒ bursty): daily counts roll up once,
+    // Σc and Σc² stay exact int64/decimal, and D = s²/x̄ plus the
+    // chi-square form (n−1)·D come from one mirrored double formula —
+    // the monitoring check that tells a pipeline whether event traffic
+    // is machine-steady or campaign-bursty.
+    "dispersion_daily_events" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val nd = (c: Column) => c.cast("double")
+      daily.agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
+          sum((col("c") * col("c")).cast("decimal(30,0)")).as("ss"))
+        .select(col("n_days"), col("total"),
+          (nd(col("total")) / nd(col("n_days"))).as("mean"),
+          ((nd(col("ss")) - nd(col("total")) * nd(col("total")) / nd(col("n_days"))) /
+            (nd(col("n_days")) - 1.0)).as("variance"))
+        .select(col("n_days"), col("total"), col("mean"), col("variance"),
+          (col("variance") / col("mean")).as("dispersion"),
+          ((nd(col("n_days")) - 1.0) * (col("variance") / col("mean")))
+            .as("chi2"))
+    }),
+
     // ---- two-proportion z-test: A/B rate comparison ------------------------
     // The experimentation-platform staple: units hash-split into two
     // arms (customer-key parity — the deterministic assignment every
@@ -1483,6 +1507,28 @@ object Stats {
          |)
          |SELECT k, n, tie_term, h_uncorrected, h_uncorrected / tie_c AS h
          |FROM b""".stripMargin,
+
+    "dispersion_daily_events" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS d, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(c) AS BIGINT) AS total,
+        |         CAST(sum(CAST(c AS DECIMAL(30,0)) * c) AS DECIMAL(30,0)) AS ss
+        |  FROM daily
+        |), v AS (
+        |  SELECT n_days, total,
+        |         CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |         (CAST(ss AS DOUBLE) - CAST(total AS DOUBLE) * CAST(total AS DOUBLE)
+        |            / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)
+        |           AS variance
+        |  FROM m
+        |)
+        |SELECT n_days, total, mean, variance,
+        |       variance / mean AS dispersion,
+        |       (CAST(n_days AS DOUBLE) - 1.0) * (variance / mean) AS chi2
+        |FROM v""".stripMargin,
 
     "ab_conversion_ztest" ->
       """WITH m AS (

@@ -517,6 +517,22 @@ class StatsSpec extends SparkSpec {
     assert(row.getDouble(4) >= 0.0)
   }
 
+  test("dispersion index matches brute force and positivity") {
+    val r = Stats.queries("dispersion_daily_events")(spark, sfDir).head()
+    val counts = graft.Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+      .agg(count(lit(1)).as("c")).collect().map(_.getLong(1))
+    val n = counts.length.toLong
+    val tot = counts.sum
+    val mean = tot.toDouble / n
+    val variance = (counts.map(c => BigInt(c) * c).sum.toDouble -
+      tot.toDouble * tot.toDouble / n) / (n - 1.0)
+    assert(r.getLong(0) == n && r.getLong(1) == tot)
+    assert(math.abs(r.getDouble(3) - variance) < 1e-9 * variance)
+    assert(math.abs(r.getDouble(4) - variance / mean) < 1e-12 * (variance / mean))
+    assert(r.getDouble(4) > 0.0)
+  }
+
   test("ab z-test matches a brute-force two-proportion computation") {
     val r = Stats.queries("ab_conversion_ztest")(spark, sfDir).head()
     val o = Tables.load(spark, sfDir, "orders")
