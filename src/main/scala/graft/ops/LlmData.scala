@@ -818,6 +818,35 @@ object LlmData {
         .orderBy("q_id", "rank")
     }),
 
+    // the multi-probe recall LEDGER: single-bucket vs multi-probe hits
+    // against exact top-k, per query — the oracle-checked number behind
+    // the "probe 1-bit-flip buckets" recall claim. Composes three
+    // REGISTERED pipelines; two k-row-per-query joins, no new corpus pass.
+    "ann_recall_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < AnnQueries)
+      val size = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
+      val exact = Similarity.cosineTopK(e, q, AnnK).select(col("q_id"), col("n_id"))
+      val single = Similarity.lshBucketTopK(e, q, AnnK, corpusSize = size)
+        .select(col("q_id"), col("n_id"))
+      val multi = Similarity.multiProbeTopK(e, q, AnnK, corpusSize = size)
+        .select(col("q_id"), col("n_id"))
+      exact.join(single.withColumn("h1", lit(1)), Seq("q_id", "n_id"), "left")
+        .join(multi.withColumn("h2", lit(1)), Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("h1"), lit(0))).as("hits_single"),
+          sum(coalesce(col("h2"), lit(0))).as("hits_multi"))
+        .select(col("q_id"),
+          col("hits_single").cast("long").as("n_hits_single"),
+          col("hits_multi").cast("long").as("n_hits_multi"),
+          (col("hits_single").cast("double") / col("k").cast("double"))
+            .as("recall_single"),
+          (col("hits_multi").cast("double") / col("k").cast("double"))
+            .as("recall_multi"))
+        .orderBy("q_id")
+    }),
+
     // multi-probe LSH: own bucket + 1-bit-flip buckets — recall recovery
     // without extra hash tables. See Similarity.multiProbeTopK.
     "ann_multiprobe_topk" -> ((s, dir) => {
@@ -1518,6 +1547,22 @@ object LlmData {
     "ann_lsh_topk" -> SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim),
     "ann_multiprobe_topk" ->
       SimilaritySql.multiProbeTopK(AnnK, AnnQueries, EmbDim),
+    "ann_recall_multiprobe" ->
+      s"""SELECT e.q_id,
+         |  CAST(sum(CASE WHEN s.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits_single,
+         |  CAST(sum(CASE WHEN m.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits_multi,
+         |  CAST(sum(CASE WHEN s.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall_single,
+         |  CAST(sum(CASE WHEN m.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall_multi
+         |FROM (${SimilaritySql.cosineTopK(AnnK, AnnQueries, EmbDim)}) e
+         |LEFT JOIN (${SimilaritySql.lshBucketTopK(AnnK, AnnQueries, EmbDim)}) s
+         |  ON e.q_id = s.q_id AND e.n_id = s.n_id
+         |LEFT JOIN (${SimilaritySql.multiProbeTopK(AnnK, AnnQueries, EmbDim)}) m
+         |  ON e.q_id = m.q_id AND e.n_id = m.n_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
     // composes the two registered pipelines as subqueries — the oracle
     // recomputes BOTH top-k sets independently and re-derives the overlap
     "ann_recall_report" ->

@@ -831,6 +831,27 @@ class LlmDataSpec extends SparkSpec {
     assert(multi.size >= single.size)
   }
 
+  test("multiprobe recall ledger agrees with the raw pipelines") {
+    val rows = SparkEntry.queries("ann_recall_multiprobe")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length == LlmData.AnnQueries)
+    rows.foreach { case (_, h1, h2, r1, r2) =>
+      assert(h2 >= h1, "multi-probe hits must dominate single-bucket hits")
+      assert(r1 >= 0.0 && r1 <= 1.0 && r2 >= 0.0 && r2 <= 1.0)
+      assert(r2 >= r1)
+    }
+    // cross-check against the independently-computed hit sets
+    val exact = SparkEntry.queries("ann_cosine_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = SparkEntry.queries("ann_multiprobe_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val wantHits = exact.intersect(multi).groupBy(_._1).view.mapValues(_.size.toLong)
+    rows.foreach { case (q, _, h2, _, _) =>
+      assert(h2 == wantHits.getOrElse(q, 0L))
+    }
+  }
+
   test("knn eval: per-label counts reconcile and accuracy is a valid ratio") {
     val rows = SparkEntry.queries("emb_knn_eval")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
