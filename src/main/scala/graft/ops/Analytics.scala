@@ -156,6 +156,8 @@ object Analytics {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       Seq[(Int, Long, Double)]]()
 
+  def clearKcenterCache(): Unit = kcMemo.clear()
+
   def kcenterSelect(s: SparkSession, dir: String): Seq[(Int, Long, Double)] = {
     // same stopped-session sweep as Dedup's index memos: entries are tiny,
     // but a session key must not outlive its session

@@ -74,6 +74,13 @@ object Relational {
 
   def clearPageRankCache(): Unit = prGraphCache.clear()
 
+  /** Every graph-family memo at once (adjacency build, k-core profile,
+    * bloom masks) — [[graft.Memos.clearAll]]'s entry point into this file.
+    */
+  def clearGraphCaches(): Unit = {
+    prGraphCache.clear(); kcoreMemo.clear(); bloomMaskCache.clear()
+  }
+
   /** Adjacency list `(src, adj: array<dst>, d)` of the part co-occurrence
     * graph, eager-checkpointed. Two shuffles end to end:
     *   1. group lineitem by order into the per-order distinct part set,

@@ -1201,6 +1201,11 @@ object Stats {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (Array[Double], Double)]()
 
+  /** Driver-coordinated stats memos (Theil–Sen slope table, PCA power
+    * iteration) — [[graft.Memos.clearAll]]'s entry point into this file.
+    */
+  def clearStatsCaches(): Unit = { tsMemo.clear(); pcaMemo.clear() }
+
   /** The ONE quantize-and-Gramian construction shared by the
     * `emb_covariance` query and [[topPrincipalComponent]] — the 20-bit
     * quantization expression is load-bearing for oracle parity (the SQL
