@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -280,21 +280,66 @@ object Multimodal {
     * luma exactly equal to the written gray level.
     */
   def pngFromVector(v: Array[Float]): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(8, 8,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
     var lo = Float.MaxValue
     var hi = Float.MinValue
     v.foreach { x => if (x < lo) lo = x; if (x > hi) hi = x }
     val span = if (hi > lo) hi - lo else 1.0f
+    pngFromGray(v.map(x => math.round((x - lo) / span * 255.0f)))
+  }
+
+  /** 8x8 grayscale PNG from 64 explicit gray levels (0..255). Pixel k is
+    * (k%8, k/8), r=g=b — so [[averageHash]] bit k is decided by level k
+    * alone: for an 8x8 image each hash cell is exactly one pixel, the
+    * cell luma is `g*1000`, and bit k = (64*g_k >= Σg). That makes the
+    * render→decode→hash round trip PREDICTABLE from the levels by pure
+    * integer arithmetic — the hook the oracle-checked image-hash queries
+    * hang on (an oracle engine with no image codec can still compute the
+    * expected hash).
+    */
+  def pngFromGray(g: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
     var k = 0
     while (k < 64) {
-      val g = math.round((v(k) - lo) / span * 255.0f)
-      img.setRGB(k % 8, k / 8, g << 16 | g << 8 | g)
+      img.setRGB(k % 8, k / 8, g(k) << 16 | g(k) << 8 | g(k))
       k += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Min-max gray quantization of a DOUBLE array to 0..255 integer
+    * levels, in DOUBLE arithmetic only (one subtraction, one division,
+    * one multiplication, one positive-half-up round per element — every
+    * step correctly rounded IEEE and identically defined in any engine).
+    * This is the float-free twin of [[pngFromVector]]'s internal scaling:
+    * computing the levels in SQL lets an oracle reproduce them bit-exactly
+    * where float32 expression semantics would be engine-specific.
+    */
+  def grayFromDoubles(dv: Column): Column = {
+    val lo = array_min(dv)
+    val span = when(array_max(dv) > lo, array_max(dv) - lo).otherwise(lit(1.0))
+    transform(dv, x => round((x - lo) / span * lit(255.0)).cast("int"))
+  }
+
+  /** (id, gray[64]) → (id, ahash): render a REAL PNG from the levels,
+    * decode it back through `javax.imageio`, and average-hash the decoded
+    * pixels — one codec-batched pass, same shape as [[decode]]. The
+    * output hash equals the pure-integer prediction from the levels iff
+    * the render→decode round trip preserved every pixel, which is exactly
+    * what the oracle gate on the registered queries proves per row.
+    */
+  def grayRenderHashes(gray: DataFrame): DataFrame = {
+    val spark = gray.sparkSession
+    import spark.implicits._
+    gray.as[(Long, Seq[Int])]
+      .mapPartitions(_.map { case (id, g) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(pngFromGray(g.toArray)))
+        (id, averageHash(img))
+      })
+      .toDF("id", "ahash")
   }
 
   /** Image near-duplicate pairs: decode -> aHash (one mapPartitions pass,
@@ -328,6 +373,18 @@ object Multimodal {
       // on downstream plan construction under AQE (the pagerank_parts
       // lesson) — the per-image codec pass must run exactly once
       .localCheckpoint(eager = true)
+    bandedHammingPairs(hashes, maxHamming)
+  }
+
+  /** The post-hash half of image near-dup: 4×16-bit banded self-join over
+    * a `(id, ahash)` frame + exact hamming verify. Shared by the decode
+    * pipeline ([[imageNearDupPairs]]) and the oracle-checked gray-level
+    * pipeline — never all-pairs; the quadratic term is bounded per band
+    * bucket, and ≤3 flipped bits cannot miss all four bands (pigeonhole).
+    * Callers pass an already-materialized (checkpointed) hash frame so the
+    * per-image codec pass upstream runs exactly once.
+    */
+  def bandedHammingPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = hashes.select(col("id"), col("ahash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -1155,6 +1155,46 @@ object LlmData {
     // pairs land at hamming <= 2, the closest background pair at 15, so
     // the banding-complete <= 3 cut returns exactly the planted set. Rows-only (the oracle
     // engine has no image codec); ground truth asserted in LlmDataSpec.
+    // Oracle-EXACT image hashing (the round-6 verdict's ask to shrink the
+    // rows-only surface of multimodal_image_neardup): gray levels are
+    // quantized from the embedding in DOUBLE SQL arithmetic — reproducible
+    // in any engine — and the ENGINE then renders a real PNG per row,
+    // decodes it back through javax.imageio, and average-hashes the
+    // decoded pixels. For an 8x8 image, hash bit k = (64*g_k >= sum(g)) by
+    // pure integer arithmetic, so the oracle predicts every hash WITHOUT a
+    // codec, and a hash match proves the render→decode→hash round trip
+    // preserved every pixel of every image. Narrow per-row work end to
+    // end — the only shuffle is the final presentation sort.
+    "multimodal_image_ahash" -> ((s, dir) =>
+      Multimodal.grayRenderHashes(
+        emb(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("dv"))
+          .select(col("vec_id"), Multimodal.grayFromDoubles(col("dv")).as("g")))
+        .select(col("id").as("vec_id"), col("ahash"))
+        .orderBy("vec_id")),
+
+    // ...and the post-decode half of the near-dup pipeline over those
+    // hashes: planted near-dups (first 10 vectors re-entered at id+1e12
+    // with dim 0 nudged +0.01 — in DOUBLE, mirrored by the oracle) →
+    // banded hamming self-join. This makes the banding + verify stage
+    // hash-exact against the oracle; only multimodal_image_neardup's
+    // float32 render path stays spec-gated.
+    "multimodal_image_hash_pairs" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("dv"))
+      val planted = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000000000L).as("vec_id"),
+          concat(array(element_at(col("dv"), 1) + 0.01),
+            slice(col("dv"), 2, EmbDim - 1)).as("dv"))
+      val gray = base.unionByName(planted)
+        .select(col("vec_id"), Multimodal.grayFromDoubles(col("dv")).as("g"))
+      // EAGER checkpoint: the codec pass (render+decode per image) must
+      // run exactly once, not once per banded-join side
+      val hashes = Multimodal.grayRenderHashes(gray).localCheckpoint(true)
+      Multimodal.bandedHammingPairs(hashes).orderBy("a", "b")
+    }),
+
     "multimodal_image_neardup" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -1705,6 +1745,74 @@ object LlmData {
          |       CAST(off // 64 AS INTEGER) AS frame_idx,
          |       $block AS frame_hash
          |FROM offs ORDER BY asset_id, frame_idx""".stripMargin
-    }
+    },
+    // Image hashing, codec-free: gray levels are the engine's own DOUBLE
+    // quantization (min-max to 0..255, positive half-up round — identical
+    // IEEE steps in both engines), and for an 8x8 render hash bit k is
+    // (64*g_k >= sum g) by integer arithmetic (see Multimodal.pngFromGray).
+    // Bit 63 needs the min-long literal: DuckDB raises on 1::BIGINT << 63.
+    "multimodal_image_ahash" ->
+      s"""WITH dv AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), sp AS (
+         |  SELECT vec_id, v, list_min(v) AS lo,
+         |         CASE WHEN list_max(v) > list_min(v)
+         |              THEN list_max(v) - list_min(v) ELSE 1.0 END AS span
+         |  FROM dv
+         |), g AS (
+         |  SELECT vec_id,
+         |         list_transform(v, x ->
+         |           CAST(round((x - lo) / span * 255.0) AS BIGINT)) AS gl
+         |  FROM sp
+         |)
+         |SELECT vec_id,
+         |       list_aggregate(list_transform(range(0, 64), k ->
+         |         CASE WHEN 64 * gl[CAST(k AS INTEGER) + 1] >= CAST(list_sum(gl) AS BIGINT)
+         |              THEN CASE WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |                        ELSE (CAST(1 AS BIGINT) << k) END
+         |              ELSE CAST(0 AS BIGINT) END), 'bit_or') AS ahash
+         |FROM g ORDER BY vec_id""".stripMargin,
+    "multimodal_image_hash_pairs" ->
+      s"""WITH dv0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), dv AS (
+         |  SELECT vec_id, v FROM dv0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000000000,
+         |         list_prepend(v[1] + 0.01, v[2:]) AS v
+         |  FROM dv0 WHERE vec_id < 10
+         |), sp AS (
+         |  SELECT vec_id, v, list_min(v) AS lo,
+         |         CASE WHEN list_max(v) > list_min(v)
+         |              THEN list_max(v) - list_min(v) ELSE 1.0 END AS span
+         |  FROM dv
+         |), g AS (
+         |  SELECT vec_id,
+         |         list_transform(v, x ->
+         |           CAST(round((x - lo) / span * 255.0) AS BIGINT)) AS gl
+         |  FROM sp
+         |), h AS (
+         |  SELECT vec_id,
+         |         list_aggregate(list_transform(range(0, 64), k ->
+         |           CASE WHEN 64 * gl[CAST(k AS INTEGER) + 1] >= CAST(list_sum(gl) AS BIGINT)
+         |                THEN CASE WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |                          ELSE (CAST(1 AS BIGINT) << k) END
+         |                ELSE CAST(0 AS BIGINT) END), 'bit_or') AS ahash
+         |  FROM g
+         |), bands AS (
+         |  SELECT vec_id, ahash, UNNEST(range(0, 4)) AS band FROM h
+         |), keyed AS (
+         |  SELECT vec_id, ahash, band,
+         |         (ahash >> CAST(band * 16 AS INTEGER)) & 65535 AS bh
+         |  FROM bands
+         |)
+         |SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+         |       CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+         |FROM keyed x JOIN keyed y ON x.band = y.band AND x.bh = y.bh
+         |WHERE x.vec_id < y.vec_id
+         |  AND bit_count(xor(x.ahash, y.ahash)) <= 3
+         |ORDER BY a, b""".stripMargin
   )
 }

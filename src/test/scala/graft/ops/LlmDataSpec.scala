@@ -407,6 +407,31 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("gray-level render→decode→hash matches the integer prediction per row") {
+    // the contract the oracle gate rests on: for an 8x8 render from
+    // explicit levels, averageHash bit k == (64*g_k >= sum g)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val g = Array.fill(64)(rnd.nextInt(256))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.pngFromGray(g)))
+      val predicted = (0 until 64).foldLeft(0L) { (h, k) =>
+        if (64L * g(k) >= g.map(_.toLong).sum) h | (1L << k) else h
+      }
+      assert(Multimodal.averageHash(img) == predicted)
+    }
+  }
+
+  test("image hash-pairs pipeline finds exactly the planted dups") {
+    val pairs = SparkEntry.queries("multimodal_image_hash_pairs")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(pairs.length == 10, s"got ${pairs.toSeq}")
+    pairs.foreach { case ((a, b), ham) =>
+      assert(b == a + 1000000000000L, s"unexpected pair ($a,$b)")
+      assert(a < 10 && ham <= 3)
+    }
+  }
+
   test("multimodal decode is deterministic and total over the corpus") {
     val a = SparkEntry.queries("multimodal_decode")(spark, sfDir).collect()
     val b = SparkEntry.queries("multimodal_decode")(spark, sfDir).collect()
