@@ -120,6 +120,57 @@ object Curation {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
 
+  /** Serpentine shard manifest (see the `shard_manifest` query entry for
+    * the assignment scheme). The global (n_tokens DESC, doc_id) rank comes
+    * in two shapes, identical integers either way:
+    *
+    *   - `distributedRank = true` (DEFAULT, the 100 TB shape): two-phase
+    *     exact rank. Per-token-value counts get the only serial running
+    *     sum — O(distinct token counts) rows, thousands at any corpus
+    *     size — and the doc-level rank is a window PARTITIONED BY
+    *     n_tokens, so no fact-scale frame ever crosses an Exchange
+    *     SinglePartition. Offset(v) = #docs with strictly more tokens;
+    *     within a token value, rank by doc_id — together exactly the
+    *     serial window's total order. A single pathologically hot token
+    *     count would concentrate its own docs on one task (the usual
+    *     two-level-rank caveat); real length distributions spread over
+    *     thousands of values.
+    *   - `distributedRank = false` (verify twin): one unpartitioned
+    *     row_number window — the formulation the DuckDB oracle states, and
+    *     the shape CurationSpec pins the distributed form against.
+    */
+  def shardManifest(s: SparkSession, dir: String,
+                    distributedRank: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val ranked =
+      if (!distributedRank)
+        toks.withColumn("rk", (row_number().over(
+          Window.orderBy(col("n_tokens").desc, col("doc_id"))) - 1)
+          .cast("long"))
+      else {
+        val wOff = Window.orderBy(col("n_tokens").desc)
+        val off = toks.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+          .select(col("n_tokens"),
+            (sum(col("cnt")).over(wOff) - col("cnt")).as("off"))
+        val wIn = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+        toks.join(broadcast(off), "n_tokens")
+          .withColumn("rk",
+            (col("off") + row_number().over(wIn) - 1).cast("long"))
+      }
+    ranked
+      .withColumn("shard",
+        when(expr(s"rk div $ShardCount") % 2 === 0, col("rk") % ShardCount)
+          .otherwise(lit(ShardCount - 1) - col("rk") % ShardCount))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_doc_tokens"))
+      .orderBy("shard")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- weighted deterministic sampling -----------------------------------
@@ -253,35 +304,8 @@ object Curation {
     // alternating sweep direction cancels the within-block size gradient
     // (plain round-robin systematically hands shard 0 the larger doc of
     // every block). Deterministic — reassembling the corpus reproduces the
-    // identical sharding. The global row_number is the honest cost — and
-    // an unpartitioned window plans Exchange SinglePartition, so the
-    // doc-level sort runs on ONE task (rows, not tokens — fine to ~10⁸
-    // docs, cheap relative to the payload write it schedules). Past that,
-    // distribute the rank: range-partition on n_tokens and add per-part
-    // offsets from a tiny count pass (the two-phase zipWithIndex shape),
-    // or drop to hash sharding (split_train_test's recipe), which gives
-    // ±O(√(docs/N)) balance by concentration but no guarantee;
-    // serpentine bounds the shard spread by one max-doc per block.
-    // Output is the per-shard manifest a shard writer would verify
-    // against: doc count, token budget, and the largest single doc.
-    "shard_manifest" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ranked = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("rk", (row_number().over(
-          Window.orderBy(col("n_tokens").desc, col("doc_id"))) - 1)
-          .cast("long"))
-      ranked
-        .withColumn("shard",
-          when(expr(s"rk div $ShardCount") % 2 === 0, col("rk") % ShardCount)
-            .otherwise(lit(ShardCount - 1) - col("rk") % ShardCount))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          max(col("n_tokens")).as("max_doc_tokens"))
-        .orderBy("shard")
-    }),
+    // identical sharding. See [[shardManifest]] for the rank shape.
+    "shard_manifest" -> ((s, dir) => shardManifest(s, dir)),
 
     // ---- random-projection embedding sketch --------------------------------
     // Johnson-Lindenstrauss sign projection 64 -> RpDim: each output

@@ -800,8 +800,13 @@ object LlmData {
 
     // product quantization: per-subspace codebooks + codes — the 32x
     // storage cut behind billion-vector ADC search. See Similarity.pqCodes.
+    // exactFold = true on every trained-quantizer query below: the
+    // registered queries ARE the oracle-parity surface, so they opt into
+    // the sequential-fold centroid refinement the DuckDB twin mirrors
+    // bit-for-bit. Production callers get the scale-safe partial-agg
+    // default (no whole-cluster aggregation buffers).
     "emb_pq_codes" -> ((s, dir) =>
-      Similarity.pqCodes(emb(s, dir), EmbDim, PqM, PqKsub)),
+      Similarity.pqCodes(emb(s, dir), EmbDim, PqM, PqKsub, exactFold = true)),
 
     // ---- similarity search -------------------------------------------------
     "ann_cosine_topk" -> ((s, dir) => {
@@ -859,7 +864,7 @@ object LlmData {
     "ann_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
-        IvfCentroids, nprobe = IvfProbes)
+        IvfCentroids, nprobe = IvfProbes, exactFold = true)
         .orderBy("q_id", "rank")
     }),
 
@@ -871,7 +876,7 @@ object LlmData {
     "ann_pq_adc_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.pqAdcTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
-        EmbDim, PqM, PqKsub)
+        EmbDim, PqM, PqKsub, exactFold = true)
     }),
 
     // IVF-PQ: coarse inverted-file pruning × PQ asymmetric distance — the
@@ -880,7 +885,8 @@ object LlmData {
     "ann_ivfpq_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK,
-        EmbDim, PqM, PqKsub, IvfCentroids, nprobe = IvfProbes)
+        EmbDim, PqM, PqKsub, IvfCentroids, nprobe = IvfProbes,
+        exactFold = true)
     }),
 
     // Matryoshka prefix search: coarse cosine on the first MrlPrefix dims

@@ -130,7 +130,8 @@ object Similarity {
     * ADC search share one training pass.
     */
   def pqCodebooks(emb: DataFrame, dim: Int, m: Int, ksub: Int,
-                  idCol: String = "vec_id", vecCol: String = "embedding"
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  exactFold: Boolean = false
                  ): IndexedSeq[Array[(Long, Array[Double])]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -143,17 +144,18 @@ object Similarity {
     import scala.concurrent.ExecutionContext.Implicits.global
     val fs = (0 until m).map { mi =>
       Future(kmeansCentroidsCached(subFrame(emb, mi, sub, idCol, vecCol),
-        ksub, 1, "vec_id", "vec", exactFold = true))
+        ksub, 1, "vec_id", "vec", exactFold))
     }
     fs.map(Await.result(_, Duration.Inf))
   }
 
   def pqCodes(emb: DataFrame, dim: Int, m: Int, ksub: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              exactFold: Boolean = false): DataFrame = {
     val sub = dim / m
     val spark = emb.sparkSession
     import spark.implicits._
-    val books = pqCodebooks(emb, dim, m, ksub, idCol, vecCol)
+    val books = pqCodebooks(emb, dim, m, ksub, idCol, vecCol, exactFold)
     val parts = (0 until m).map { mi =>
       val centsDf = books(mi).toSeq.toDF("c_id", "c_vec")
       // err2 = |v|^2 - 2<v,c> + |c|^2, the oracle's exact operation order
@@ -202,11 +204,12 @@ object Similarity {
     */
   def pqAdcTopK(emb: DataFrame, queries: DataFrame, k: Int, dim: Int,
                 m: Int, ksub: Int, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                exactFold: Boolean = false): DataFrame = {
     val sub = dim / m
     val spark = emb.sparkSession
     import spark.implicits._
-    val books = pqCodebooks(emb, dim, m, ksub, idCol, vecCol)
+    val books = pqCodebooks(emb, dim, m, ksub, idCol, vecCol, exactFold)
     val codes = (0 until m).map { mi =>
       subFrame(emb, mi, sub, idCol, vecCol)
         .select(col("vec_id").as("n_id"), lit(mi.toLong).as("m"),
@@ -254,12 +257,13 @@ object Similarity {
     */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int, dim: Int,
                 m: Int, ksub: Int, nCentroids: Int, nprobe: Int = 1,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                exactFold: Boolean = false): DataFrame = {
     val sub = dim / m
     val spark = emb.sparkSession
     import spark.implicits._
     val coarse = kmeansCentroidsCached(emb, nCentroids, 1, idCol, vecCol,
-      exactFold = true)
+      exactFold)
     val corpusA = emb.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
       .select(col("n_id"),
         element_at(nearestCentroids(col("nv"), coarse, 1), 1).as("centroid"))
@@ -270,7 +274,7 @@ object Similarity {
     val cand = corpusA.join(queriesA, Seq("centroid"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
-    val books = pqCodebooks(emb, dim, m, ksub, idCol, vecCol)
+    val books = pqCodebooks(emb, dim, m, ksub, idCol, vecCol, exactFold)
     val codes = (0 until m).map { mi =>
       subFrame(emb, mi, sub, idCol, vecCol)
         .select(col("vec_id").as("n_id"), lit(mi.toLong).as("m"),
@@ -422,23 +426,24 @@ object Similarity {
     * then `iters` Lloyd iterations. Centroids that lose all members drop
     * out (standard Lloyd). Two refinement modes:
     *
-    *   - `exactFold = true` (oracle-parity mode): the per-centroid mean
-    *     folds members in vec-id order (sort_array + sequential
-    *     `aggregate`), bit-identical to the DuckDB oracle's
-    *     `list_sum(list(x ORDER BY vec_id))`. ONE exchange per iteration
-    *     (groupBy centroid), but each cluster's members materialize in one
-    *     aggregation buffer — fine at verification scale, an OOM risk for
-    *     a hot cluster at 100 TB.
-    *   - `exactFold = false` (scale mode): plain `avg` per
+    *   - `exactFold = false` (scale mode, the DEFAULT): plain `avg` per
     *     (centroid, dim) — associative partial aggregation with map-side
     *     combine, shuffle volume O(partitions × nlist × dim) regardless of
     *     corpus size, no cluster materialization. Last-ulp
     *     nondeterministic (float addition order), which IVF recall does
     *     not care about; only the hash-exact oracle gate does.
+    *   - `exactFold = true` (oracle-parity mode, OPT-IN — the registered
+    *     verify queries pass it): the per-centroid mean folds members in
+    *     vec-id order (sort_array + sequential `aggregate`), bit-identical
+    *     to the DuckDB oracle's `list_sum(list(x ORDER BY vec_id))`. ONE
+    *     exchange per iteration (groupBy centroid), but each cluster's
+    *     members materialize in one aggregation buffer — fine at
+    *     verification scale, an OOM risk for a hot cluster at 100 TB,
+    *     which is why it is not the default.
     */
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 1,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      exactFold: Boolean = true
+                      exactFold: Boolean = false
                      ): Array[(Long, Array[Double])] = {
     def collectCents(df: DataFrame, id: Column, vec: Column): Array[(Long, Array[Double])] =
       df.select(id.cast("long"), vec).collect()
@@ -517,7 +522,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
               nprobe: Int = 1, refineIters: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              exactFold: Boolean = true,
+              exactFold: Boolean = false,
               centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val cents = centroids.getOrElse(
       kmeansCentroidsCached(corpus, nCentroids, refineIters, idCol, vecCol, exactFold))
@@ -545,7 +550,7 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, indexDir: String, nCentroids: Int,
                     refineIters: Int = 1,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    exactFold: Boolean = true): Unit = {
+                    exactFold: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val cents = kmeansCentroidsCached(corpus, nCentroids, refineIters,
       idCol, vecCol, exactFold)

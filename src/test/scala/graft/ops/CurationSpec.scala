@@ -263,6 +263,18 @@ class CurationSpec extends SparkSpec {
     assert(sameBlock == blocked)
   }
 
+  test("shard_manifest: distributed two-phase rank == serial window, partitioned plan") {
+    val dist = Curation.shardManifest(spark, sfDir)
+    val serial = Curation.shardManifest(spark, sfDir, distributedRank = false)
+    assert(dist.collect().map(_.toString).toSeq ==
+      serial.collect().map(_.toString).toSeq)
+    // the doc-level rank window in the DEFAULT path is partitioned by
+    // n_tokens — no fact-scale frame crosses an Exchange SinglePartition
+    // (the only serial window runs over the O(distinct counts) offsets)
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(n_tokens"), plan.take(2000))
+  }
+
   test("shard_manifest: serpentine replication, full coverage, bounded spread") {
     val got = Curation.queries("shard_manifest")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
