@@ -77,11 +77,18 @@ object Curation {
     */
   val TokenBudget = 10000L
   val ScoreScale = 1000000L
-  /** Coarse bucket width for the distributed running-token-sum: the rank
-    * key is `(ScoreScale - score) * 1e9 + doc_id`, so 1e12 groups ~1000
-    * score bands per bucket.
+  /** Width of one score band in the select_token_budget rank key: ids
+    * must stay below this or the key would bleed into the adjacent score
+    * band and silently mis-order the budget cut — so the engine RAISES on
+    * any doc_id ≥ BudgetBandWidth rather than producing a wrong prefix.
+    * 1e12 ids × 1e6 score values tops out at ~1.000001e18 < 2^63.
     */
-  val BudgetBucketWidth = 1000000000000L
+  val BudgetBandWidth = 1000000000000L
+  /** Coarse bucket width for the distributed running-token-sum: the rank
+    * key is `(ScoreScale - score) * BudgetBandWidth + doc_id`, so 1e15
+    * groups ~1000 score bands per bucket.
+    */
+  val BudgetBucketWidth = 1000000000000000L
 
   private def weightCol: Column =
     least(expr("n_chars div 100") + 1, lit(WeightCap))
@@ -611,9 +618,11 @@ object Curation {
     // down the quality order ([[Stats.bucketedCumsum]]'s two-level prefix
     // sum — the serial window only ever sees O(#score-bands) rows), and
     // keep the prefix whose cumulative tokens stay within the budget.
-    // Rank key = (ScoreScale - score)·1e9 + doc_id: descending quality,
-    // doc-id tie-break, one BIGINT — so the budget cut is total-order
-    // deterministic on both engines.
+    // Rank key = (ScoreScale - score)·BudgetBandWidth + doc_id: descending
+    // quality, doc-id tie-break, one BIGINT — so the budget cut is
+    // total-order deterministic on both engines. An id at or past the band
+    // width would bleed into the neighboring score band, so the key RAISES
+    // instead of mis-ordering (codegen'd per-row branch, no extra pass).
     "select_token_budget" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -622,7 +631,11 @@ object Curation {
         .filter(col("toks") > 0)
         .withColumn("score", expr(s"dtoks * $ScoreScale div toks"))
         .withColumn("kk",
-          (lit(ScoreScale) - col("score")) * lit(1000000000L) + col("doc_id"))
+          (lit(ScoreScale) - col("score")) * lit(BudgetBandWidth) +
+            when(col("doc_id") < BudgetBandWidth, col("doc_id"))
+              .otherwise(raise_error(concat(
+                lit("select_token_budget: doc_id exceeds rank band width: "),
+                col("doc_id").cast("string"))).cast("long")))
         .select(col("doc_id"), col("source"), col("toks"), col("score"), col("kk"))
       Stats.bucketedCumsum(d, "kk", BudgetBucketWidth, Seq("toks"))
         .filter(col("toks_cum") <= TokenBudget)
@@ -914,7 +927,7 @@ object Curation {
          |  SELECT doc_id, source, toks, dtoks * $ScoreScale // toks AS score FROM f
          |), kk AS (
          |  SELECT doc_id, source, toks, score,
-         |         ($ScoreScale - score) * 1000000000 + doc_id AS kk
+         |         ($ScoreScale - score) * $BudgetBandWidth + doc_id AS kk
          |  FROM sc
          |), c AS (
          |  SELECT doc_id, source, toks, score,

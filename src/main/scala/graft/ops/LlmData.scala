@@ -1650,7 +1650,7 @@ object LlmData {
     "ann_ivfpq_topk" -> SimilaritySql.ivfPqTopK(AnnK, AnnQueries, PqM, PqKsub,
       IvfCentroids, EmbDim, IvfProbes),
     "emb_knn_eval" ->
-      s"""WITH nn AS (${SimilaritySql.lshBucketTopK(AnnK, 2000000000, EmbDim)}),
+      s"""WITH nn AS (${SimilaritySql.lshBucketTopKAllQueries(AnnK, EmbDim)}),
          |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
          |votes AS (
          |  SELECT nn.q_id, l.lab AS n_lab, CAST(count(*) AS BIGINT) AS v

@@ -417,9 +417,20 @@ object Stats {
         sum(col("sg")).as("t"), sum(col("ssg")).cast("decimal(38,0)").as("ss"),
         aggregate(array_sort(collect_list(struct(col("p"), col("term")))),
           lit(0.0), (acc, x) => acc + x("term")).as("fold"))
+      // ss exceeds 2^53 (~3e19 at sf0.1), and a DIRECT decimal(38)→double
+      // cast is where engines drift (DuckDB's is not correctly rounded —
+      // off one ulp on some values). Split ss into exact int64 halves at
+      // 1e18 and recombine in double: hi/lo extraction is exact integer
+      // arithmetic in both engines, int64→double casts and the *1e18+lo
+      // recombination are IEEE correctly-rounded single ops — the same
+      // double everywhere, data-independent. (Headroom: hi fits int64 to
+      // ss ≈ 9.2e36, i.e. ~10^17 × the sf0.1 magnitude.)
+      val ssd = expr("CAST(ss div 1000000000000000000 AS BIGINT)")
+        .cast("double") * lit(1.0e18) +
+        expr("CAST(ss % 1000000000000000000 AS BIGINT)").cast("double")
       agg.select(col("k"), col("n"),
           (col("fold") - nd(col("t")) * nd(col("t")) / nd(col("n"))).as("ssb"),
-          (nd(col("ss")) - col("fold")).as("ssw"))
+          (ssd - col("fold")).as("ssw"))
         .select(col("k"), col("n"), col("ssb"), col("ssw"),
           ((col("ssb") / (col("k").cast("double") - 1.0)) /
             (col("ssw") / (col("n").cast("double") - col("k").cast("double"))))
@@ -1467,7 +1478,10 @@ object Stats {
          |), b AS (
          |  SELECT k, n,
          |         fold - CAST(t_ AS DOUBLE) * CAST(t_ AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
-         |         CAST(ss AS DOUBLE) - fold AS ssw
+         |         (CAST(CAST(CAST(ss AS HUGEINT) // 1000000000000000000 AS BIGINT) AS DOUBLE)
+         |            * 1000000000000000000.0
+         |          + CAST(CAST(CAST(ss AS HUGEINT) % 1000000000000000000 AS BIGINT) AS DOUBLE))
+         |         - fold AS ssw
          |  FROM a
          |)
          |SELECT k, n, ssb, ssw,

@@ -162,13 +162,26 @@ object SimilaritySql {
 
   def lshBucketTopK(k: Int, nQueries: Int, dim: Int,
                     table: String = "embeddings"): String =
+    lshBucketTopKWhere(k, s"q.vec_id < $nQueries", dim, table)
+
+  /** Every corpus vector is a query (the kNN-eval shape). An explicit
+    * variant, not a "larger than any id" nQueries sentinel: a magic bound
+    * silently DROPS queries the day ids outgrow it, turning an eval bug
+    * into a confusing parity failure instead of an obvious one.
+    */
+  def lshBucketTopKAllQueries(k: Int, dim: Int,
+                              table: String = "embeddings"): String =
+    lshBucketTopKWhere(k, "TRUE", dim, table)
+
+  private def lshBucketTopKWhere(k: Int, queryPred: String, dim: Int,
+                                 table: String): String =
     s"""WITH pbt AS (${planeBitsSql(table)}),
        |b AS (SELECT vec_id, embedding, ${signBucketDynamic("embedding")} AS bucket FROM $table, pbt),
        |sims AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |         ${cosine("q.embedding", "c.embedding", dim)} AS sim
        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < $nQueries
+       |  WHERE $queryPred
        |), ranked AS (
        |  SELECT q_id, n_id, sim,
        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
