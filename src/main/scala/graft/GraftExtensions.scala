@@ -53,6 +53,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dot_f", "double-precision dot product of float arrays"),
       (args: Seq[Expression]) => { GraftExtensions.arity("graft_dot_f", args, 2)
         DotProductF(args(0), args(1)) }))
+    e.injectFunction((FunctionIdentifier("graft_sorted_intersect"),
+      info("graft_sorted_intersect",
+        "intersection of two sorted-ascending long arrays (two-pointer merge)"),
+      (args: Seq[Expression]) => { GraftExtensions.arity("graft_sorted_intersect", args, 2)
+        SortedIntersectLongs(args(0), args(1)) }))
+    e.injectFunction((FunctionIdentifier("graft_sorted_intersect_count"),
+      info("graft_sorted_intersect_count",
+        "overlap count of two sorted-ascending long arrays, no materialization"),
+      (args: Seq[Expression]) => { GraftExtensions.arity("graft_sorted_intersect_count", args, 2)
+        SortedIntersectCount(args(0), args(1)) }))
   }
 }
 

@@ -37,6 +37,123 @@ object ArrayKernels {
 
   def simhash48(tokenHashes: Column): Column =
     ExpressionUtils.column(SimHash48(ExpressionUtils.expression(tokenHashes)))
+
+  def sorted_intersect(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedIntersectLongs(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Intersection of two SORTED-ascending long arrays as a linear two-pointer
+  * merge — the hot kernel of triangle counting (one intersection per
+  * oriented edge). `array_intersect` is already codegen'd but generic: per
+  * row it builds a boxed hash set of one side and probes with the other
+  * (measured 67 s CPU across the sf0.1 triangle stage). The merge does the
+  * same set intersection on primitive longs with zero hashing and one
+  * right-sized output allocation — same elements, ascending order (callers
+  * aggregate over the exploded elements, so order is semantics-free).
+  *
+  * Inputs MUST be sorted ascending; duplicates are kept pairwise-min times
+  * (callers pass distinct adjacency sets, so this never triggers). Nulls
+  * propagate via BinaryExpression's null-safe wrapper.
+  */
+case class SortedIntersectLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    val buf = new Array[Long](math.min(n, m))
+    var i = 0; var j = 0; var k = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { buf(k) = xv; k += 1; i += 1; j += 1 }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val buf = ctx.freshName("buf")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |long[] $buf = new long[java.lang.Math.min($n, $m)];
+         |int $i = 0, $j = 0, $k = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $buf[$k++] = $xv; $i++; $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($buf, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `size(sorted_intersect(a, b))` without materializing the intersection —
+  * the link-prediction / containment shape (only the overlap COUNT is
+  * consumed). Same sorted-ascending input contract as
+  * [[SortedIntersectLongs]].
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var k = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { k += 1L; i += 1; j += 1 }
+    }
+    k
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $k = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $k++; $i++; $j++; }
+         |}
+         |${ev.value} = $k;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Double-precision dot product of two float arrays; sequential

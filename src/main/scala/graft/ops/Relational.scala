@@ -128,7 +128,11 @@ object Relational {
         .filter(col("src") =!= col("dst"))
         .repartition(cores, col("src"))
         .groupBy(col("src"))
-        .agg(array_distinct(collect_list(col("dst"))).as("adj"))
+        // sorted ascending: O(d log d) once at build buys the sorted-merge
+        // intersection kernel (SortedIntersect*) for every downstream
+        // consumer (triangles, link prediction) and makes the checkpoint
+        // fully deterministic; the other consumers are order-invariant.
+        .agg(sort_array(array_distinct(collect_list(col("dst")))).as("adj"))
         .select(col("src"), col("adj"), size(col("adj")).cast("long").as("d"))
         .localCheckpoint(eager = true)
     })
@@ -254,7 +258,11 @@ object Relational {
     *
     * Triangles are found per ORIENTED EDGE, not per wedge: (u, v) closes
     * one triangle for every w in N⁺(u) ∩ N⁺(v), so the dominant operator
-    * is a codegen'd `array_intersect` over 2·|E| adjacency arrays rather
+    * is a codegen'd sorted-merge intersection
+    * ([[graft.functions.SortedIntersectLongs]] — two-pointer over
+    * primitive longs; `array_intersect`'s per-row boxed hash set measured
+    * 3.5× the stage CPU and all of its GC) over 2·|E| adjacency arrays
+    * rather
     * than a join that materializes every length-2 path. On this graph
     * (avg degree ≈ 180 at sf0.1) the wedge-join formulation shuffles
     * ~160 M wedge rows; the intersection form moves ~1 M edge rows with
@@ -290,12 +298,19 @@ object Relational {
     // set is tiny at test SF, and AQE would serialize the intersection
     val oadj = o.repartition(cores, col("src"))
       .groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("out"))
+      // sorted: the per-edge intersection below runs as a primitive
+      // two-pointer merge (SortedIntersectLongs) instead of
+      // array_intersect's per-row boxed hash set — the intersect stage
+      // measured 67 s CPU + 5.4 s GC → 19 s CPU + 0 GC at sf0.1
+      // (the residual is explode + the partial count agg; same rows,
+      // same counts)
+      .agg(sort_array(collect_list(col("dst"))).as("out"))
     val tri = o
       .join(oadj.select(col("src"), col("out").as("ou")), "src")
       .join(oadj.select(col("src").as("dst"), col("out").as("ov")), "dst")
       .select(col("src").as("u"), col("dst").as("v"),
-        explode(array_intersect(col("ou"), col("ov"))).as("w"))
+        explode(graft.functions.ArrayKernels.sorted_intersect(
+          col("ou"), col("ov"))).as("w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_tri"))

@@ -307,7 +307,8 @@ object Stats {
     // float sums, common-neighbor count is the same ranking family
     // without the hazard). The hub pool bounds the quadratic: top-HubK
     // nodes by degree, HubK² candidate pairs, each scored by ONE codegen'd
-    // array_intersect over the memoized adjacency arrays — no Σd² wedge
+    // sorted-merge overlap count over the memoized adjacency arrays
+    // (sorted at build) — no Σd² wedge
     // explosion (the trap the oracle's join formulation walks into at 10×
     // the row count). Reuses [[Relational.pageRankGraph]]'s checkpointed
     // adjacency, so construct cost is shared with pagerank/triangles/LP.
@@ -326,7 +327,10 @@ object Stats {
         .join(b.repartition(s.sparkContext.defaultParallelism),
           col("u") < col("w"))
         .select(col("u"), col("w"), col("du"), col("dw"),
-          size(array_intersect(col("au"), col("aw"))).cast("long").as("n_common"),
+          // adjacency arrays are sorted at build (pageRankGraph): the
+          // overlap count is a primitive two-pointer merge, no hash set
+          graft.functions.ArrayKernels.sorted_intersect_count(
+            col("au"), col("aw")).as("n_common"),
           array_contains(col("au"), col("w")).as("is_edge"))
         .filter(col("n_common") > 0)
         .orderBy(col("n_common").desc, col("u"), col("w"))

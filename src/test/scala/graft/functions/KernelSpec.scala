@@ -153,6 +153,37 @@ class KernelSpec extends SparkSpec {
     assert(planeBitsFor(Long.MaxValue) == 20) // cap
   }
 
+  test("SortedIntersect kernels == array_intersect on sorted distinct arrays") {
+    // random sorted-distinct long arrays, both the array and count forms;
+    // the reference is the builtin array_intersect (set semantics agree
+    // because inputs are distinct)
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(200) {
+      val a = rnd.shuffle((0L to 400L).toVector).take(rnd.nextInt(80)).sorted
+      val b = rnd.shuffle((0L to 400L).toVector).take(rnd.nextInt(80)).sorted
+      (a, b)
+    }
+    import spark.implicits._
+    val df = rows.toDF("a", "b")
+      .select(
+        ArrayKernels.sorted_intersect(col("a"), col("b")).as("k"),
+        ArrayKernels.sorted_intersect_count(col("a"), col("b")).as("kc"),
+        sort_array(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(df.filter(col("k") =!= col("ref") ||
+      col("kc") =!= size(col("ref")).cast("long")).count() == 0)
+    // empty/disjoint/identical edges
+    val edge = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(ArrayKernels.sorted_intersect(col("a"), col("b")).as("k"),
+        ArrayKernels.sorted_intersect_count(col("a"), col("b")).as("kc"))
+      .collect()
+    assert(edge(0).getSeq[Long](0).isEmpty && edge(0).getLong(1) == 0L)
+    assert(edge(1).getSeq[Long](0).isEmpty && edge(1).getLong(1) == 0L)
+    assert(edge(2).getSeq[Long](0) == Seq(1L, 2L, 3L) && edge(2).getLong(1) == 3L)
+  }
+
   test("kernels survive both codegen and interpreted eval paths") {
     // Force interpreted path by using the expressions in a filter that
     // Catalyst constant-folds / evaluates eagerly on literals.
