@@ -192,11 +192,15 @@ object Dedup {
 
   private def wordSets(idCol: String, textCol: String)(docs: DataFrame): DataFrame =
     docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), TextOps.shingleHashes(col("toks")).as("s"))
+      // sorted ascending at build: every consumer is order-invariant
+      // (minhash = min per hash fn, overlap sizes), and the sort — once
+      // per DOC — buys the primitive two-pointer SortedIntersectCount for
+      // every verification PAIR (pairs ≫ docs on any near-dup corpus)
+      .select(col("id"), sort_array(TextOps.shingleHashes(col("toks"))).as("s"))
 
   private def ngramSets(idCol: String, textCol: String, k: Int)(docs: DataFrame): DataFrame =
     docs.select(col(idCol).as("id"),
-      array_distinct(TextOps.charGramHashes(col(textCol), k)).as("s"))
+      sort_array(array_distinct(TextOps.charGramHashes(col(textCol), k))).as("s"))
 
   /** Distinct candidate (a, b) pairs from a band self-join: the full index
     * on the a side, an arbitrary probe subset on the b side.
@@ -215,7 +219,7 @@ object Dedup {
     cand
       .join(sh.select(col("id").as("a"), col("s").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("s").as("shb")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("inter", graft.functions.ArrayKernels.sorted_intersect_count(col("sha"), col("shb")))
       .withColumn("uni", (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
@@ -237,7 +241,7 @@ object Dedup {
     candidatePairs(bands, bands)
       .join(sh.select(col("id").as("a"), col("s").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("s").as("shb")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("inter", graft.functions.ArrayKernels.sorted_intersect_count(col("sha"), col("shb")))
       .withColumn("containment",
         greatest(col("inter").cast("double") / size(col("sha")),
           col("inter").cast("double") / size(col("shb"))))
@@ -292,7 +296,7 @@ object Dedup {
       .join(sig.select(col("id").as("b"), col("s").as("shb"),
         col("sig").as("sigb")), Seq("b"))
       .withColumn("inter",
-        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        graft.functions.ArrayKernels.sorted_intersect_count(col("sha"), col("shb")))
       .withColumn("uni",
         (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
       .withColumn("exact_jaccard", col("inter").cast("double") / col("uni"))
@@ -604,7 +608,7 @@ object Dedup {
     left.join(ranked.select(col("rn"), col("id").as("ib"), col("s").as("sb")), "rn")
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col("sa"), col("sb"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("inter", graft.functions.ArrayKernels.sorted_intersect_count(col("sa"), col("sb")))
       .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
