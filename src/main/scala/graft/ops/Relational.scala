@@ -55,6 +55,14 @@ object Relational {
     */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** histogram_equidepth: number of equi-depth buckets. */
+  val HistBuckets = 8L
+
+  /** compaction_plan: target output size in rows per compacted bin (the
+    * row-count stand-in for `maxPartitionBytes` at the planning layer).
+    */
+  val CompactTargetRows = 25000L
+
   /** Per-session scratch for round-trip queries — see [[Tables.scratchDir]]
     * (the one shared definition, with shutdown-hook cleanup).
     */
@@ -1261,6 +1269,105 @@ object Relational {
           graft.sinks.TableSink.zorderKey(col("o_custkey"), col("d_epoch"))
             .as("z"))
         .orderBy("o_orderkey")),
+
+    // ---- ANALYZE-style column statistics catalog ---------------------------
+    // Per-column (rows, nulls, exact NDV, min, max) across the three fact/
+    // dim tables — the statistics a cost-based optimizer consumes, as a
+    // queryable catalog. ONE aggregation pass per table computes every
+    // column's stats together (the multi-count-distinct Expand shape:
+    // #cols × the scan, all map-side partials — the standard exact-ANALYZE
+    // cost); the per-column stacking unions project from that single
+    // 1-row frame, not from re-scans. min/max aggregate on the NATIVE type
+    // (lexicographic string min would mis-order numerics) and format after.
+    // At 100 TB cadence, swap countDistinct for approx_count_distinct and
+    // the pass is a plain narrow aggregate; exact NDV is what the oracle
+    // can check.
+    "table_stats_catalog" -> ((s, dir) => {
+      def tstats(t: String, df: DataFrame,
+                 numCols: Seq[String], strCols: Seq[String],
+                 dateCols: Seq[String]): DataFrame = {
+        val all = numCols ++ strCols ++ dateCols
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++ all.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        def fmt(c: String)(v: Column): Column =
+          if (dateCols.contains(c)) date_format(v, "yyyy-MM-dd")
+          else v.cast("string")
+        all.map { c =>
+          one.select(lit(t).as("table_name"), lit(c).as("column_name"),
+            col("n_rows"),
+            (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+            col(s"ndv_$c").as("ndv"),
+            fmt(c)(col(s"mn_$c")).as("min_val"),
+            fmt(c)(col(s"mx_$c")).as("max_val"))
+        }.reduce(_ unionByName _)
+      }
+      tstats("orders", Tables.load(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey"),
+          Seq("o_orderstatus", "o_orderpriority"), Seq("o_orderdate"))
+        .unionByName(tstats("lineitem", Tables.load(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+          Seq("l_returnflag", "l_linestatus"), Seq("l_shipdate")))
+        .unionByName(tstats("customer", Tables.load(s, dir, "customer"),
+          Seq("c_custkey", "c_nationkey"), Seq("c_mktsegment"), Seq.empty))
+        .orderBy("table_name", "column_name")
+    }),
+
+    // ---- equi-depth histogram boundaries (CBO histograms) ------------------
+    // B-bucket equi-depth boundaries of l_extendedprice (integer cents):
+    // boundary b is the smallest value whose cumulative row count reaches
+    // ⌈n·b/B⌉ — exact order statistics, not a sketch. Shape: one map-side-
+    // combined groupBy onto the O(distinct values) frame, the two-level
+    // bucketed prefix sum ([[Stats.bucketedCumsum]] — no unpartitioned
+    // window over the value table), then the B targets broadcast against
+    // the cum frame and min-reduced. Fact rows are touched exactly once.
+    "histogram_equidepth" -> ((s, dir) => {
+      val cum = Stats.bucketedCumsum(
+        Tables.load(s, dir, "lineitem")
+          .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt")),
+        "v", 1000000L, Seq("cnt"))
+      val n = cum.agg(sum(col("cnt")).as("n"))
+      val targets = n.select(explode(sequence(lit(1L), lit(HistBuckets)))
+          .as("bucket"), col("n"))
+        .select(col("bucket"),
+          // ⌈n·b/B⌉ as integer arithmetic — Column./ would go double
+          expr(s"(n * bucket + ${HistBuckets - 1}) div $HistBuckets")
+            .as("target_rank"))
+      cum.join(broadcast(targets), cum("cnt_cum") >= targets("target_rank"))
+        .groupBy(col("bucket"), col("target_rank"))
+        .agg(min(col("v")).as("upper_cents"))
+        .orderBy("bucket")
+    }),
+
+    // ---- small-files compaction plan ---------------------------------------
+    // The lakehouse maintenance planner: chunks (per-day event batches —
+    // the ingest granularity) are coalesced in day order into target-sized
+    // output bins, `bin = floor(cum_before / target)` — the closed-form
+    // size-coalescing policy (same family as Spark's AQE partition
+    // coalescing, made deterministic and queryable). The plan runs on the
+    // O(calendar days) chunk table: one map-side-combined groupBy from
+    // facts, one rollup-scale ordered window, one tiny self-aggregation
+    // for per-bin totals. Fact bytes are never moved by planning — only
+    // the executor of the plan rewrites them, bin by bin.
+    "compaction_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      val w = Window.orderBy("day")
+      val planned = chunks
+        .withColumn("cum_before", sum(col("n_rows")).over(w) - col("n_rows"))
+        .withColumn("bin", expr(s"cum_before div $CompactTargetRows"))
+      planned
+        .join(planned.groupBy(col("bin")).agg(sum(col("n_rows")).as("bin_rows")),
+          "bin")
+        .select(col("day"), col("n_rows"), col("bin"), col("bin_rows"))
+        .orderBy("day")
+    }),
 
     // ---- window-frame semantics audit --------------------------------------
     // Pins the full frame-specification surface against DuckDB on one
@@ -3542,6 +3649,63 @@ object Relational {
          |SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
          |FROM t ORDER BY o_orderkey""".stripMargin
     },
+    "table_stats_catalog" -> {
+      // generated from the same (table, column, kind) lists as the engine
+      // side so the two surfaces cannot drift
+      def block(t: String, cols: Seq[(String, String)]): Seq[String] =
+        cols.map { case (c, kind) =>
+          val (mn, mx) =
+            if (kind == "date")
+              (s"strftime(min($c), '%Y-%m-%d')", s"strftime(max($c), '%Y-%m-%d')")
+            else (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+          s"""SELECT '$t' AS table_name, '$c' AS column_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+             |  $mn AS min_val, $mx AS max_val
+             |FROM $t""".stripMargin
+        }
+      (block("orders", Seq("o_orderkey" -> "num", "o_custkey" -> "num",
+          "o_orderstatus" -> "str", "o_orderpriority" -> "str",
+          "o_orderdate" -> "date")) ++
+        block("lineitem", Seq("l_orderkey" -> "num", "l_partkey" -> "num",
+          "l_suppkey" -> "num", "l_linenumber" -> "num",
+          "l_returnflag" -> "str", "l_linestatus" -> "str",
+          "l_shipdate" -> "date")) ++
+        block("customer", Seq("c_custkey" -> "num", "c_nationkey" -> "num",
+          "c_mktsegment" -> "str")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+    },
+    "histogram_equidepth" ->
+      s"""WITH v AS (
+         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    AS v FROM lineitem
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         |g AS (SELECT v, count(*) AS cnt FROM v GROUP BY v),
+         |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM g),
+         |t AS (
+         |  SELECT CAST(b AS BIGINT) AS bucket,
+         |         CAST((n * b + ${HistBuckets - 1}) // $HistBuckets AS BIGINT)
+         |           AS target_rank
+         |  FROM range(1, ${HistBuckets + 1}) tt(b) CROSS JOIN n
+         |)
+         |SELECT bucket, target_rank,
+         |       (SELECT min(v) FROM c WHERE cum >= target_rank) AS upper_cents
+         |FROM t ORDER BY bucket""".stripMargin,
+    "compaction_plan" ->
+      s"""WITH ch AS (
+         |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |         CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM events GROUP BY 1
+         |), p AS (
+         |  SELECT day, n_rows,
+         |         CAST((sum(n_rows) OVER (ORDER BY day) - n_rows)
+         |              // $CompactTargetRows AS BIGINT) AS bin
+         |  FROM ch
+         |), b AS (SELECT bin, CAST(sum(n_rows) AS BIGINT) AS bin_rows
+         |         FROM p GROUP BY bin)
+         |SELECT p.day, p.n_rows, p.bin, b.bin_rows
+         |FROM p JOIN b USING (bin) ORDER BY day""".stripMargin,
     "csv_roundtrip_agg" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

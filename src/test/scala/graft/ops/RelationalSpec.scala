@@ -771,4 +771,56 @@ class RelationalSpec extends SparkSpec {
     assert(m("orderkey_unique") == 1.0 && m("custkey_complete") == 1.0)
     assert(m("row_count_positive") > 0.0)
   }
+
+  test("table_stats_catalog: one row per column, stats internally consistent") {
+    val rows = SparkEntry.queries("table_stats_catalog")(spark, sfDir).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val (n, nulls, ndv) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nulls >= 0 && nulls <= n)
+      assert(ndv >= 1 && ndv <= n - nulls, s"${r.getString(1)}: ndv=$ndv")
+      assert(r.getString(5) <= r.getString(6) ||
+        r.getString(1).endsWith("key") || r.getString(1).endsWith("number"),
+        s"${r.getString(1)}: min>max as strings (numeric cols exempt)")
+    }
+    // a known exact NDV: o_orderstatus has the three TPC-H statuses
+    val st = rows.find(r => r.getString(1) == "o_orderstatus").get
+    assert(st.getLong(4) == 3 && st.getString(5) == "F" && st.getString(6) == "P")
+  }
+
+  test("histogram_equidepth: monotone boundaries hitting exact target ranks") {
+    val rows = SparkEntry.queries("histogram_equidepth")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == Relational.HistBuckets)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq) // monotone uppers
+    // recompute the order statistics directly from the data
+    val vals = graft.Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("v")).collect().map(_.getLong(0)).sorted
+    rows.foreach { case (_, rank, upper) =>
+      assert(vals(rank.toInt - 1) == upper,
+        s"boundary at rank $rank: got $upper want ${vals(rank.toInt - 1)}")
+    }
+    assert(rows.last._3 == vals.last) // last bucket closes at the max
+  }
+
+  test("compaction_plan: bins filled in day order, totals near target") {
+    val rows = SparkEntry.queries("compaction_plan")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // bin ids are non-decreasing in day order and start at 0
+    assert(rows.head._3 == 0L)
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 >= a._3; case _ => true })
+    // per-bin totals agree with the per-day rows they aggregate
+    rows.groupBy(_._3).foreach { case (_, ds) =>
+      assert(ds.map(_._2).sum == ds.head._4)
+    }
+    // every non-final bin reached the target before closing (the closed-form
+    // policy: a bin only ends once its cumulative start passes the boundary)
+    val maxBin = rows.map(_._3).max
+    rows.groupBy(_._3).filter(_._1 < maxBin).foreach { case (bin, ds) =>
+      assert(ds.head._4 + ds.map(_._2).max > Relational.CompactTargetRows,
+        s"bin $bin closed below target")
+    }
+  }
 }
