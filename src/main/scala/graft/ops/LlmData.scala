@@ -201,6 +201,13 @@ object LlmData {
   val Bm25Terms = Seq("spark", "hash", "join")
   val Bm25TopK = 10
 
+  /** bm25_prefix_recall: number of query docs (doc_id < PrQn), prefix
+    * length in tokens, and the retrieval cut for the hit@k metric.
+    */
+  val PrQn = 20L
+  val PrLen = 12
+  val PrK = 10
+
   /** binaryfile_ingest writes this many payload objects per run. */
   val BinFileDocs = 50
 
@@ -695,6 +702,77 @@ object LlmData {
     "text_bm25_topk" -> ((s, dir) =>
       bm25Scored(s, dir)
         .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)),
+
+    // ---- BM25 retrieval-quality eval: prefix queries, recall@k -------------
+    // The lexical twin of ann_recall_report: each of the PrQn query docs
+    // is searched by its own PrLen-token prefix, and the eval reports the
+    // gold doc's rank within the top-PrK (or -1). Self-retrieval by prefix
+    // gives label-free ground truth with a meaningful discrimination task:
+    // the synthetic corpus draws from a ~30-word shared vocabulary, so
+    // every prefix term occurs in MOST documents and ranking is decided by
+    // BM25's tf/length discrimination — measured recall@10 ≈ 50% against a
+    // 0.17% random baseline (10 of ~6000 docs), i.e. the eval detects a
+    // ~300× lift and leaves headroom to register retrieval regressions in
+    // either direction.
+    // Shape: ONE postings pass — the term filter runs INSIDE the
+    // generator against the driver-collected union term set (≤ PrQn·PrLen
+    // strings, the bounded-mask discipline), so only query-term postings
+    // are ever emitted; per-(doc, term) contributions are computed ONCE
+    // and fan out to queries via a broadcast join; per-query ranks cut to
+    // PrK through the rank-filter WindowGroupLimit (never a global sort).
+    // Score doubles fold in term order (the BM25 parity discipline), so
+    // ranks — and the hash — are engine-exact.
+    "bm25_prefix_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+      val base = docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val qt = base.filter(col("doc_id") < PrQn)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(slice(col("toks"), 1, PrLen))).as("term"))
+      val qterms = qt.select(col("term")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val oneMinusB = 1 - Bm25B
+      val tf = base
+        .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+          explode(filter(col("toks"),
+            t => array_contains(lit(qterms), t))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val avg = base
+        .agg((sum(size(col("toks")).cast("long")).cast("double") /
+          lit(n.toDouble)).as("avglen"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(avg))
+        .withColumn("idf",
+          (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        .withColumn("contrib",
+          col("idf") * (col("tf") * lit(Bm25K1 + 1)) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(oneMinusB) + lit(Bm25B) * (col("len") / col("avglen")))))
+        .join(broadcast(qt), "term")
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x("contrib")).as("score"))
+      val rn = row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id")))
+      val topk = scored.withColumn("rn", rn).filter(col("rn") <= PrK)
+        .localCheckpoint(eager = true) // two consumers below, one compute
+      val gold = topk.filter(col("doc_id") === col("qid"))
+        .select(col("qid"), col("rn").cast("long").as("gold_rank"))
+      val top1 = topk.filter(col("rn") === 1)
+        .select(col("qid"), col("doc_id").as("top_doc"))
+      qt.select(col("qid")).distinct()
+        .join(gold, Seq("qid"), "left")
+        .join(top1, Seq("qid"))
+        .select(col("qid"),
+          coalesce(col("gold_rank"), lit(-1L)).as("gold_rank"),
+          (coalesce(col("gold_rank"), lit(-1L)) =!= -1L).as("hit_at_k"),
+          col("top_doc"))
+        .orderBy("qid")
+    }),
 
     // ---- bigram LM quality scoring -----------------------------------------
     // CCNet-style language-model filtering: train bigram transition counts
@@ -1419,6 +1497,56 @@ object LlmData {
     "text_bm25_topk" ->
       s"""SELECT doc_id, score FROM ($bm25ScoredSql)
          |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
+    // same BM25 arithmetic and sorted-fold discipline as bm25ScoredSql,
+    // parameterized by the per-query prefix term sets
+    "bm25_prefix_recall" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents
+         |), qt AS (
+         |  SELECT DISTINCT doc_id AS qid, UNNEST(list_distinct(toks[1:$PrLen]))
+         |    AS term
+         |  FROM base WHERE doc_id < $PrQn
+         |), n AS (SELECT count(*) AS n FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base),
+         |avg AS (
+         |  SELECT CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) AS avglen
+         |  FROM (SELECT sum(len) AS sl FROM lens), n
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf, max(len) AS len
+         |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+         |               UNNEST(toks) AS term FROM base)
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+         |), dfx AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), contrib AS (
+         |  SELECT doc_id, term,
+         |    ((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+         |       / (df + CAST(0.5 AS DOUBLE)))
+         |      * (tf * CAST(${Bm25K1 + 1} AS DOUBLE))
+         |      / (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1 - Bm25B} AS DOUBLE)
+         |           + CAST($Bm25B AS DOUBLE) * (len / avglen))) AS c
+         |  FROM tf JOIN dfx USING (term), n, avg
+         |), sc AS (
+         |  SELECT qid, doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(c ORDER BY term)), (a, b) -> a + b) AS score
+         |  FROM contrib JOIN qt USING (term) GROUP BY qid, doc_id
+         |), rk AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+         |      AS rn
+         |  FROM sc
+         |), topk AS (SELECT * FROM rk WHERE rn <= $PrK)
+         |SELECT q.qid,
+         |  COALESCE((SELECT CAST(rn AS BIGINT) FROM topk t
+         |            WHERE t.qid = q.qid AND t.doc_id = q.qid), -1)
+         |    AS gold_rank,
+         |  COALESCE((SELECT CAST(rn AS BIGINT) FROM topk t
+         |            WHERE t.qid = q.qid AND t.doc_id = q.qid), -1) <> -1
+         |    AS hit_at_k,
+         |  (SELECT doc_id FROM topk t WHERE t.qid = q.qid AND rn = 1)
+         |    AS top_doc
+         |FROM (SELECT DISTINCT qid FROM qt) q ORDER BY qid""".stripMargin,
     // same add-one-smoothed bigram model; p is an exact integer-ratio
     // double and the per-doc sum folds in position order (list_reduce
     // over list(p ORDER BY pos)) exactly like the Spark sorted-array fold

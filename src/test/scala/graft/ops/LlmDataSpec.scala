@@ -980,4 +980,20 @@ class LlmDataSpec extends SparkSpec {
     assert(rep.forall(r => r.getLong(2) > 1L))
     assert(rep.forall(r => r.getLong(1) <= r.getLong(2)))
   }
+
+  test("bm25_prefix_recall: well-formed eval with a large lift over chance") {
+    val rows = SparkEntry.queries("bm25_prefix_recall")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.length == LlmData.PrQn)
+    assert(rows.map(_._1).toSeq == (0L until LlmData.PrQn).toSeq)
+    rows.foreach { case (qid, gold, hit, top) =>
+      assert(gold == -1L || (gold >= 1L && gold <= LlmData.PrK))
+      assert(hit == (gold != -1L), s"q$qid: hit flag disagrees with rank")
+      if (gold == 1L) assert(top == qid, s"q$qid: rank-1 gold but top_doc=$top")
+    }
+    // recall@10 must sit far above the ~0.17% random baseline (10/6000);
+    // the shared-vocab corpus caps it well below 100% (measured ~50%)
+    val hits = rows.count(_._3)
+    assert(hits >= 5, s"recall collapsed: $hits/${rows.length}")
+  }
 }
