@@ -200,8 +200,15 @@ object Bench {
     // Re-time it once with EVERY session memo cleared (Memos.clearAll) so
     // the re-run pays its own construct cost — i.e. the judge's
     // "standalone re-measurement" methodology, not a memo-warm free ride —
-    // and record the min. Capped: if more than 8 queries straggle the whole
-    // run was contended and re-running them all just doubles a bad run.
+    // and record the min. At 258 registered queries a dozen are GENUINELY
+    // above 3× the ~0.8 s median (index/k-means training, iterative
+    // graphs), so a straggler COUNT is not a contention signal (the r07
+    // floor run proved this: it self-flagged contended on 15 clean heavy
+    // queries while a ~60 s host-throttle window inflated an alphabetical
+    // stretch — exactly the rows a re-run repairs). Contention is judged
+    // by the probes alone; here we re-run the WORST 8 by excess ratio —
+    // bounded extra wall, and it repairs the biggest distortions whether
+    // they were throttle spikes or GC luck.
     val okTimes = results.collect {
       case (k, v) if !failed.contains(k) => v }.toSeq.sorted
     val rerun: Map[String, Double] =
@@ -210,9 +217,9 @@ object Bench {
         val median = okTimes(okTimes.size / 2)
         val cut = math.max(2.5, 3.0 * median)
         val stragglers = results.collect {
-          case (k, v) if !failed.contains(k) && v > cut => k }.toSeq.sorted
-        if (stragglers.size > 8) { contended = true; Map.empty }
-        else stragglers.map { name =>
+          case (k, v) if !failed.contains(k) && v > cut => (k, v) }.toSeq
+          .sortBy(-_._2).take(8).map(_._1).sorted
+        stragglers.map { name =>
           Memos.clearAll()
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, sfDir)
