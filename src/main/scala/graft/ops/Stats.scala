@@ -138,6 +138,30 @@ object Stats {
         (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)
   }
 
+  /** Group-aware two-level prefix sum: running totals of `cs` per
+    * `groupCol` in `orderCol` order, without ever sorting a whole group in
+    * one task. A window partitioned ONLY by a low-cardinality group key
+    * (returnflag: 3 values, priority: 5) serializes each group's distinct-
+    * value table onto one task at any scale; here the serial level runs
+    * over the (group × bucket) totals — O(groups · range/width) rows —
+    * and the intra-bucket windows parallelize on (group, bucket).
+    */
+  private[ops] def bucketedCumsumBy(g0: DataFrame, groupCol: String,
+                                    orderCol: String, bucketWidth: Long,
+                                    cs: Seq[String]): DataFrame = {
+    val g = g0.withColumn("bk", expr(s"$orderCol div $bucketWidth"))
+    val aggs = cs.map(c => sum(col(c)).as(s"bt_$c"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("bk"))
+    val off = g.groupBy(col(groupCol), col("bk")).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: col("bk") +: cs.map(c =>
+        (sum(col(s"bt_$c")).over(wOff) - col(s"bt_$c")).as(s"off_$c")): _*)
+    val inner = Window.partitionBy(col(groupCol), col("bk"))
+      .orderBy(col(orderCol))
+    g.join(off, Seq(groupCol, "bk"))
+      .select(g0.columns.map(col) ++ cs.map(c =>
+        (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)
+  }
+
   private def rank2Cnt(df: DataFrame, c: String,
                        bucketWidth: Long): DataFrame =
     bucketedCumsum(df.groupBy(col(c)).agg(count(lit(1)).as("cnt")),
@@ -1032,7 +1056,9 @@ object Stats {
     // Same grouped-cell + cumulative-rank machinery as
     // boxplot_price_by_priority, but the cells carry TWO masses — row count
     // and quantity — so the plain and weighted medians come out of one
-    // O(distinct prices) window pass. Lower-median selection (min v with
+    // O(distinct prices) two-level prefix-sum pass ([[bucketedCumsumBy]]:
+    // serial only over (flag × price-bucket) totals, never a whole flag in
+    // one task). Lower-median selection (min v with
     // 2·cum ≥ total) keeps every comparison integer; no doubles anywhere.
     "weighted_median_price" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
@@ -1042,9 +1068,12 @@ object Stats {
           col("l_quantity").cast("long").as("w"))
       val g = li.groupBy(col("p"), col("v"))
         .agg(count(lit(1)).as("cnt"), sum(col("w")).as("wt"))
-      val wp = Window.partitionBy(col("p")).orderBy(col("v"))
-      val cum = g.select(col("p"), col("v"),
-        sum(col("cnt")).over(wp).as("cc"), sum(col("wt")).over(wp).as("cw"))
+      // group-aware two-level prefix sum: a window partitioned by the
+      // 3-value returnflag alone would sort each flag's whole distinct-
+      // price table in ONE task at any scale
+      val cum = bucketedCumsumBy(g, "p", "v", 1000000L, Seq("cnt", "wt"))
+        .select(col("p"), col("v"),
+          col("cnt_cum").as("cc"), col("wt_cum").as("cw"))
       val tot = g.groupBy(col("p"))
         .agg(sum(col("cnt")).as("n"), sum(col("wt")).as("tw"))
       cum.join(tot, "p")
@@ -1066,8 +1095,9 @@ object Stats {
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderpriority").as("p"), cents.as("v"))
       val g = o.groupBy(col("p"), col("v")).agg(count(lit(1)).as("cnt"))
-      val wp = Window.partitionBy(col("p")).orderBy(col("v"))
-      val cum = g.select(col("p"), col("v"), sum(col("cnt")).over(wp).as("cw"))
+      // same group-aware two-level discipline as weighted_median_price
+      val cum = bucketedCumsumBy(g, "p", "v", 1000000L, Seq("cnt"))
+        .select(col("p"), col("v"), col("cnt_cum").as("cw"))
       val tot = g.groupBy(col("p")).agg(sum(col("cnt")).as("n"))
       def pick(rank: Column): Column = min(when(col("cw") >= rank, col("v")))
       val q = cum.join(tot, "p").groupBy(col("p"), col("n"))
