@@ -366,6 +366,12 @@ object Curation {
           lit(1000000L)), col("doc_id"))
       d.select(col("doc_id"), col("source"))
         .withColumn("rn", row_number().over(byHash))
+        // literal pre-cut FIRST: the dynamic `rn <= quota` filter alone is
+        // not foldable, so Catalyst would run a full per-source sort; the
+        // rn <= TempTarget bound (every quota ≤ TempTarget by
+        // construction) compiles to WindowGroupLimit — map-side partial
+        // top-k — and the exact quota trims the survivors after the join
+        .filter(col("rn") <= TempTarget)
         .join(broadcast(quota), "source")
         .filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("source"), col("quota"))

@@ -982,9 +982,9 @@ object Stats {
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderpriority").as("p"), cents.as("v"))
       val g = o.groupBy(col("p"), col("v")).agg(count(lit(1)).as("cnt"))
-      val wp = Window.partitionBy(col("p")).orderBy(col("v"))
-      val cum = g.select(col("p"), col("v"), col("cnt"),
-        sum(col("cnt")).over(wp).as("cw"))
+      // group-aware two-level prefix sum (see weighted_median_price)
+      val cum = bucketedCumsumBy(g, "p", "v", 1000000L, Seq("cnt"))
+        .select(col("p"), col("v"), col("cnt"), col("cnt_cum").as("cw"))
       val tot = g.groupBy(col("p")).agg(sum(col("cnt")).as("n"),
         min(col("v")).as("lo"), max(col("v")).as("hi"))
       def pick(rank: Column): Column =
