@@ -516,4 +516,93 @@ object Multimodal {
         wavDecode(id, Option(bytes).getOrElse(Array.emptyByteArray))
       })
   }
+
+  /** Quantize one embedding coordinate to a 16-bit PCM sample with the
+    * exact arithmetic the DuckDB oracle mirrors: float → double, ×8192,
+    * floor, clamp to int16. Mono synthesis keys the audio feature path to
+    * the same codec-free-oracle trick as the image average hash.
+    */
+  def pcmSample(v: Float): Int =
+    math.max(-32768L, math.min(32767L,
+      math.floor(v.toDouble * 8192.0).toLong)).toInt
+
+  /** Real mono 16-bit 8 kHz WAV from an embedding vector — a valid RIFF
+    * container [[wavDecode]] parses back losslessly (samples are already
+    * int16, so the codec round trip is exact).
+    */
+  def wavFromVector(v: Array[Float]): Array[Byte] = {
+    val n = v.length
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000).putInt(16000)
+      .putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort(pcmSample(v(i)).toShort); i += 1 }
+    buf.array()
+  }
+
+  final case class AudioFeatures(asset_id: Long, n_samples: Long,
+                                 sum_abs: Long, max_abs: Long,
+                                 zero_crossings: Long, energy: Long)
+
+  /** PCM samples of a parsed WAV payload (16-bit mono only — the
+    * [[wavFromVector]] contract): chunk-walk to `data`, read int16 LE.
+    */
+  def wavSamples(payload: Array[Byte]): Option[Array[Int]] = {
+    if (!looksLikeWav(payload)) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    try {
+      while (off + 8 <= payload.length) {
+        val tag = new String(payload, off, 4, "US-ASCII")
+        val len = buf.getInt(off + 4).toLong & 0xffffffffL
+        if (tag == "data") {
+          val avail = math.min(len, payload.length.toLong - off - 8)
+          val n = (avail / 2).toInt
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) { out(i) = buf.getShort(off + 8 + i * 2).toInt; i += 1 }
+          return Some(out)
+        }
+        val step = 8L + len + (len & 1)
+        if (len > payload.length.toLong - off - 8) return None
+        off += step.toInt
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-asset signal features computed from the DECODED samples (sum/max
+    * of |s|, strict sign-change zero crossings, Σs² energy — all int64;
+    * 32768²·n overflows past ~8.6e9 samples, far beyond any real clip).
+    * The oracle computes the identical integers straight from the
+    * quantized vector, so the parity gate proves the whole
+    * synthesize → RIFF container → parse → extract path end to end.
+    */
+  def audioFeatures(assets: DataFrame): Dataset[AudioFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavSamples(Option(bytes).getOrElse(Array.emptyByteArray)).map { s =>
+          var sumAbs = 0L; var maxAbs = 0L; var zc = 0L; var energy = 0L
+          var i = 0
+          while (i < s.length) {
+            val a = math.abs(s(i).toLong)
+            sumAbs += a; if (a > maxAbs) maxAbs = a
+            energy += s(i).toLong * s(i)
+            if (i + 1 < s.length && s(i).toLong * s(i + 1) < 0) zc += 1
+            i += 1
+          }
+          AudioFeatures(id, s.length.toLong, sumAbs, maxAbs, zc, energy)
+        }
+      })
+  }
 }

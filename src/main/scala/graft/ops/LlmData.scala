@@ -1229,6 +1229,29 @@ object LlmData {
         .toDF().orderBy("asset_id")
     }),
 
+    // Audio signal features through a REAL codec round trip, oracle-exact:
+    // embeddings quantize to int16 PCM (float→double, ×8192, floor,
+    // clamp — arithmetic the oracle mirrors bit-for-bit), synthesize into
+    // a valid RIFF/WAV container, parse the container back
+    // (Multimodal.wavSamples chunk walk), and reduce the DECODED samples
+    // to integer features (Σ|s|, max|s|, strict sign-change zero
+    // crossings, Σs²). The oracle computes the same integers straight
+    // from the vector — any byte-level bug anywhere in the
+    // synthesize→container→parse→extract path breaks the hash gate (the
+    // audio analog of multimodal_image_ahash's codec-free oracle).
+    // Per-row narrow map end to end; no shuffle until the final ORDER BY.
+    "multimodal_audio_features" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      emb(s, dir).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .mapPartitions(_.map { case (id, v) =>
+          (id, Multimodal.wavFromVector(v.toArray)) })
+        .toDF("asset_id", "payload")
+        .transform(Multimodal.audioFeatures(_).toDF())
+        .orderBy("asset_id")
+    }),
+
     // Perceptual image dedup end to end: embeddings rendered as 8x8
     // grayscale PNG heatmaps, REAL javax.imageio decode, 64-bit
     // average-hash, SimHash-style banded blocking + exact hamming verify.
@@ -1850,6 +1873,28 @@ object LlmData {
         |       // CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |          ELSE 44100 END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // identical integers computed straight from the quantized vector —
+    // the engine side must reproduce them THROUGH the RIFF round trip
+    "multimodal_audio_features" ->
+      """WITH s AS (
+        |  SELECT vec_id, UNNEST(range(1, len(embedding) + 1)) AS idx,
+        |    GREATEST(-32768, LEAST(32767,
+        |      CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 8192) AS BIGINT)))
+        |      AS sv
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT vec_id, sv,
+        |    lead(sv) OVER (PARTITION BY vec_id ORDER BY idx) AS nx
+        |  FROM s
+        |)
+        |SELECT vec_id AS asset_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(sv)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(sv)) AS BIGINT) AS max_abs,
+        |  CAST(sum(CASE WHEN nx IS NOT NULL AND sv * nx < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS zero_crossings,
+        |  CAST(sum(sv * sv) AS BIGINT) AS energy
+        |FROM p GROUP BY vec_id ORDER BY asset_id""".stripMargin,
     // multimodal_decode / multimodal_frames: the text-byte payloads all
     // take the STUB decode path, whose arithmetic (rolling 31-poly byte
     // hash, derived pseudo-dimensions, 64-byte frame blocks) is fully

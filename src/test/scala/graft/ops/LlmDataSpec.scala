@@ -996,4 +996,36 @@ class LlmDataSpec extends SparkSpec {
     val hits = rows.count(_._3)
     assert(hits >= 5, s"recall collapsed: $hits/${rows.length}")
   }
+
+  test("WAV synthesis round trip: decoded samples == quantized vector") {
+    import graft.multimodal.Multimodal
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val v = Array.fill(rnd.nextInt(100) + 1)(
+        (rnd.nextDouble() * 12 - 6).toFloat) // exercises the int16 clamp
+      val wav = Multimodal.wavFromVector(v)
+      // the container is a well-formed WAV by the real metadata parser too
+      val meta = Multimodal.wavDecode(1L, wav).get
+      assert(meta.channels == 1 && meta.sample_rate == 8000 &&
+        meta.bits_per_sample == 16 && meta.n_samples == v.length)
+      val back = Multimodal.wavSamples(wav).get
+      assert(back.toSeq == v.map(Multimodal.pcmSample).toSeq)
+    }
+    // truncated/garbage payloads refuse cleanly
+    assert(Multimodal.wavSamples(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.wavSamples(
+      Multimodal.wavFromVector(Array(0.5f)).take(20)).isEmpty)
+  }
+
+  test("multimodal_audio_features: decoded-sample features match direct compute") {
+    val rows = SparkEntry.queries("multimodal_audio_features")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sumAbs, maxAbs, zc, energy) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n == 64 && sumAbs >= maxAbs && maxAbs <= 32768 &&
+        zc <= n - 1 && energy >= maxAbs * maxAbs)
+    }
+  }
 }
