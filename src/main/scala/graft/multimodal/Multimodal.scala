@@ -119,18 +119,20 @@ object Multimodal {
     * a codec); dimensions + frame count cover the metadata-filter and
     * frame-budgeting paths a curation pipeline runs before any decode.
     */
-  def mp4Decode(assetId: Long, payload: Array[Byte]): Option[DecodedMeta] = {
-    if (!looksLikeMp4(payload)) return None
+  /** Shared ISO BMFF box-tree walker for [[mp4Decode]] and
+    * [[mp4VideoFeatures]].
+    * NOTE: descent happens only along explicit find() paths, and every
+    * box type on those paths (moov/trak/mdia/minf/stbl) is a PURE
+    * container in ISO BMFF — none is a full-box like `meta`, whose
+    * version/flags prefix would misparse as a child header.
+    */
+  private final class BmffWalk(payload: Array[Byte]) {
     def be32(o: Int): Long =
       ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
         ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
     def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
     def boxType(o: Int): String =
       new String(payload, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // NOTE: descent happens only along explicit find() paths, and every
-    // box type on those paths (moov/trak/mdia/minf/stbl) is a PURE
-    // container in ISO BMFF — none is a full-box like `meta`, whose
-    // version/flags prefix would misparse as a child header.
     // (size, headerLen) of the box at o, or None if malformed/truncated
     def boxAt(o: Int, until: Int): Option[(Long, Int)] = {
       if (o + 8 > until) return None
@@ -157,6 +159,12 @@ object Multimodal {
           children(from, until).collectFirst { case (`t`, f, u) => (f, u) }
             .flatMap { case (f, u) => find(f, u, rest) }
       }
+  }
+
+  def mp4Decode(assetId: Long, payload: Array[Byte]): Option[DecodedMeta] = {
+    if (!looksLikeMp4(payload)) return None
+    val walk = new BmffWalk(payload)
+    import walk.{be32, boxAt, children, find}
     def tkhdDims(from: Int, until: Int): Option[(Int, Int)] = {
       if (from >= until) return None
       val v = payload(from) & 0xff
@@ -604,5 +612,73 @@ object Multimodal {
           AudioFeatures(id, s.length.toLong, sumAbs, maxAbs, zc, energy)
         }
       })
+  }
+
+  /** Minimal valid ISO BMFF container: ftyp + moov/trak with a v0 `tkhd`
+    * carrying 16.16 presentation dimensions and an `stsz` sample-size
+    * table with explicit per-frame entries — exactly the boxes the real
+    * parser walks. Same synthesize-then-really-parse discipline as
+    * [[wavFromVector]]/[[pngFromVector]].
+    */
+  def mp4FromParams(w: Int, h: Int, sizes: Array[Int]): Array[Byte] = {
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(t.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84) // v0 layout; width at +76
+      b.position(76); b.putInt(w << 16); b.putInt(h << 16); b.array()
+    }
+    val stsz = {
+      val b = java.nio.ByteBuffer.allocate(12 + 4 * sizes.length)
+      b.putInt(0).putInt(0).putInt(sizes.length) // v+flags, size=0, count
+      sizes.foreach(b.putInt); b.array()
+    }
+    val mdia = box("mdia", box("minf", box("stbl", box("stsz", stsz))))
+    val trak = box("trak", box("tkhd", tkhd) ++ mdia)
+    box("ftyp", "isom".getBytes("US-ASCII")) ++ box("moov", trak)
+  }
+
+  final case class VideoFeatures(asset_id: Long, width: Long, height: Long,
+                                 n_frames: Long, total_bytes: Long,
+                                 max_frame_bytes: Long)
+
+  /** Per-asset frame-size features from the REAL box walk: tkhd
+    * dimensions plus the `stsz` entry table (sample_size == 0 → explicit
+    * per-sample entries, the layout every camera/muxer writes for video).
+    * This is the frame-budgeting pass a curation pipeline runs before
+    * paying for any pixel decode — which frames fit the byte budget,
+    * where the keyframe-sized outliers are.
+    */
+  def mp4VideoFeatures(assetId: Long, payload: Array[Byte]): Option[VideoFeatures] = {
+    if (!looksLikeMp4(payload)) return None
+    val walk = new BmffWalk(payload)
+    import walk.{be32, children, find}
+    try {
+      children(0, payload.length).collectFirst { case ("moov", mf, mu) =>
+        children(mf, mu).collect { case ("trak", tf, tu) =>
+          for {
+            (kf, ku) <- find(tf, tu, List("tkhd"))
+            if kf + 84 <= ku
+            w = (be32(kf + 76) >> 16)
+            h = (be32(kf + 80) >> 16)
+            if w > 0 && h > 0
+            (sf, su) <- find(tf, tu, List("mdia", "minf", "stbl", "stsz"))
+            if sf + 12 <= su && be32(sf + 4) == 0 // explicit entries only
+            n = be32(sf + 8).toInt
+            if sf + 12 + 4L * n <= su
+          } yield {
+            var tot = 0L; var mx = 0L; var i = 0
+            while (i < n) {
+              val sz = be32(sf + 12 + 4 * i)
+              tot += sz; if (sz > mx) mx = sz
+              i += 1
+            }
+            VideoFeatures(assetId, w, h, n.toLong, tot, mx)
+          }
+        }.flatten.nextOption()
+      }.flatten
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

@@ -1229,6 +1229,30 @@ object LlmData {
         .toDF().orderBy("asset_id")
     }),
 
+    // Video frame-size features through a REAL container round trip,
+    // oracle-exact: per doc, deterministic (dims, per-frame byte sizes)
+    // synthesize into a valid ISO BMFF box tree (ftyp + moov/trak/tkhd +
+    // stsz with explicit entries), the SAME box walker that parses camera
+    // MP4s reads it back (tkhd 16.16 dims, stsz entry table), and the
+    // features (frame count, total/max frame bytes — the frame-budgeting
+    // pass before any pixel decode) reduce from the PARSED table. The
+    // oracle computes identical integers from the generating formulas, so
+    // the hash gate proves the build→container→parse path byte-for-byte.
+    "multimodal_video_stsz" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val n = (1 + nc % 48).toInt
+          val sizes = Array.tabulate(n)(i => (100 + (id * 31 + i * 7) % 900).toInt)
+          val w = (160 + (id % 8) * 80).toInt
+          val h = (90 + (id % 6) * 90).toInt
+          Multimodal.mp4VideoFeatures(id, Multimodal.mp4FromParams(w, h, sizes))
+            .getOrElse(sys.error(s"unparseable built MP4 for doc $id"))
+        }).toDF().orderBy("asset_id")
+    }),
+
     // Audio signal features through a REAL codec round trip, oracle-exact:
     // embeddings quantize to int16 PCM (float→double, ×8192, floor,
     // clamp — arithmetic the oracle mirrors bit-for-bit), synthesize into
@@ -1873,6 +1897,23 @@ object LlmData {
         |       // CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |          ELSE 44100 END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // identical integers from the generating formulas — the engine side
+    // must reproduce them THROUGH the BMFF box-tree round trip
+    "multimodal_video_stsz" ->
+      """WITH f AS (
+        |  SELECT doc_id, UNNEST(range(0, 1 + n_chars % 48)) AS i,
+        |         1 + n_chars % 48 AS n
+        |  FROM documents
+        |), sz AS (
+        |  SELECT doc_id, n, 100 + (doc_id * 31 + i * 7) % 900 AS sz FROM f
+        |)
+        |SELECT doc_id AS asset_id,
+        |  CAST(160 + (doc_id % 8) * 80 AS BIGINT) AS width,
+        |  CAST(90 + (doc_id % 6) * 90 AS BIGINT) AS height,
+        |  CAST(max(n) AS BIGINT) AS n_frames,
+        |  CAST(sum(sz) AS BIGINT) AS total_bytes,
+        |  CAST(max(sz) AS BIGINT) AS max_frame_bytes
+        |FROM sz GROUP BY doc_id ORDER BY asset_id""".stripMargin,
     // identical integers computed straight from the quantized vector —
     // the engine side must reproduce them THROUGH the RIFF round trip
     "multimodal_audio_features" ->

@@ -1028,4 +1028,19 @@ class LlmDataSpec extends SparkSpec {
         zc <= n - 1 && energy >= maxAbs * maxAbs)
     }
   }
+
+  test("MP4 synthesis round trip: parsed stsz/tkhd == build params") {
+    import graft.multimodal.Multimodal
+    val sizes = Array(100, 999, 250)
+    val mp4 = Multimodal.mp4FromParams(640, 360, sizes)
+    // the general metadata parser accepts the synthesized container too
+    val meta = Multimodal.mp4Decode(5L, mp4).get
+    assert(meta.width == 640 && meta.height == 360 && meta.n_frames == 3)
+    val vf = Multimodal.mp4VideoFeatures(5L, mp4).get
+    assert(vf.width == 640 && vf.height == 360 && vf.n_frames == 3)
+    assert(vf.total_bytes == sizes.map(_.toLong).sum && vf.max_frame_bytes == 999)
+    // truncated container refuses cleanly
+    assert(Multimodal.mp4VideoFeatures(5L, mp4.take(40)).isEmpty)
+    assert(Multimodal.mp4VideoFeatures(5L, Array[Byte](1, 2)).isEmpty)
+  }
 }
