@@ -15,6 +15,13 @@ import graft.streaming.StreamPipelines
   */
 object StreamingOps {
 
+  /** stream_late_data_audit: watermark delay (µs — 6 h sits inside the
+    * jittered disorder band at test SFs, so the report is non-degenerate)
+    * and the arrival-bucket width of the two-level running max.
+    */
+  val LateDelayUs = 6L * 3600L * 1000000L
+  val LateBucket = 10000L
+
   /** As-of join: for each event, the most recent order of the same user
     * at-or-before the event time (ties on time resolve to highest order
     * key — fully deterministic).
@@ -113,9 +120,64 @@ object StreamingOps {
       StreamPipelines.enrichWithCustomers(
         Tables.events(s, dir), Tables.load(s, dir, "customer"))
         .orderBy("event_id"))
-  )
+  ,
+
+    // ---- watermark late-data accounting (batch twin) -----------------------
+    // What a streaming engine's watermark DROPS, made auditable: arrival
+    // order is the ingest stream (the clean event_id order plus a
+    // deterministic bounded jitter — the multi-partition interleave
+    // watermarks exist for), the watermark after each arrival is the
+    // running max event time seen so far minus [[LateDelayUs]], and an
+    // event is late iff its event time sits below that watermark. Per-day
+    // on-time/late counts — the accounting report that sizes a production
+    // withWatermark() delay. Scale shape: the running max is TWO-LEVEL
+    // (per-arrival-bucket maxima, a serial scan over O(buckets) rows for
+    // the exclusive offsets, intra-bucket windows in parallel) — arrival
+    // order is never totally sorted in one task.
+    "stream_late_data_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .withColumn("arr", col("event_id") +
+          pmod(col("event_id") * 1103515245L + 12345L, lit(101L)) * 3L)
+        .withColumn("bk", expr(s"arr div $LateBucket"))
+      val wOff = Window.orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = e.groupBy(col("bk")).agg(max(col("t")).as("bmax"))
+        .select(col("bk"), max(col("bmax")).over(wOff).as("prev_max"))
+      val wIn = Window.partitionBy(col("bk")).orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.join(off, "bk")
+        .withColumn("wm_max", greatest(
+          coalesce(max(col("t")).over(wIn), lit(Long.MinValue)),
+          coalesce(col("prev_max"), lit(Long.MinValue))))
+        // compared on the + side: wm_max is Long.MinValue on the very
+        // first arrival, and MinValue - delay overflows under ANSI
+        .withColumn("late", col("wm_max") > col("t") + lit(LateDelayUs))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+        .orderBy("day")
+    }))
 
   def oracle: Map[String, String] = Map(
+    "stream_late_data_audit" ->
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_us(ts) AS t, strftime(ts, '%Y-%m-%d') AS day,
+         |         event_id + ((event_id * 1103515245 + 12345) % 101) * 3 AS arr
+         |  FROM events
+         |), w AS (
+         |  SELECT day, t,
+         |    max(t) OVER (ORDER BY arr, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS wm
+         |  FROM e
+         |)
+         |SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN wm - $LateDelayUs > t THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_late
+         |FROM w GROUP BY day ORDER BY day""".stripMargin,
     "stream_tumbling_counts" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, count(*) AS n,
