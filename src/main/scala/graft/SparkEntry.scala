@@ -17,11 +17,22 @@ object SparkEntry {
     queries("recent_created_orders")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Serialization.queries ++
-      ops.LlmData.queries ++ ops.StreamingOps.queries ++ ops.Skew.queries ++
-      ops.Curation.queries ++ ops.Analytics.queries ++ ops.Stats.queries ++
-      ops.Learn.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val parts = Seq(
+      ops.Relational.queries, ops.Serialization.queries,
+      ops.LlmData.queries, ops.StreamingOps.queries, ops.Skew.queries,
+      ops.Curation.queries, ops.Analytics.queries, ops.Stats.queries,
+      ops.Learn.queries)
+    // ++ on Maps silently keeps the LAST duplicate — a registry collision
+    // would shadow one query's oracle with another's (caught once: a
+    // second snapshot_diff_orders overrode the first in the same file's
+    // Map literal, which even this check can't see — so each module map
+    // is also size-asserted against its key list where authored).
+    val dup = parts.flatMap(_.keys)
+      .groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    require(dup.isEmpty, s"duplicate query names across modules: ${dup.toSeq.sorted.mkString(", ")}")
+    parts.reduce(_ ++ _)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

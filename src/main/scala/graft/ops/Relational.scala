@@ -63,6 +63,41 @@ object Relational {
     */
   val CompactTargetRows = 25000L
 
+  /** CDC-applied snapshot of orders (shared by `cdc_apply_orders` and
+    * `snapshot_diff_orders`): a deterministic three-batch changelog
+    * (upserts, deletes, re-upserts) last-writer-wins-merged into the base
+    * — the snapshot+changelog merge every table format (Delta/Hudi/
+    * Iceberg MoR) performs, in pure Catalyst.
+    */
+  private def cdcSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(s, dir, "orders")
+    val ops = orders.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("k"), lit(1L).as("seq"),
+        lit("upsert").as("op"), lit("U").as("status"),
+        (col("o_totalprice") * 1.2).as("price"))
+      .unionAll(orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), lit(2L).as("seq"),
+          lit("delete").as("op"), lit(null).cast("string").as("status"),
+          lit(null).cast("double").as("price")))
+      .unionAll(orders.filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey").as("k"), lit(3L).as("seq"),
+          lit("upsert").as("op"), lit("R").as("status"),
+          (col("o_totalprice") * 1.3).as("price")))
+    val last = ops.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1).drop("rn", "seq")
+    orders.join(last, col("o_orderkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+        when(col("op").isNull, col("o_orderstatus")).otherwise(col("status"))
+          .as("o_orderstatus"),
+        when(col("op").isNull, col("o_totalprice")).otherwise(col("price"))
+          .as("o_totalprice"),
+        when(col("op").isNull, lit("keep")).otherwise(lit("upsert"))
+          .as("action"))
+  }
+
   /** Per-session scratch for round-trip queries — see [[Tables.scratchDir]]
     * (the one shared definition, with shutdown-hook cleanup).
     */
@@ -949,34 +984,30 @@ object Relational {
     // MoR) performs, expressed in pure Catalyst: at 100 TB the join is
     // the one snapshot-sized shuffle, and bucketing both sides on the
     // key (TableSink.writeBucketed) makes it exchange-free.
-    "cdc_apply_orders" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val orders = Tables.load(s, dir, "orders")
-      val ops = orders.filter(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey").as("k"), lit(1L).as("seq"),
-          lit("upsert").as("op"), lit("U").as("status"),
-          (col("o_totalprice") * 1.2).as("price"))
-        .unionAll(orders.filter(col("o_orderkey") % 10 === 0)
-          .select(col("o_orderkey").as("k"), lit(2L).as("seq"),
-            lit("delete").as("op"), lit(null).cast("string").as("status"),
-            lit(null).cast("double").as("price")))
-        .unionAll(orders.filter(col("o_orderkey") % 20 === 0)
-          .select(col("o_orderkey").as("k"), lit(3L).as("seq"),
-            lit("upsert").as("op"), lit("R").as("status"),
-            (col("o_totalprice") * 1.3).as("price")))
-      val last = ops.withColumn("rn", row_number().over(
-          Window.partitionBy(col("k")).orderBy(col("seq").desc)))
-        .filter(col("rn") === 1).drop("rn", "seq")
-      orders.join(last, col("o_orderkey") === col("k"), "full_outer")
-        .filter(col("op").isNull || col("op") =!= "delete")
-        .select(coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
-          when(col("op").isNull, col("o_orderstatus")).otherwise(col("status"))
-            .as("o_orderstatus"),
-          when(col("op").isNull, col("o_totalprice")).otherwise(col("price"))
-            .as("o_totalprice"),
-          when(col("op").isNull, lit("keep")).otherwise(lit("upsert"))
-            .as("action"))
-        .orderBy("o_orderkey")
+    "cdc_apply_orders" -> ((s, dir) =>
+      cdcSnapshot(s, dir).orderBy("o_orderkey")),
+
+    // ---- snapshot diff: what the changelog actually changed ----------------
+    // The DESCRIBE-HISTORY companion to cdc_apply_orders: base vs the
+    // CDC-applied snapshot, every key classified (deleted / updated by
+    // VALUE comparison / unchanged), aggregated per class with the base
+    // revenue it touches. One key-partitioned join of two snapshot-sized
+    // frames (exchange-free when both are bucketed on the key) and a
+    // 3-row rollup — the audit a lake compaction/retention job emits.
+    "cdc_diff_rollup" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val snap = cdcSnapshot(s, dir).select(col("o_orderkey").as("k2"),
+        col("o_orderstatus").as("st"), col("o_totalprice").as("pr"))
+      base.join(snap, col("o_orderkey") === col("k2"), "left")
+        .withColumn("change",
+          when(col("k2").isNull, lit("deleted"))
+            .when(col("st") =!= col("o_orderstatus") ||
+              col("pr") =!= col("o_totalprice"), lit("updated"))
+            .otherwise(lit("unchanged")))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue_base"))
+        .orderBy("change")
     }),
 
     // ---- declarative data-quality constraint suite (Deequ-style) -----------
@@ -3443,6 +3474,41 @@ object Relational {
         |FROM orders t FULL OUTER JOIN last l ON t.o_orderkey = l.k
         |WHERE l.op IS NULL OR l.op <> 'delete'
         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_diff_rollup" ->
+      """WITH ops AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'upsert' AS op, 'U' AS status,
+        |         o_totalprice * 1.2 AS price
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'delete', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'upsert', 'R', o_totalprice * 1.3
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |), last AS (
+        |  SELECT k, op, status, price FROM (
+        |    SELECT k, op, status, price,
+        |           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM ops
+        |  ) WHERE rn = 1
+        |), snap AS (
+        |  SELECT COALESCE(t.o_orderkey, l.k) AS k2,
+        |         CASE WHEN l.op IS NULL THEN t.o_orderstatus ELSE l.status END
+        |           AS st,
+        |         CASE WHEN l.op IS NULL THEN t.o_totalprice ELSE l.price END
+        |           AS pr
+        |  FROM orders t FULL OUTER JOIN last l ON t.o_orderkey = l.k
+        |  WHERE l.op IS NULL OR l.op <> 'delete'
+        |)
+        |SELECT CASE WHEN s.k2 IS NULL THEN 'deleted'
+        |            WHEN s.st <> o.o_orderstatus OR s.pr <> o.o_totalprice
+        |              THEN 'updated'
+        |            ELSE 'unchanged' END AS change,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue_base
+        |FROM orders o LEFT JOIN snap s ON o.o_orderkey = s.k2
+        |GROUP BY 1 ORDER BY change""".stripMargin,
     "dq_constraint_checks" ->
       """WITH s AS (
         |  SELECT count(*) AS n_rows,
