@@ -593,4 +593,28 @@ class StatsSpec extends SparkSpec {
       assert(gph >= 0.0)
     }
   }
+
+  test("bucketedCumsumBy == naive grouped running sum, any data/width") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (width <- Seq(1L, 7L, 100L, 1000L, 10000L); _ <- 1 to 5) {
+      // distinct (group, order) keys: the cumsum contract (like the
+      // callers' groupBy(p, v) inputs)
+      val data = Seq.fill(120)((Seq("a", "b", "c")(rnd.nextInt(3)),
+          rnd.nextLong(5000L), rnd.nextLong(50L) + 1L))
+        .distinctBy(r => (r._1, r._2))
+      val df = data.toDF("p", "v", "cnt")
+      val got = Stats.bucketedCumsumBy(df, "p", "v", width, Seq("cnt"))
+        .select("p", "v", "cnt_cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = data.groupBy(_._1).flatMap { case (p, rs) =>
+        rs.sortBy(_._2).scanLeft(("", 0L, 0L)) { case ((_, _, acc), (_, v, c)) =>
+          (p, v, acc + c)
+        }.drop(1).map { case (_, v, cum) => (p, v) -> cum }
+      }
+      assert(got == want, s"width=$width first diff: ${
+        want.find { case (k, c) => got.get(k) != Some(c) }}")
+    }
+  }
 }
