@@ -590,7 +590,11 @@ object Dedup {
       _ => {
         val sh = docs.select(col(idCol).as("id"),
             substring(TextOps.normalize(col(textCol)), 1, keyLen).as("key"),
-            TextOps.shingleHashes(TextOps.tokens(col(textCol))).as("s"))
+            // sorted ascending: the Jaccard verify below runs the
+            // two-pointer SortedIntersectCount kernel, whose contract is
+            // sorted input — shingleHashes alone emits first-occurrence
+            // order, which would undercount on non-identical near-dups
+            sort_array(TextOps.shingleHashes(TextOps.tokens(col(textCol)))).as("s"))
           .filter(size(col("s")) > 0)
           .withColumn("bk", substring(col("key"), 1, 2))
         val wOff = Window.orderBy(col("bk"))

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -58,23 +59,50 @@ object ArrayKernels {
   *
   * Inputs MUST be sorted ascending; duplicates are kept pairwise-min times
   * (callers pass distinct adjacency sets, so this never triggers). Nulls
-  * propagate via BinaryExpression's null-safe wrapper.
+  * propagate via BinaryExpression's null-safe wrapper. Input type is
+  * enforced at analysis time (array<long> only — the kernels read raw
+  * 8-byte slots, so an int/string array would be misread, not erroring);
+  * null ELEMENTS (legal when a child's containsNull is true, e.g. SQL
+  * literals through the registered graft_sorted_intersect) are skipped —
+  * set semantics treat null as absent — with the null branch generated
+  * only for nullable-element children so the graph hot path keeps the
+  * tight three-branch loop.
   */
 case class SortedIntersectLongs(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"requires (array<bigint>, array<bigint>) inputs, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def aNulls: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true
+  }
+  private def bNulls: Boolean = right.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements(); val m = y.numElements()
     val buf = new Array[Long](math.min(n, m))
+    val an = aNulls; val bn = bNulls
     var i = 0; var j = 0; var k = 0
     while (i < n && j < m) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv < yv) i += 1
-      else if (xv > yv) j += 1
-      else { buf(k) = xv; k += 1; i += 1; j += 1 }
+      if (an && x.isNullAt(i)) i += 1
+      else if (bn && y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else { buf(k) = xv; k += 1; i += 1; j += 1 }
+      }
     }
     new GenericArrayData(java.util.Arrays.copyOf(buf, k))
   }
@@ -86,12 +114,16 @@ case class SortedIntersectLongs(left: Expression, right: Expression)
       val k = ctx.freshName("k")
       val buf = ctx.freshName("buf")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val skipA = if (aNulls) s"if ($a.isNullAt($i)) { $i++; continue; }" else ""
+      val skipB = if (bNulls) s"if ($b.isNullAt($j)) { $j++; continue; }" else ""
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
          |long[] $buf = new long[java.lang.Math.min($n, $m)];
          |int $i = 0, $j = 0, $k = 0;
          |while ($i < $n && $j < $m) {
+         |  $skipA
+         |  $skipB
          |  long $xv = $a.getLong($i);
          |  long $yv = $b.getLong($j);
          |  if ($xv < $yv) { $i++; }
@@ -109,23 +141,43 @@ case class SortedIntersectLongs(left: Expression, right: Expression)
 
 /** `size(sorted_intersect(a, b))` without materializing the intersection —
   * the link-prediction / containment shape (only the overlap COUNT is
-  * consumed). Same sorted-ascending input contract as
-  * [[SortedIntersectLongs]].
+  * consumed). Same sorted-ascending input contract, analysis-time type
+  * check, and null-element skip as [[SortedIntersectLongs]].
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"requires (array<bigint>, array<bigint>) inputs, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
   override def dataType: DataType = LongType
+
+  private def aNulls: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true
+  }
+  private def bNulls: Boolean = right.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements(); val m = y.numElements()
+    val an = aNulls; val bn = bNulls
     var i = 0; var j = 0; var k = 0L
     while (i < n && j < m) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv < yv) i += 1
-      else if (xv > yv) j += 1
-      else { k += 1L; i += 1; j += 1 }
+      if (an && x.isNullAt(i)) i += 1
+      else if (bn && y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else { k += 1L; i += 1; j += 1 }
+      }
     }
     k
   }
@@ -136,12 +188,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val k = ctx.freshName("k")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val skipA = if (aNulls) s"if ($a.isNullAt($i)) { $i++; continue; }" else ""
+      val skipB = if (bNulls) s"if ($b.isNullAt($j)) { $j++; continue; }" else ""
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
          |int $i = 0, $j = 0;
          |long $k = 0L;
          |while ($i < $n && $j < $m) {
+         |  $skipA
+         |  $skipB
          |  long $xv = $a.getLong($i);
          |  long $yv = $b.getLong($j);
          |  if ($xv < $yv) { $i++; }

@@ -184,6 +184,36 @@ class KernelSpec extends SparkSpec {
     assert(edge(2).getSeq[Long](0) == Seq(1L, 2L, 3L) && edge(2).getLong(1) == 3L)
   }
 
+  test("SortedIntersect kernels reject non-long arrays at analysis time") {
+    val df = spark.range(1).select(
+      array(lit(1), lit(2)).as("ai"),                       // array<int>
+      array(lit("a"), lit("b")).as("as"),                   // array<string>
+      array(lit(1L), lit(2L)).as("al"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ArrayKernels.sorted_intersect_count(col("ai"), col("al")))
+        .collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ArrayKernels.sorted_intersect(col("as"), col("al")))
+        .collect()
+    }
+  }
+
+  test("SortedIntersect kernels skip null elements (set semantics)") {
+    // containsNull = true children: the null-skip branch must engage and
+    // treat nulls as absent, not misread slot bytes as 0L
+    val df = spark.range(1).select(
+      array(lit(null).cast("long"), lit(1L), lit(5L)).as("a"),
+      array(lit(1L), lit(2L), lit(5L)).as("b"))
+    val r = df.select(
+      ArrayKernels.sorted_intersect(col("a"), col("b")).as("k"),
+      ArrayKernels.sorted_intersect_count(col("a"), col("b")).as("kc"),
+      ArrayKernels.sorted_intersect_count(col("b"), col("a")).as("ck"))
+      .collect()(0)
+    assert(r.getSeq[Long](0) == Seq(1L, 5L))
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+  }
+
   test("kernels survive both codegen and interpreted eval paths") {
     // Force interpreted path by using the expressions in a filter that
     // Catalyst constant-folds / evaluates eagerly on literals.

@@ -107,6 +107,44 @@ class LlmDataSpec extends SparkSpec {
     assert(out.length < allChunks * 0.45 && out.length > allChunks * 0.1)
   }
 
+  test("sorted neighborhood scores NON-identical near-dups with exact jaccard") {
+    // regression: the SNM verify runs the sorted-merge intersection
+    // kernel, so its shingle arrays must be sorted ascending — with
+    // first-occurrence order the merge undercounts on genuinely edited
+    // near-dups (the pairs SNM exists to find) while passing on exact
+    // duplicates, which is what the sf-scale oracle happens to contain
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta common tail words here"),
+      (2L, "alpha beta gamma delta epsilon eta common tail words here"),
+      (3L, "totally different content about ships and harbors at dawn"),
+      (4L, "totally different content about ships and harbors at dusk"),
+      (5L, "unrelated solitary record mentioning quarterly revenue only"),
+      (6L, "another unrelated solitary record about botany and ferns")
+    ).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup
+      .sortedNeighborhoodPairs(docs, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // naive exact set Jaccard over the same word shingles, via builtins
+    val naive = docs.select(col("doc_id"),
+        graft.text.TextOps.shingleHashes(
+          graft.text.TextOps.tokens(col("text"))).as("s"))
+    val expected = naive.as("x").join(naive.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        (size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+          size(array_union(col("x.s"), col("y.s")))).as("j"))
+      .filter(col("j") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // both planted near-dup pairs share their SNM key prefix, so they are
+    // window-adjacent; neither is an exact duplicate
+    assert(expected.contains((1L, 2L)) && expected.contains((3L, 4L)))
+    assert(pairs.keySet == expected.keySet)
+    expected.foreach { case (k, j) =>
+      assert(math.abs(pairs(k) - j) < 1e-12, s"pair $k: ${pairs.get(k)} vs $j")
+    }
+  }
+
   test("incremental dedup equals the full self-join restricted to new docs") {
     val docs = Tables.load(spark, sfDir, "documents")
     val split = graft.Tables.parquetRowCount(spark, s"$sfDir/documents.parquet") * 8 / 10
