@@ -408,6 +408,78 @@ object Multimodal {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  // -------------------------------------------------------------------------
+  // ASCII-PGM (NetPBM P2): the one image format whose DECODE is plain text
+  // processing — header magic + dimensions + maxval + whitespace-separated
+  // decimal pixels, '#' comments to end-of-line. That makes the decode
+  // math itself oracle-expressible (regexp + split in any SQL engine), so
+  // the registered PGM query gates the parser end to end, not just the
+  // post-decode features. Reference analog: the custom per-field
+  // serializer discipline of the XML renderer (SURVEY §2.5,
+  // /root/reference/src/s3_json_to_xml.py:158-221).
+
+  /** Decoded ASCII-PGM image: dimensions + row-major raster. */
+  case class PgmImage(width: Int, height: Int, maxval: Int, pixels: Array[Int])
+
+  /** Canonical ASCII-PGM payload from SQL-expressible integer parameters:
+    * `w = 4 + id%5`, `h = 4 + id%3`, pixel k `= (id*31 + 7k) % 256`, one
+    * raster row per text line, one `#` comment line after the magic. The
+    * oracle rebuilds the identical text with string concatenation and the
+    * registered query's `pay_hash` column gates the bytes 1:1.
+    */
+  def pgmFromParams(id: Long): Array[Byte] = {
+    val w = (4 + java.lang.Math.floorMod(id, 5L)).toInt
+    val h = (4 + java.lang.Math.floorMod(id, 3L)).toInt
+    val sb = new java.lang.StringBuilder(64 + w * h * 4)
+    sb.append("P2\n# graft synthetic pgm\n")
+    sb.append(w).append(' ').append(h).append('\n').append("255\n")
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        if (c > 0) sb.append(' ')
+        sb.append(java.lang.Math.floorMod(id * 31 + (r.toLong * w + c) * 7, 256L))
+        c += 1
+      }
+      sb.append('\n')
+      r += 1
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** REAL generic NetPBM P2 parser — not tied to [[pgmFromParams]]'s
+    * layout: `#` comments anywhere between tokens, arbitrary whitespace
+    * runs (space/tab/CR/LF), token-count and 0..maxval range validation.
+    * None on any malformed input (wrong magic, short raster, non-numeric
+    * or out-of-range pixel) — callers treat that like any codec failure.
+    */
+  def pgmDecode(payload: Array[Byte]): Option[PgmImage] = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    def flush(): Unit = if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+    var i = 0
+    val n = payload.length
+    while (i < n) {
+      val c = (payload(i) & 0xff).toChar
+      if (c == '#') { flush(); while (i < n && payload(i) != '\n') i += 1 }
+      else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') { flush(); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    flush()
+    if (toks.length < 4 || toks(0) != "P2") None
+    else try {
+      val w = toks(1).toInt
+      val h = toks(2).toInt
+      val mv = toks(3).toInt
+      if (w <= 0 || h <= 0 || mv <= 0 || toks.length != 4 + w * h) None
+      else {
+        val px = Array.tabulate(w * h)(k => toks(4 + k).toInt)
+        if (px.exists(p => p < 0 || p > mv)) None
+        else Some(PgmImage(w, h, mv, px))
+      }
+    } catch { case _: NumberFormatException => None }
+  }
+
   case class Frame(asset_id: Long, frame_idx: Int, frame_hash: Long)
 
   /** Frame sampling: one row per sampled frame (every `stride`-th 64-byte

@@ -1326,19 +1326,75 @@ object LlmData {
       Multimodal.bandedHammingPairs(hashes).orderBy("a", "b")
     }),
 
+    // ...and the FULL payload pipeline, now also oracle-exact (the last
+    // no_oracle row of round 7): planted near-dups quantize to gray in
+    // DOUBLE arithmetic (grayFromDoubles — engine-reproducible, unlike the
+    // old float32 pngFromVector scaling), each row renders a REAL PNG
+    // payload, and imageNearDupPairs runs the full asset path — magic-byte
+    // sniff, javax.imageio decode, averageHash, banded self-join. The
+    // oracle predicts every pair codec-free because for an 8x8 render
+    // hash bit k = (64*g_k >= sum g) in pure integers IFF render→decode
+    // preserved every pixel — which is therefore exactly what the hash
+    // gate proves, per image. pngFromVector's float path stays spec-only
+    // (LlmDataSpec pins its scaling against averageHash directly).
     "multimodal_image_neardup" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
-        .as[(Long, Seq[Float])]
-      val planted = base.filter(_._1 < 10)
-        .map { case (id, v) => (id + 1000000000000L, v.updated(0, v.head + 0.01f)) }
-      base.union(planted)
-        .mapPartitions(_.map { case (id, v) =>
-          (id, Multimodal.pngFromVector(v.toArray)) })
+      val base = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("dv"))
+      val planted = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000000000L).as("vec_id"),
+          concat(array(element_at(col("dv"), 1) + 0.01),
+            slice(col("dv"), 2, EmbDim - 1)).as("dv"))
+      base.unionByName(planted)
+        .select(col("vec_id"), Multimodal.grayFromDoubles(col("dv")).as("g"))
+        .as[(Long, Seq[Int])]
+        .mapPartitions(_.map { case (id, g) =>
+          (id, Multimodal.pngFromGray(g.toArray)) })
         .toDF("asset_id", "payload")
         .transform(Multimodal.imageNearDupPairs(_))
         .orderBy("a", "b")
+    }),
+
+    // ASCII-PGM decode, oracle-exact END TO END (round-7 verdict ask #1):
+    // a text-format image whose DECODE is SQL-expressible. Both engines
+    // build the identical P2 payload from shared integer arithmetic
+    // (w = 4 + id%5, h = 4 + id%3, p_k = (id*31 + 7k) % 256, a '#'
+    // comment line in the header), then PARSE it — the engine through
+    // Multimodal.pgmDecode (a real generic NetPBM tokenizer: comments,
+    // arbitrary whitespace runs, range validation), the oracle through
+    // regexp_replace + string_split_regex — and reduce the DECODED raster
+    // to integer features. pay_hash gates the construction byte-for-byte
+    // (rolling polynomial hash over the ASCII bytes == TextSql.polyHash
+    // over the string); ahash and the position-weighted pos_sum gate the
+    // decode value- AND order-exact. Narrow per-row map end to end; the
+    // only shuffle is the presentation sort.
+    "multimodal_image_decode_pgm" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val payload = Multimodal.pgmFromParams(id)
+          val img = Multimodal.pgmDecode(payload)
+            .getOrElse(sys.error(s"unparseable built PGM for doc $id"))
+          val n = img.pixels.length
+          var sum = 0L
+          var k = 0
+          while (k < n) { sum += img.pixels(k); k += 1 }
+          var ahash = 0L
+          var pos = 0L
+          k = 0
+          while (k < n) { // n <= 48, so every set bit is below the sign bit
+            if (n.toLong * img.pixels(k) >= sum) ahash |= 1L << k
+            pos += (k + 1).toLong * (img.pixels(k) + 1)
+            k += 1
+          }
+          (id, img.width.toLong, img.height.toLong, img.maxval.toLong,
+            n.toLong, sum, ahash, pos, Multimodal.payloadHash(payload))
+        })
+        .toDF("asset_id", "width", "height", "maxval", "n_pix", "px_sum",
+          "ahash", "pos_sum", "pay_hash")
+        .orderBy("asset_id")
     })
   )
 
@@ -1993,7 +2049,63 @@ object LlmData {
          |                        ELSE (CAST(1 AS BIGINT) << k) END
          |              ELSE CAST(0 AS BIGINT) END), 'bit_or') AS ahash
          |FROM g ORDER BY vec_id""".stripMargin,
-    "multimodal_image_hash_pairs" ->
+    "multimodal_image_hash_pairs" -> grayHashPairsOracle,
+    // identical prediction for the full payload pipeline: the engine-side
+    // difference (render a real PNG per row, sniff + imageio-decode it
+    // back, hash the decoded pixels) is exactly the pixel-preservation
+    // property the hash equality proves — see the query's scaladoc
+    "multimodal_image_neardup" -> grayHashPairsOracle,
+    "multimodal_image_decode_pgm" -> {
+      val pay =
+        """'P2' || chr(10) || '# graft synthetic pgm' || chr(10) ||
+          |         w || ' ' || h || chr(10) || '255' || chr(10) ||
+          |         array_to_string(list_transform(range(0, h), r ->
+          |           array_to_string(list_transform(range(0, w), c ->
+          |             CAST((doc_id * 31 + (r * w + c) * 7) % 256 AS VARCHAR)),
+          |             ' ')), chr(10)) || chr(10)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+         |  FROM documents
+         |), pay AS (
+         |  SELECT doc_id, $pay AS payload FROM p
+         |), tok AS (
+         |  SELECT doc_id, payload,
+         |         string_split_regex(
+         |           trim(regexp_replace(payload, '#[^\\n]*', '', 'g'),
+         |                ' ' || chr(10) || chr(9) || chr(13)),
+         |           '\\s+') AS t
+         |  FROM pay
+         |), dec AS (
+         |  SELECT doc_id, payload,
+         |         CAST(t[2] AS BIGINT) AS width,
+         |         CAST(t[3] AS BIGINT) AS height,
+         |         CAST(t[4] AS BIGINT) AS maxval,
+         |         list_transform(t[5:], x -> CAST(x AS BIGINT)) AS px
+         |  FROM tok WHERE t[1] = 'P2'
+         |)
+         |SELECT doc_id AS asset_id, width, height, maxval,
+         |       CAST(len(px) AS BIGINT) AS n_pix,
+         |       CAST(list_sum(px) AS BIGINT) AS px_sum,
+         |       list_aggregate(list_transform(range(0, CAST(len(px) AS BIGINT)), k ->
+         |         CASE WHEN CAST(len(px) AS BIGINT) * px[CAST(k AS INTEGER) + 1]
+         |                   >= CAST(list_sum(px) AS BIGINT)
+         |              THEN (CAST(1 AS BIGINT) << k)
+         |              ELSE CAST(0 AS BIGINT) END), 'bit_or') AS ahash,
+         |       CAST(list_sum(list_transform(range(0, CAST(len(px) AS BIGINT)), k ->
+         |         (k + 1) * (px[CAST(k AS INTEGER) + 1] + 1))) AS BIGINT) AS pos_sum,
+         |       ${TextSql.polyHash("payload")} AS pay_hash
+         |FROM dec ORDER BY asset_id""".stripMargin
+    }
+  )
+
+  /** Codec-free prediction of the banded near-dup pairs over the
+    * double-quantized gray renders — shared verbatim by
+    * `multimodal_image_hash_pairs` (gray-level pipeline) and
+    * `multimodal_image_neardup` (full payload pipeline): both engine paths
+    * must land on the same hashes iff every render→decode round trip
+    * preserved every pixel.
+    */
+  private val grayHashPairsOracle: String =
       s"""WITH dv0 AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings
@@ -2034,5 +2146,4 @@ object LlmData {
          |WHERE x.vec_id < y.vec_id
          |  AND bit_count(xor(x.ahash, y.ahash)) <= 3
          |ORDER BY a, b""".stripMargin
-  )
 }

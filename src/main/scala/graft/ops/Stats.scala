@@ -1192,39 +1192,81 @@ object Stats {
     * the fact scan collapses to the O(days) daily table (bounded by the
     * calendar — ~2.4K rows at every SF, ~4K for a decade). Slope-pair
     * expansion and rank selection over C(days,2) ≈ 3M doubles is a
-    * DRIVER-SIZED problem at any corpus scale, and a Spark sort of it is
+    * DRIVER-SIZED problem at normal calendars, and a Spark sort of it is
     * pure ceremony (measured: the range-partitioned zipWithIndex
     * selection spent 7 s of scheduler/row-conversion overhead on work the
-    * driver does in ~200 ms) — so the selection runs on the collected day
-    * series, the same documented driver-coordination family as
-    * kcenter/bloom, memoized per (session, dir). The tie ORDER among
-    * equal slopes cannot change the value at a given rank, so sorting the
-    * raw doubles reproduces the oracle's (slope, x1, x2) order exactly.
+    * driver does in ~200 ms) — so up to [[TsMaxDriverDays]] the selection
+    * runs on the collected day series, the same documented
+    * driver-coordination family as kcenter/bloom, memoized per
+    * (session, dir). The tie ORDER among equal slopes cannot change the
+    * value at a given rank, so sorting the raw doubles reproduces the
+    * oracle's (slope, x1, x2) order exactly.
+    *
+    * Above the cap (a ~decade of days costs C(4k,2)·8 B ≈ 64 MB on the
+    * driver; a century would cost 2.7 GB and silently OOM) the SAME exact
+    * selection runs distributed: pair expansion fans out over the
+    * broadcast day array (each task emits one i-stripe of slopes — never
+    * the full C(n,2) in one place), a range-partitioned sort orders them,
+    * and per-partition counts locate the global rank so exactly one
+    * partition materializes one element. Identical result by
+    * construction — the fallback spec pins driver == distributed.
     */
+  val TsMaxDriverDays = 4000
+
   private val tsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int),
       (Long, Long, Double)]()
 
-  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+  def theilSenTrend(s: SparkSession, dir: String,
+                    maxDriverDays: Int = TsMaxDriverDays): DataFrame = {
     tsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    val (nDays, m, med) = tsMemo.computeIfAbsent((s, dir), _ => {
+    val (nDays, m, med) = tsMemo.computeIfAbsent((s, dir, maxDriverDays), _ => {
       val d = Analytics.dailyRevenue(s, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val n = d.length.toLong
-      val slopes = new Array[Double]((n * (n - 1) / 2).toInt)
-      var k = 0
-      var i = 0
-      while (i < d.length) {
-        var j = i + 1
-        while (j < d.length) {
-          slopes(k) = (d(j)._2 - d(i)._2).toDouble / (d(j)._1 - d(i)._1).toDouble
-          k += 1
-          j += 1
+      val nPairs = n * (n - 1) / 2
+      val medianRank = (nPairs + 1) / 2 - 1 // 0-indexed lower median
+      if (d.length <= maxDriverDays) {
+        val slopes = new Array[Double](nPairs.toInt)
+        var k = 0
+        var i = 0
+        while (i < d.length) {
+          var j = i + 1
+          while (j < d.length) {
+            slopes(k) = (d(j)._2 - d(i)._2).toDouble / (d(j)._1 - d(i)._1).toDouble
+            k += 1
+            j += 1
+          }
+          i += 1
         }
-        i += 1
+        java.util.Arrays.sort(slopes)
+        (n, nPairs, slopes(medianRank.toInt))
+      } else {
+        val sc = s.sparkContext
+        val bd = sc.broadcast(d)
+        val parts = math.min(d.length, math.max(sc.defaultParallelism, 32))
+        val sorted = sc.parallelize(0 until d.length, parts)
+          .flatMap { i =>
+            val dd = bd.value
+            (i + 1 until dd.length).iterator.map(j =>
+              (dd(j)._2 - dd(i)._2).toDouble / (dd(j)._1 - dd(i)._1).toDouble)
+          }
+          .sortBy(identity) // RangePartitioner: globally ordered partitions
+        val counts = sorted.mapPartitions(it => Iterator(it.size.toLong),
+          preservesPartitioning = true).collect()
+        // before(i) = ranks preceding partition i; partition p holds the
+        // global medianRank iff before(p) <= medianRank < before(p+1).
+        // before.last = total > medianRank always, so the last index with
+        // before <= medianRank is a real partition (empty ones skip past).
+        val before = counts.scanLeft(0L)(_ + _)
+        val p = before.lastIndexWhere(_ <= medianRank)
+        val off = medianRank - before(p)
+        val value = sorted.mapPartitionsWithIndex((idx, it) =>
+          if (idx == p) it.slice(off.toInt, off.toInt + 1) else Iterator.empty)
+          .collect()(0)
+        bd.destroy()
+        (n, nPairs, value)
       }
-      java.util.Arrays.sort(slopes)
-      (n, slopes.length.toLong, slopes(((slopes.length + 1) / 2 - 1).toInt))
     })
     s.range(1).select(lit(nDays).as("n_days"), lit(m).as("n_pairs"),
       lit(med).as("slope_cents_per_day"))

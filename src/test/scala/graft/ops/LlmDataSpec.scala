@@ -470,6 +470,48 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("pgm decode: generic tokenizer handles comments, whitespace, and rejects malformed input") {
+    import Multimodal.{pgmDecode, pgmFromParams, PgmImage}
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    // arbitrary whitespace runs (tab/CR/LF), comments between ANY tokens,
+    // a comment glued to a token's end, no trailing newline
+    val messy = "P2 # c1\n\t2\r\n 2 #c2\n255#c3\n  7\t8\n9   10"
+    assert(pgmDecode(b(messy)).contains(PgmImage(2, 2, 255, Array(7, 8, 9, 10))) ||
+      pgmDecode(b(messy)).exists(i => i.width == 2 && i.height == 2 &&
+        i.maxval == 255 && i.pixels.sameElements(Array(7, 8, 9, 10))))
+    // malformed: wrong magic, short raster, extra token, out-of-range pixel
+    assert(pgmDecode(b("P5\n2 2\n255\n1 2 3 4")).isEmpty)
+    assert(pgmDecode(b("P2\n2 2\n255\n1 2 3")).isEmpty)
+    assert(pgmDecode(b("P2\n2 2\n255\n1 2 3 4 5")).isEmpty)
+    assert(pgmDecode(b("P2\n2 2\n255\n1 2 3 999")).isEmpty)
+    assert(pgmDecode(b("P2\n2 2\n255\n1 2 x 4")).isEmpty)
+    assert(pgmDecode(Array.emptyByteArray).isEmpty)
+    // round trip of the canonical builder at a few ids, including the
+    // arithmetic the oracle mirrors
+    for (id <- Seq(0L, 1L, 7L, 499L)) {
+      val img = pgmDecode(pgmFromParams(id)).get
+      assert(img.width == 4 + id % 5 && img.height == 4 + id % 3 && img.maxval == 255)
+      img.pixels.zipWithIndex.foreach { case (p, k) =>
+        assert(p == (id * 31 + k * 7) % 256)
+      }
+    }
+  }
+
+  test("pngFromVector float scaling: near vectors hash near, far vectors hash far") {
+    // the float32 render path is no longer on a registered query (the
+    // double-gray path took over so the near-dup pipeline could be
+    // oracle-checked) — keep its scaling pinned here
+    def hash(v: Array[Float]): Long = Multimodal.averageHash(
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.pngFromVector(v))))
+    val rnd = new scala.util.Random(11)
+    val v = Array.fill(64)(rnd.nextFloat())
+    val nudged = v.updated(0, v(0) + 0.01f)
+    val flipped = v.map(x => 1.0f - x)
+    assert(java.lang.Long.bitCount(hash(v) ^ hash(nudged)) <= 3)
+    assert(java.lang.Long.bitCount(hash(v) ^ hash(flipped)) > 10)
+  }
+
   test("multimodal decode is deterministic and total over the corpus") {
     val a = SparkEntry.queries("multimodal_decode")(spark, sfDir).collect()
     val b = SparkEntry.queries("multimodal_decode")(spark, sfDir).collect()

@@ -72,6 +72,18 @@ class StatsSpec extends SparkSpec {
     assert(r.head.getDouble(2) == want)
   }
 
+  test("theil_sen_trend: distributed selection above the driver-day cap is exact") {
+    // force the distributed path (cap below any real calendar) and pin it
+    // bit-equal to the driver path — a 100-year corpus must not change the
+    // answer, only where the C(n,2) slope array lives
+    val driver = Stats.theilSenTrend(spark, sfDir).collect().head
+    val dist = Stats.theilSenTrend(spark, sfDir, maxDriverDays = 1)
+      .collect().head
+    assert(dist.getLong(0) == driver.getLong(0))
+    assert(dist.getLong(1) == driver.getLong(1))
+    assert(dist.getDouble(2) == driver.getDouble(2))
+  }
+
   test("spearman_qty_price: rho matches brute-force tie-averaged ranks") {
     val r = Stats.queries("spearman_qty_price")(spark, sfDir).collect()
     assert(r.length == 1)
