@@ -324,7 +324,32 @@ object Relational {
     * 2·t/(d·(d−1)) is one integer-derived double division — bit-exact in
     * any engine.
     */
-  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
+  def triangleCounts(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(s, dir,
+      sys.env.get("SPARK_GRAFT_TRI_CHUNK").map(_.toInt).getOrElse(0))
+
+  /** `chunk > 0` caps the per-row adjacency payload: each vertex's sorted
+    * out-list is split into range-disjoint slices of ≤ `chunk` ids before
+    * the per-edge join, so the shuffled rows carry bounded arrays instead
+    * of whole hub neighborhoods. The union of slice-pair intersections
+    * equals the full intersection: every common element lives in exactly
+    * one (u-slice, v-slice) pair, and that pair survives the
+    * range-overlap pruning filter. Because both endpoint id sets sample
+    * the same key space, the i-th slice of u and of v cover similar value
+    * ranges, so overlap pruning keeps ~max(slices(u), slices(v)) pairs
+    * per edge, not the cross product.
+    *
+    * MEASURED NOT TO PAY on this graph (round-8 A/B at 10× data, 4 cores,
+    * PLANS.md): intersect-stage CPU 130–137 s unchunked vs 195 s at
+    * chunk=256 and 268 s at chunk=1024, while GC was under 2% of stage
+    * CPU in every variant — the sf1 cost is intrinsic kernel work from
+    * densification, not adjacency-transfer GC, and the slice-pair row
+    * overhead only adds to it. Default stays 0 (unchunked); the knob and
+    * its equality spec remain as the documented escape hatch for graphs
+    * whose hub lists genuinely exceed executor row budgets
+    * (SPARK_GRAFT_TRI_CHUNK).
+    */
+  def triangleCounts(s: SparkSession, dir: String, chunk: Int): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
     val adj = pageRankGraph(s, dir)
     val deg = adj.select(col("src").as("node"), col("d"))
@@ -348,12 +373,35 @@ object Relational {
       // (the residual is explode + the partial count agg; same rows,
       // same counts)
       .agg(sort_array(collect_list(col("dst"))).as("out"))
-    val tri = o
-      .join(oadj.select(col("src"), col("out").as("ou")), "src")
-      .join(oadj.select(col("src").as("dst"), col("out").as("ov")), "dst")
-      .select(col("src").as("u"), col("dst").as("v"),
-        explode(graft.functions.ArrayKernels.sorted_intersect(
-          col("ou"), col("ov"))).as("w"))
+    val tri =
+      if (chunk <= 0)
+        o.join(oadj.select(col("src"), col("out").as("ou")), "src")
+          .join(oadj.select(col("src").as("dst"), col("out").as("ov")), "dst")
+          .select(col("src").as("u"), col("dst").as("v"),
+            explode(graft.functions.ArrayKernels.sorted_intersect(
+              col("ou"), col("ov"))).as("w"))
+      else {
+        val ch = oadj
+          .select(col("src"), explode(expr(
+            s"transform(sequence(0, (size(out) - 1) div $chunk), " +
+              s"i -> slice(out, i * $chunk + 1, $chunk))")).as("part"))
+          .select(col("src"), col("part"),
+            element_at(col("part"), 1).as("lo"),
+            element_at(col("part"), -1).as("hi"))
+        o.join(ch.select(col("src"), col("part").as("pu"),
+            col("lo").as("lou"), col("hi").as("hiu")), "src")
+          .join(ch.select(col("src").as("dst"), col("part").as("pv"),
+            col("lo").as("lov"), col("hi").as("hiv")), "dst")
+          .filter(col("hiu") >= col("lov") && col("lou") <= col("hiv"))
+          .select(col("src").as("u"), col("dst").as("v"),
+            explode(graft.functions.ArrayKernels.sorted_intersect(
+              col("pu"), col("pv"))).as("w"))
+      }
+    // per-triangle corner explode (3 rows per triangle) — measured BEST at
+    // sf1: a weighted-corner variant (2 + |ww| rows per edge via
+    // struct(node, weight) emission) read 185 s stage CPU vs 130 s for
+    // this form; the struct allocation per element costs more than the
+    // extra primitive rows the hash-agg absorbs (PLANS.md round-8 A/B).
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_tri"))

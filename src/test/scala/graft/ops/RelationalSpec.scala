@@ -642,6 +642,16 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == want, s"spark=${got.toSeq} expected=$want")
   }
 
+  test("chunked triangle adjacency equals the unchunked form") {
+    // chunk=3 forces many slices per hub vertex, exercising slice-pair
+    // overlap pruning and the union-of-slice-intersections identity
+    val base = graft.ops.Relational.triangleCounts(spark, sfDir, 0)
+      .collect().map(_.toString).toSeq
+    val chunked = graft.ops.Relational.triangleCounts(spark, sfDir, 3)
+      .collect().map(_.toString).toSeq
+    assert(chunked == base)
+  }
+
   test("HLL sliding distinct tracks the exact sliding distinct within 5%") {
     val exact = SparkEntry.queries("sliding_distinct_users")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
