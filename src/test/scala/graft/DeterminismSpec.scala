@@ -37,4 +37,19 @@ class DeterminismSpec extends SparkSpec {
     }
     assert(diffs.isEmpty, diffs.mkString("; "))
   }
+
+  test("no registered query plans a cartesian product") {
+    // scale guard: every deliberate cross join in the repo broadcasts a
+    // scalar/k-row aggregate (BroadcastNestedLoopJoin with a tiny build
+    // side — fine at any corpus size). A CartesianProductExec means a
+    // join lost its equi-keys or its broadcast hint and would explode at
+    // 100 TB; catch that in the PLAN, years before a timeout would.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.treeString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product planned by: ${offenders.mkString(", ")}")
+  }
 }
