@@ -1,0 +1,54 @@
+package graft
+
+/** Executable plan-shape assertions: the scale claims PLANS.md makes in
+  * prose ("filter reaches the scan", "dims broadcast", "hot paths stay in
+  * whole-stage codegen") pinned as tests, so an innocent refactor that
+  * silently un-pushes a predicate or un-broadcasts a dimension fails CI
+  * instead of surfacing as a 100 TB regression. Companion of
+  * [[DeterminismSpec]]'s cartesian sweep: that one guards the whole
+  * registry against the catastrophic shape, these guard flagship queries
+  * for the shapes we *promise*.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("equality filter is pushed down to the events parquet scan") {
+    val p = plan("filter_eq_events")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("IsNotNull") || p.contains("EqualTo"), p.take(2000))
+  }
+
+  test("ISO-string range filter is pushed down to the orders scan") {
+    val p = plan("recent_created_orders")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThan") || p.contains("LessThan") ||
+      p.contains("EqualTo"), p.take(2000))
+  }
+
+  test("star join broadcasts the dimension side") {
+    assert(plan("join_star_region_rev").contains("BroadcastHashJoin"))
+  }
+
+  test("aggregation pipeline runs inside whole-stage codegen") {
+    // AQE prints codegen spans only in the FINAL adaptive plan, and only
+    // for the df's OWN QueryExecution (a write wraps a fresh one) — so
+    // collect() first, then assert on the materialized plan's "*(n)"
+    // codegen markers
+    val df = SparkEntry.queries("agg_pricing_summary")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
+  }
+
+  test("column pruning reaches the scan for a narrow projection") {
+    // project_shape_docs reads a 2-column shape from documents: the scan's
+    // ReadSchema must not include the wide text payload
+    val p = plan("project_shape_docs")
+    val read = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(read.isDefined, p.take(2000))
+    assert(!read.get.contains("text"), read.get)
+  }
+}
