@@ -341,7 +341,13 @@ object Multimodal {
   def grayRenderHashes(gray: DataFrame): DataFrame = {
     val spark = gray.sparkSession
     import spark.implicits._
-    gray.as[(Long, Seq[Int])]
+    // repartition BEFORE the codec pass: the embeddings corpus often scans
+    // as one row-group = one partition, and per-row PNG encode+decode is
+    // CPU work that must spread across cores (measured 4.2 s single-task
+    // vs ~0.6 s spread at sf0.1 — the shuffle moves only (id, 64 ints)
+    // rows, trivially cheaper than the codec CPU it unlocks)
+    gray.repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Seq[Int])]
       .mapPartitions(_.map { case (id, g) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(pngFromGray(g.toArray)))
@@ -362,7 +368,10 @@ object Multimodal {
   def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
+    // same single-input-partition repair as grayRenderHashes: the decode
+    // pass is the CPU; spread it before paying it
     val hashes = assets.select(col("asset_id"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
