@@ -1349,8 +1349,11 @@ object LlmData {
       base.unionByName(planted)
         .select(col("vec_id"), Multimodal.grayFromDoubles(col("dv")).as("g"))
         .as[(Long, Seq[Int])]
-        .mapPartitions(_.map { case (id, g) =>
-          (id, Multimodal.pngFromGray(g.toArray)) })
+        .mapPartitions { it =>
+          val codec = new Multimodal.PngCodec() // per task: registry-free
+          it.map { case (id, g) =>
+            (id, codec.encode(Multimodal.grayImage(g.toArray))) }
+        }
         .toDF("asset_id", "payload")
         .transform(Multimodal.imageNearDupPairs(_))
         .orderBy("a", "b")
