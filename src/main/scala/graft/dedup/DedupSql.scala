@@ -274,6 +274,37 @@ object DedupSql {
        |FROM mapping m JOIN sizes s USING (canonical_id)
        |ORDER BY m.doc_id""".stripMargin
 
+  /** [[canonicalDocs]] with the keep-BEST survivor policy: same recursive
+    * component closure, but the kept member is the highest
+    * [[TextSql.qualityScore]] in the cluster (ties → lowest doc_id) rather
+    * than the minimum id.
+    */
+  def keepBestDocs(minJaccard: Double, table: String = "documents"): String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  SELECT a, b FROM (${minhashPairs(minJaccard, table)}) q
+       |), edges AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+       |), reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS id, least(u, min(v)) AS root FROM reach GROUP BY u
+       |), mapping AS (
+       |  SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS canonical_id,
+       |         ${TextSql.qualityScore("d.text")} AS quality
+       |  FROM $table d LEFT JOIN comp c ON d.doc_id = c.id
+       |), sizes AS (
+       |  SELECT canonical_id, count(*) AS cluster_size
+       |  FROM mapping GROUP BY canonical_id
+       |)
+       |SELECT m.doc_id, m.canonical_id, s.cluster_size, m.quality,
+       |       CAST(row_number() OVER (PARTITION BY m.canonical_id
+       |              ORDER BY m.quality DESC, m.doc_id) = 1 AS INT)
+       |         AS keep_best
+       |FROM mapping m JOIN sizes s USING (canonical_id)
+       |ORDER BY m.doc_id""".stripMargin
+
   def simhash(text: String): String = {
     val th = TextSql.polyHashAll(TextSql.tokens(text))
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), range(${Dedup.SIMBITS - 1}, -1, -1)), " +

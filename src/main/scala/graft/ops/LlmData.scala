@@ -264,6 +264,32 @@ object LlmData {
         .orderBy("doc_id")
     }),
 
+    // BPE ENCODE — apply a fixed ordered merge table (TextOps.BpeMerges)
+    // to the character-spaced symbol string and report the real subword
+    // token count, not a whitespace/regex proxy. Entirely chained string
+    // builtins (lower / regexp_replace / replace), so the whole encode is
+    // one codegen'd narrow projection with identical left-to-right
+    // non-overlapping replace semantics in the oracle; bpe_hash gates the
+    // final symbol string byte-for-byte, making every merge in the chain
+    // hash-checked. Scale: per-row map over document bytes; the only
+    // shuffle is the presentation sort.
+    "text_bpe_encode" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          length(regexp_replace(lower(col("text")), lit("[^a-z]"), lit("")))
+            .cast("long").as("n_chars_az"),
+          TextOps.bpeMergedString(col("text")).as("m"))
+        .select(col("doc_id"), col("n_chars_az"),
+          size(filter(split(col("m"), " +"),
+            x => x =!= lit("") && x =!= lit("/"))).cast("long")
+            .as("n_tokens_bpe"),
+          TextOps.polyHash(col("m")).as("bpe_hash"))
+        .withColumn("compression",
+          when(col("n_tokens_bpe") > 0,
+            col("n_chars_az").cast("double") / col("n_tokens_bpe"))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")),
+
     // ---- Gopher quality rules (Rae et al. 2021, Appendix A) ----------------
     // The named rule-based filter most production pipelines start from:
     // word-count bounds, mean-word-length band, symbol-to-word ratio,
@@ -869,6 +895,31 @@ object LlmData {
       val d = docs(s, dir)
       val pairs = Dedup.minhashPairs(d, MinJaccard).select(col("a"), col("b"))
       Dedup.canonicalDocs(d, pairs).orderBy("doc_id")
+    }),
+
+    // ...and the keep-BEST survivor policy a curation pipeline actually
+    // wants: same components, but the kept member is the highest-quality
+    // copy (ties -> lowest doc_id), not the minimum id — "drop the
+    // duplicates, keep the best-written one". The per-component window is
+    // bounded by cluster size (near-dup clusters are small by
+    // construction; a pathological mega-cluster is a data bug the
+    // cluster_size column itself surfaces), and everything upstream rides
+    // the memoized pair/band machinery shared with dedup_components.
+    "dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, MinJaccard).select(col("a"), col("b"))
+      val scored = d.select(col("doc_id"),
+        TextOps.qualityScore(col("text"), TextOps.tokens(col("text")))
+          .as("quality"))
+      Dedup.canonicalDocs(d, pairs)
+        .join(scored, "doc_id")
+        .withColumn("keep_best",
+          (row_number().over(Window.partitionBy(col("canonical_id"))
+            .orderBy(col("quality").desc, col("doc_id"))) === 1).cast("int"))
+        .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+          col("quality"), col("keep_best"))
+        .orderBy("doc_id")
     }),
 
     // ---- embedding compression ---------------------------------------------
@@ -1549,6 +1600,28 @@ object LlmData {
     "dedup_ngram_jaccard" -> DedupSql.ngramJaccardPairs(MinJaccard),
     "dedup_substring_spans" -> DedupSql.substringSpans(),
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),
+    "dedup_keep_best" -> DedupSql.keepBestDocs(MinJaccard),
+    "text_bpe_encode" -> {
+      val m = TextSql.bpeMergedString("text")
+      s"""WITH enc AS (
+         |  SELECT doc_id,
+         |         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |           AS BIGINT) AS n_chars_az,
+         |         $m AS m
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chars_az,
+         |       CAST(len(list_filter(string_split_regex(m, ' +'),
+         |         x -> x != '' AND x != '/')) AS BIGINT) AS n_tokens_bpe,
+         |       ${TextSql.polyHash("m")} AS bpe_hash,
+         |       CASE WHEN len(list_filter(string_split_regex(m, ' +'),
+         |                x -> x != '' AND x != '/')) > 0
+         |            THEN CAST(n_chars_az AS DOUBLE) /
+         |                 len(list_filter(string_split_regex(m, ' +'),
+         |                   x -> x != '' AND x != '/'))
+         |            ELSE 0.0 END AS compression
+         |FROM enc ORDER BY doc_id""".stripMargin
+    },
     "dedup_incremental" -> DedupSql.incrementalMinhashPairs(MinJaccard),
     "dedup_containment" -> DedupSql.containmentPairs(MinContainment),
     "dedup_decontaminate" ->

@@ -131,6 +131,45 @@ object TextOps {
       least(f("mean_token_len") / 10.0, lit(1.0)) * 0.2
   }
 
+  // ---- BPE merge application ---------------------------------------------
+
+  /** Fixed, ORDERED BPE merge table (public high-frequency English pairs).
+    * Later entries compose earlier outputs — `th e` only matches a symbol
+    * the `t h` merge already produced, which is exactly how a trained BPE
+    * vocabulary nests. Fixed (not data-derived) so the oracle can apply
+    * the identical chain as literal string replaces; swap in a learned
+    * table (e.g. the top pairs from `bpe_char_pairs`) for production.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t h" -> "th", "th e" -> "the", "i n" -> "in", "a n" -> "an",
+    "an d" -> "and", "e r" -> "er", "o n" -> "on", "r e" -> "re",
+    "o u" -> "ou", "e n" -> "en", "s t" -> "st", "a t" -> "at",
+    "o r" -> "or", "t o" -> "to", "i t" -> "it", "i s" -> "is")
+
+  /** BPE ENCODE as pure string builtins — the symbol string after applying
+    * [[BpeMerges]] in order. Representation: every symbol is followed by a
+    * space and the string starts with a space, so the literal pattern
+    * `" x y "` can only match two complete adjacent symbols (a symbol
+    * merely ENDING in `x` keeps its own trailing char before the space,
+    * and the leading space anchors the left edge). Word boundaries become
+    * a `/` symbol that no merge pattern contains, so merges never cross
+    * words. Plain `replace` scans left-to-right non-overlapping in both
+    * engines, which for a single merge is exactly BPE's greedy
+    * application. One narrow codegen'd projection per row — no UDF, no
+    * shuffle.
+    */
+  def bpeMergedString(text: Column): Column = {
+    val spaced = concat(lit(" "),
+      regexp_replace(
+        call_function("replace",
+          regexp_replace(lower(text), lit("[^a-z]+"), lit(" ")),
+          lit(" "), lit(" / ")),
+        lit("([a-z/])"), lit("$1 ")))
+    BpeMerges.foldLeft(spaced) { case (c, (p, r)) =>
+      call_function("replace", c, lit(s" $p "), lit(s" $r "))
+    }
+  }
+
   // ---- sentiment (lexicon) -----------------------------------------------
 
   /** Transparent lexicon sentiment (SURVEY §7.2 item 6): hit-count of

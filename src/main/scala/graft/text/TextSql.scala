@@ -72,6 +72,20 @@ object TextSql {
       s"least((${f("mean_token_len")}) / 10.0, 1.0) * 0.2"
   }
 
+  /** DuckDB twin of [[TextOps.bpeMergedString]] — identical spacing
+    * construction and the identical ordered replace chain (DuckDB's
+    * `replace` is plain-substring, global, left-to-right — same semantics
+    * as Spark's). Backreference syntax is the one divergence (`\1` vs
+    * `$1`); regex classes are engine-portable.
+    */
+  def bpeMergedString(text: String): String = {
+    val spaced = s"' ' || regexp_replace(replace(regexp_replace(lower($text), " +
+      s"'[^a-z]+', ' ', 'g'), ' ', ' / '), '([a-z/])', '\\1 ', 'g')"
+    TextOps.BpeMerges.foldLeft(spaced) { case (acc, (p, r)) =>
+      s"replace($acc, ' $p ', ' $r ')"
+    }
+  }
+
   def sentimentScore(text: String): String = {
     val toks = tokens(text)
     val (pos, neg) = TextOps.sentimentLexicon

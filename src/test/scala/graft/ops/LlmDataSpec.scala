@@ -470,6 +470,44 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode applies merges greedily, hierarchically, and never across words") {
+    import spark.implicits._
+    val out = Seq((1L, "The cat is in the hat!"), (2L, "ba t"), (3L, "lll"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.text.TextOps.bpeMergedString(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(s: String) = s.split(" +").filter(t => t.nonEmpty && t != "/").toSeq
+    // 'the' composes t h -> th, then th e -> the (hierarchical); 'is'/'in'
+    // merge; 'cat' -> c + at; 'hat' -> h + at
+    assert(toks(out(1L)) == Seq("the", "c", "at", "is", "in", "the", "h", "at"),
+      out(1L))
+    // 'ba t': the trailing a of a WORD-INTERNAL symbol pair must not merge
+    // with the next word's t across the '/' boundary
+    assert(toks(out(2L)) == Seq("b", "a", "t"), out(2L))
+    // no merge for lll ('l l' is not in the table) — pure char symbols
+    assert(toks(out(3L)) == Seq("l", "l", "l"), out(3L))
+  }
+
+  test("keep-best dedup keeps exactly the max-quality member per component") {
+    val rows = SparkEntry.queries("dedup_keep_best")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    val comps = SparkEntry.queries("dedup_components")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same component structure as dedup_components
+    assert(rows.map(r => r._1 -> r._2).toMap == comps)
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      val kept = members.filter(_._5 == 1)
+      assert(kept.length == 1, s"component $canon kept ${kept.length}")
+      val best = members.maxBy(m => (m._4, -m._1))
+      assert(kept.head._1 == best._1,
+        s"component $canon kept ${kept.head} over $best")
+      assert(members.forall(_._3 == members.length.toLong))
+    }
+  }
+
   test("pgm decode: generic tokenizer handles comments, whitespace, and rejects malformed input") {
     import Multimodal.{pgmDecode, pgmFromParams, PgmImage}
     def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
