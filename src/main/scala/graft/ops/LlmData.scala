@@ -879,6 +879,30 @@ object LlmData {
         .orderBy("doc_id", "rank")
     }),
 
+    // per-doc n-gram NOVELTY vs the rest of the corpus: the fraction of a
+    // document's distinct word 3-shingles that appear in NO other
+    // document — the "how much of this text is new" curation signal that
+    // sits between exact dedup and near-dup: a document can be unique as
+    // a whole yet mostly assembled from corpus boilerplate, and this is
+    // the per-doc number that catches it. Plan: distinct-shingle explode
+    // → map-side-combined shingle document-frequency → join back →
+    // per-doc ratio. Same cost family as tf-idf: the exploded frame
+    // shuffles once on the shingle hash, never all-pairs.
+    "text_novelty_score" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.shingleHashes(TextOps.tokens(col("text"))))
+            .as("sh"))
+      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          col("n_unique").cast("double") / col("n_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // batch-ingestion dedup: the top 20% of doc ids are the "new batch",
     // deduped against the full corpus via new-side-probed banding; the
     // oracle asserts equality with the full self-join restricted to new b
@@ -1601,6 +1625,21 @@ object LlmData {
     "dedup_substring_spans" -> DedupSql.substringSpans(),
     "dedup_components" -> DedupSql.canonicalDocs(MinJaccard),
     "dedup_keep_best" -> DedupSql.keepBestDocs(MinJaccard),
+    "text_novelty_score" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, UNNEST(${TextSql.shingleHashes("text")}) AS sh
+         |  FROM documents
+         |), dfreq AS (
+         |  SELECT sh, count(*) AS df FROM sh GROUP BY sh
+         |)
+         |SELECT s.doc_id,
+         |       count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_unique,
+         |       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS novelty
+         |FROM sh s JOIN dfreq d USING (sh)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "text_bpe_encode" -> {
       val m = TextSql.bpeMergedString("text")
       s"""WITH enc AS (

@@ -489,6 +489,32 @@ class LlmDataSpec extends SparkSpec {
     assert(toks(out(3L)) == Seq("l", "l", "l"), out(3L))
   }
 
+  test("novelty score: exact per-doc unique-shingle fraction vs brute force") {
+    val rows = SparkEntry.queries("text_novelty_score")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // brute force over the same distinct word-shingle featurization
+    val sets = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.text.TextOps.shingleHashes(
+          graft.text.TextOps.tokens(col("text"))).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val dfreq = sets.values.toSeq.flatten.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    sets.foreach { case (id, s) =>
+      if (s.nonEmpty) {
+        val uniq = s.count(dfreq(_) == 1).toLong
+        val (n, u, nov) = rows(id)
+        assert(n == s.size.toLong && u == uniq &&
+          nov == uniq.toDouble / s.size, s"doc $id")
+      } else assert(!rows.contains(id))
+    }
+    // the corpus plants near-dup docs, so shared boilerplate must exist
+    assert(rows.values.exists(_._3 < 1.0))
+  }
+
   test("keep-best dedup keeps exactly the max-quality member per component") {
     val rows = SparkEntry.queries("dedup_keep_best")(spark, sfDir)
       .collect()
