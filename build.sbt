@@ -10,10 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
   // The Kafka connector for graft.sinks.KafkaSink.write's default
   // format("kafka") path. NOT resolvable in this offline build (no jar in
-  // /opt/spark/jars, none in the coursier cache) — uncomment on a cluster
-  // with egress. Until then the connector contract is enforced by
-  // KafkaLogSink.validateMessageSchema and exercised end-to-end by the
-  // graft-kafka-log stand-in sink (KafkaSinkSpec).
+  // /opt/spark/jars, none in the coursier cache; resolve re-attempted
+  // rounds 6, 7, and 8 — repo1.maven.org unreachable each time) —
+  // uncomment on a cluster with egress. Until then the connector
+  // contract is enforced by KafkaLogSink.validateMessageSchema and
+  // exercised end-to-end by the graft-kafka-log stand-in sink
+  // (KafkaSinkSpec).
   // "org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2",
 )
 Test / fork := true

@@ -68,6 +68,13 @@ object Analytics {
     */
   val GridMod = 1000000L
   val GridCell = 20000L
+  /** grid_knn_join: neighbors reported per point (within GridR2). */
+  val GridKnnK = 4
+  /** emb_mmr_select: picks, and the query vector's id. The lambda/(1-λ)
+    * weights are written as the literal pair 0.7/0.3 in BOTH engines
+    * (computing 1-λ driver-side would yield 0.30000000000000004). */
+  val MmrK = 8
+  val MmrQueryId = 0L
   val GridR2 = 20000L * 20000L
 
   /** schema_drift_profile compares these two calendar-year slices. */
@@ -114,6 +121,8 @@ object Analytics {
     * than this are re-identification risks.
     */
   val KanonK = 5L
+  /** t-closeness release threshold (Li et al. 2007's worked examples). */
+  val TCloseT = 0.15
 
   private[ops] def cents: Column =
     (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
@@ -136,6 +145,45 @@ object Analytics {
     aggregate(zip_with(v, c, (x, y) =>
       (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, d) => acc + d)
+  }
+
+  /** Shared candidate generator for the spatial-grid family
+    * (grid_neighbor_join / grid_knn_join): deterministic hashed
+    * coordinates, one home cell per point, probe side replicated 9x into
+    * the 3x3 neighborhood, equi-join on cell, exact int64 distance test
+    * against GridR2. `idRel` supplies the pair-direction predicate
+    * (undirected `a < b` for the pair listing, directed `a <> b` for
+    * kNN).
+    */
+  private def gridCandidatePairs(s: SparkSession, dir: String,
+                                 idRel: DataFrame => Column): DataFrame = {
+    def coord(h: Column, salt: Long): Column = {
+      val u = (h + salt) * TextOps.MIX % TextOps.P
+      u * u % TextOps.P % GridMod
+    }
+    val pts = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        TextOps.polyHash(col("c_custkey").cast("string")).as("h"))
+      .select(col("id"), coord(col("h"), 1).as("x"),
+        coord(col("h"), 2).as("y"))
+      .withColumn("cx", expr(s"x div $GridCell"))
+      .withColumn("cy", expr(s"y div $GridCell"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probes = pts
+      .withColumn("o", explode(offsets))
+      .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("o.dx")).as("pcx"),
+        (col("cy") + col("o.dy")).as("pcy"))
+    val b = pts.select(col("id").as("b_id"), col("x").as("bx"),
+      col("y").as("by"), col("cx"), col("cy"))
+    probes.join(b,
+        probes("pcx") === b("cx") && probes("pcy") === b("cy") &&
+          idRel(probes))
+      .withColumn("dist2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("dist2") <= GridR2)
   }
 
   /** Greedy k-center (Gonzalez'85 farthest-first traversal) over the
@@ -177,6 +225,68 @@ object Analytics {
         md = least(md, dist2ToCenter(col("embedding"), emb))
       }
       picks.map(p => (p._1, p._2, p._3)).toSeq
+    })
+  }
+
+  /** Exact driver-side mirror of DuckDB's `sqrt(list_sum(c·c))`: the same
+    * left-to-right double fold over the float reads, then one correctly
+    * rounded sqrt — so a driver-held center's norm is bit-identical to
+    * the oracle's recomputation.
+    */
+  private def vecNorm(c: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity-aware top-k every RAG/curation pipeline
+    * wants where plain top-k returns k near-duplicates: greedily pick
+    * argmax of MmrLambda·rel(d) − MmrMu·max_{s∈S} cos(d, s), rel being
+    * cosine to the fixed query vector (vec_id = MmrQueryId), ties to the
+    * smaller vec_id. Driver-coordinated like [[kcenterSelect]] (each pick
+    * conditions the next): MmrK rounds, each ONE narrow corpus pass — the
+    * relevance and the running max-sim chain are codegen'd kernel dots
+    * against broadcast literal centers, reduced by
+    * TakeOrderedAndProject(1). No shuffle, no all-pairs; memoized per
+    * (session, dir).
+    */
+  private val mmrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Seq[(Int, Long, Double, Double, Double)]]()
+
+  def clearMmrCache(): Unit = mmrMemo.clear()
+
+  def mmrSelect(s: SparkSession, dir: String): Seq[(Int, Long, Double, Double, Double)] = {
+    mmrMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    mmrMemo.computeIfAbsent((s, dir), _ => {
+      import graft.sim.Similarity
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val qVec = e.filter(col("vec_id") === MmrQueryId)
+        .head().getSeq[Float](1).toArray
+      def cosTo(center: Array[Float]): Column =
+        Similarity.dot(col("embedding"), typedLit(center.toSeq)) /
+          (sqrt(Similarity.dot(col("embedding"), col("embedding"))) *
+            lit(vecNorm(center)))
+      val rel = cosTo(qVec)
+      var ms: Column = lit(0.0)
+      val base = e.filter(col("vec_id") =!= MmrQueryId)
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Double, Double, Double, Array[Float])]
+      for (i <- 1 to MmrK) {
+        val cand = if (picked.isEmpty) base
+          else base.filter(!col("vec_id").isin(picked.map(_._2).toSeq: _*))
+        val r = cand.select(col("vec_id"), col("embedding"),
+            rel.as("rel"), ms.as("ms"),
+            (lit(0.7) * rel - lit(0.3) * ms).as("mmr"))
+          .orderBy(col("mmr").desc, col("vec_id")).limit(1).head()
+        picked += ((i, r.getLong(0), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getSeq[Float](1).toArray))
+        ms = greatest(ms, cosTo(picked.last._6))
+      }
+      picked.map(p => (p._1, p._2, p._3, p._4, p._5)).toSeq
     })
   }
 
@@ -325,36 +435,31 @@ object Analytics {
     // test is exact int64. At 100 TB this is the map-matching /
     // collocation shape: candidates ~ density * 9 cells, and a skewed
     // (urban) cell salts like any other hot key.
-    "grid_neighbor_join" -> ((s, dir) => {
-      def coord(h: Column, salt: Long): Column = {
-        val u = (h + salt) * TextOps.MIX % TextOps.P
-        u * u % TextOps.P % GridMod
-      }
-      val pts = Tables.load(s, dir, "customer")
-        .select(col("c_custkey").as("id"),
-          TextOps.polyHash(col("c_custkey").cast("string")).as("h"))
-        .select(col("id"), coord(col("h"), 1).as("x"),
-          coord(col("h"), 2).as("y"))
-        .withColumn("cx", expr(s"x div $GridCell"))
-        .withColumn("cy", expr(s"y div $GridCell"))
-      val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
-        yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
-      val probes = pts
-        .withColumn("o", explode(offsets))
-        .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
-          (col("cx") + col("o.dx")).as("pcx"),
-          (col("cy") + col("o.dy")).as("pcy"))
-      val b = pts.select(col("id").as("b_id"), col("x").as("bx"),
-        col("y").as("by"), col("cx"), col("cy"))
-      probes.join(b,
-          probes("pcx") === b("cx") && probes("pcy") === b("cy") &&
-            probes("a_id") < b("b_id"))
-        .withColumn("dist2",
-          (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-            (col("ay") - col("by")) * (col("ay") - col("by")))
-        .filter(col("dist2") <= GridR2)
+    "grid_neighbor_join" -> ((s, dir) =>
+      gridCandidatePairs(s, dir, probes => probes("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), col("dist2"))
-        .orderBy(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // ---- grid-bucketed radius-bounded kNN join -----------------------------
+    // The k-nearest-neighbors-within-r sibling of grid_neighbor_join (the
+    // map-matching / nearest-facility shape): same 3x3 spatial-grid
+    // candidate equi-join — provably complete within r — then a top-k
+    // window per probe point ordered by (dist2, b_id). DIRECTED (a gets
+    // its own neighbors; a_id <> b_id), and bounding by r is what keeps
+    // the operator exact under blocking: unbounded kNN could owe a
+    // neighbor from outside the 3x3 neighborhood. The row_number bound
+    // compiles to WindowGroupLimit — each map task forwards at most k
+    // candidates per point into the rank exchange. Points with fewer
+    // than k in-radius neighbors report what exists (both engines).
+    "grid_knn_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("dist2"), col("b_id"))
+      gridCandidatePairs(s, dir, probes => probes("a_id") =!= col("b_id"))
+        .withColumn("knn_rank", row_number().over(w).cast("long"))
+        .filter(col("knn_rank") <= GridKnnK)
+        .select(col("a_id"), col("knn_rank"), col("b_id"), col("dist2"))
+        .orderBy(col("a_id"), col("knn_rank"))
     }),
 
     // ---- schema / distribution drift profile -------------------------------
@@ -701,6 +806,56 @@ object Analytics {
         .orderBy(col("l"))
     }),
 
+    // ---- t-closeness audit -------------------------------------------------
+    // The third privacy gate (Li, Li, Venkatasubramanian, ICDE'07): a QI
+    // group passes only if its SENSITIVE-ATTRIBUTE DISTRIBUTION stays
+    // within t of the global one, measured by Earth Mover's Distance over
+    // the ordered attribute — which for ordinal values is the mean
+    // |prefix-sum| of the probability differences. Exact integer form:
+    // diff_i = cnt_{g,i}·N − tot_i·n_g over the implicit denominator
+    // n_g·N, so the per-group EMD numerator is an int64 window prefix sum
+    // and t materializes in ONE mirrored double division. Shape: the same
+    // broadcast dim join as kanon_risk_audit, then everything runs on the
+    // groups×m grid (dimension-scale at any corpus size); the grid
+    // densify (cross join groups × sensitive values) is what makes
+    // missing (group, value) cells count as probability 0 instead of
+    // silently shrinking the EMD. int64 bound: cnt·N <= N² ≈ 2e12 at sf1.
+    "tcloseness_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority").as("prio"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val f = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("prio"))
+      val tot = f.groupBy(col("prio")).agg(count(lit(1)).as("tot"))
+      val nAll = tot.agg(sum(col("tot")).as("n_all"),
+        count(lit(1)).as("m_vals"))
+      val grp = f.groupBy(col("n_name")).agg(count(lit(1)).as("n_g"))
+      val cnt = f.groupBy(col("n_name"), col("prio"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("prio"))
+      grp.crossJoin(broadcast(tot))
+        .join(cnt, Seq("n_name", "prio"), "left")
+        .crossJoin(broadcast(nAll))
+        .select(col("n_name"), col("prio"), col("n_g"),
+          col("n_all"), col("m_vals"),
+          (coalesce(col("cnt"), lit(0L)) * col("n_all") -
+            col("tot") * col("n_g")).as("diff"))
+        .withColumn("cum", sum(col("diff")).over(w))
+        .groupBy(col("n_name"), col("n_g"), col("n_all"), col("m_vals"))
+        .agg(sum(abs(col("cum"))).as("emd_num"))
+        .select(col("n_name"), col("n_g"),
+          (col("emd_num").cast("double") /
+            (col("n_g") * col("n_all") * (col("m_vals") - 1)).cast("double"))
+            .as("t_dist"))
+        .withColumn("at_risk", col("t_dist") > TCloseT)
+        .orderBy(col("n_name"))
+    }),
+
     // ---- greedy k-center coreset seeding -----------------------------------
     // The [[kcenterSelect]] farthest-first traversal, surfaced as a query:
     // one row per pick with the greedy coverage radius at selection time.
@@ -710,6 +865,19 @@ object Analytics {
       import s.implicits._
       kcenterSelect(s, dir)
         .toDF("sel_order", "vec_id", "radius2")
+        .orderBy(col("sel_order"))
+    }),
+
+    // ---- MMR diverse top-k -------------------------------------------------
+    // The [[mmrSelect]] greedy relevance-vs-redundancy traversal surfaced
+    // as a query: one row per pick with its relevance, max similarity to
+    // the prior picks at selection time, and the MMR score that won the
+    // round. Tiny driver-materialized result over MmrK distributed
+    // passes (the kcenter_coreset contract).
+    "emb_mmr_select" -> ((s, dir) => {
+      import s.implicits._
+      mmrSelect(s, dir)
+        .toDF("sel_order", "vec_id", "rel", "max_sim", "mmr")
         .orderBy(col("sel_order"))
     })
   )
@@ -862,6 +1030,38 @@ object Analytics {
          | AND a.id < b.id
          |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= $GridR2
          |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "grid_knn_join" -> {
+      val h = TextSql.polyHash("CAST(id AS VARCHAR)")
+      def coord(salt: Long): String =
+        s"((h + $salt) * ${TextOps.MIX} % ${TextOps.P}) * " +
+          s"((h + $salt) * ${TextOps.MIX} % ${TextOps.P}) % ${TextOps.P} " +
+          s"% $GridMod"
+      s"""WITH hashed AS (
+         |  SELECT id, ($h) AS h FROM (SELECT c_custkey AS id FROM customer)
+         |), pts AS (
+         |  SELECT id, ${coord(1)} AS x, ${coord(2)} AS y
+         |  FROM hashed
+         |), cells AS (
+         |  SELECT id, x, y, x // $GridCell AS cx, y // $GridCell AS cy FROM pts
+         |), cand AS (
+         |  SELECT a.id AS a_id, b.id AS b_id,
+         |         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+         |  FROM cells a JOIN cells b
+         |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         |   AND a.id <> b.id
+         |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= $GridR2
+         |), ranked AS (
+         |  SELECT a_id, b_id, dist2,
+         |         row_number() OVER (PARTITION BY a_id
+         |                            ORDER BY dist2, b_id) AS knn_rank
+         |  FROM cand
+         |)
+         |SELECT a_id, CAST(knn_rank AS BIGINT) AS knn_rank, b_id, dist2
+         |FROM ranked WHERE knn_rank <= $GridKnnK
+         |ORDER BY a_id, knn_rank""".stripMargin
     },
 
     "schema_drift_profile" -> {
@@ -1091,6 +1291,44 @@ object Analytics {
          |       l < 2 AS at_risk
          |FROM g GROUP BY l ORDER BY l""".stripMargin,
 
+    "tcloseness_audit" ->
+      s"""WITH f AS (
+         |  SELECT n.n_name, o.o_orderpriority AS prio
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |), tot AS (
+         |  SELECT prio, CAST(count(*) AS BIGINT) AS tot FROM f GROUP BY 1
+         |), nall AS (
+         |  SELECT CAST(sum(tot) AS BIGINT) AS n_all,
+         |         CAST(count(*) AS BIGINT) AS m_vals FROM tot
+         |), grp AS (
+         |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_g FROM f GROUP BY 1
+         |), cnt AS (
+         |  SELECT n_name, prio, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM f GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT g.n_name, t.prio, g.n_g, a.n_all, a.m_vals,
+         |         COALESCE(c.cnt, 0) * a.n_all - t.tot * g.n_g AS diff
+         |  FROM grp g CROSS JOIN tot t CROSS JOIN nall a
+         |  LEFT JOIN cnt c ON c.n_name = g.n_name AND c.prio = t.prio
+         |), cums AS (
+         |  SELECT n_name, n_g, n_all, m_vals,
+         |         sum(diff) OVER (PARTITION BY n_name ORDER BY prio) AS cum
+         |  FROM grid
+         |), e AS (
+         |  SELECT n_name, n_g, n_all, m_vals,
+         |         CAST(sum(abs(cum)) AS BIGINT) AS emd_num
+         |  FROM cums GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT n_name, n_g,
+         |       CAST(emd_num AS DOUBLE)
+         |         / CAST(n_g * n_all * (m_vals - 1) AS DOUBLE) AS t_dist,
+         |       CAST(emd_num AS DOUBLE)
+         |         / CAST(n_g * n_all * (m_vals - 1) AS DOUBLE) > $TCloseT
+         |         AS at_risk
+         |FROM e ORDER BY n_name""".stripMargin,
+
     "kcenter_coreset" -> {
       def d2(a: String, b: String): String =
         s"list_sum(list_transform(range(1, ${LlmData.EmbDim + 1}), i -> " +
@@ -1130,6 +1368,50 @@ object Analytics {
          |  SELECT 1 AS sel_order, (SELECT vec_id FROM seed) AS vec_id,
          |         CAST(0 AS DOUBLE) AS radius2
          |  $sel
+         |) ORDER BY sel_order""".stripMargin
+    },
+
+    "emb_mmr_select" -> {
+      def cos(a: String, b: String): String =
+        graft.sim.SimilaritySql.cosine(a, b, LlmData.EmbDim)
+      // unrolled greedy: p_i picks the round's MMR argmax from d_i; d_i+1
+      // drops the pick and extends every survivor's max-sim chain with
+      // GREATEST applied in pick order, exactly the engine's fold. Every
+      // chain CTE is MATERIALIZED: d_{i+1} references d_i/p_i three
+      // times, and letting the planner inline them expands d1 into the
+      // plan ~3^K times (the compare hung before this hint).
+      val steps = (1 to MmrK).map { i =>
+        val pick =
+          s"""p$i AS MATERIALIZED (
+             |  SELECT vec_id, rel, ms, 0.7 * rel - 0.3 * ms AS mmr
+             |  FROM d$i ORDER BY mmr DESC, vec_id LIMIT 1
+             |)""".stripMargin
+        val nextD = if (i == MmrK) "" else
+          s""", d${i + 1} AS MATERIALIZED (
+             |  SELECT d.vec_id, d.rel,
+             |         GREATEST(d.ms, ${cos("e.embedding", "c.embedding")}) AS ms
+             |  FROM d$i d JOIN e ON d.vec_id = e.vec_id
+             |  CROSS JOIN (SELECT e2.embedding FROM e e2
+             |              JOIN p$i ON e2.vec_id = p$i.vec_id) c
+             |  WHERE d.vec_id <> (SELECT vec_id FROM p$i)
+             |)""".stripMargin
+        pick + nextD
+      }.mkString(",\n")
+      val sel = (1 to MmrK).map(i =>
+        s"SELECT $i AS sel_order, vec_id, rel, ms AS max_sim, mmr FROM p$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), q AS (
+         |  SELECT embedding FROM e WHERE vec_id = $MmrQueryId
+         |), d1 AS MATERIALIZED (
+         |  SELECT e.vec_id, ${cos("e.embedding", "q.embedding")} AS rel,
+         |         CAST(0 AS DOUBLE) AS ms
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> $MmrQueryId
+         |),
+         |$steps
+         |SELECT * FROM (
+         |$sel
          |) ORDER BY sel_order""".stripMargin
     }
   )

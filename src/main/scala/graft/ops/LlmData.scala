@@ -168,6 +168,11 @@ object LlmData {
 
   /** bpe_char_pairs: merge candidates reported (top adjacent char pairs). */
   val BpePairTopN = 20
+  /** bpe_train_merges: learned merge-table size (driver-loop rounds). */
+  val BpeTrainRounds = 8
+  /** collocations_pmi: min bigram support and report size. */
+  val PmiMinCount = 5
+  val PmiTopN = 20
   val MinContainment = 0.7
   val TfidfTopK = 3
   /** Decontamination: the source that plays the benchmark/eval set. */
@@ -289,6 +294,51 @@ object LlmData {
             col("n_chars_az").cast("double") / col("n_tokens_bpe"))
             .otherwise(lit(0.0)))
         .orderBy("doc_id")),
+
+    // BPE TRAINING — learn the merge table itself (Sennrich et al. 2016):
+    // BpeTrainRounds rounds of (count adjacent symbol pairs) -> (argmax)
+    // -> (apply the merge corpus-wide), the driver-coordinated loop every
+    // real tokenizer trainer runs. Per round the corpus pass is narrow
+    // (the accumulated replaces + split), the pair counts are map-side
+    // combined, and the argmax is TakeOrderedAndProject(1) — the driver
+    // holds only the ~R-row merge table, never corpus data. At 100 TB
+    // you'd persist the re-encoded corpus each round instead of chaining
+    // r replaces (r² narrow passes total) — here the chain keeps the
+    // lineage deterministic and memo-free at documents scale. Oracle:
+    // the identical rounds unrolled as chained CTEs, so the LEARNED
+    // pairs and their counts are hash-gated round by round.
+    "bpe_train_merges" -> ((s, dir) => bpeTrainMerges(s, dir)),
+
+    // Collocation extraction (PMI phrase mining) — the phrase-vocabulary
+    // step between vocab_bigrams (raw counts) and tokenizer training:
+    // rank bigrams by pointwise mutual information. The ranking statistic
+    // is kept RATIONAL — exp(PMI) = c12·N / (c1·c2), exact int64 products
+    // with ONE mirrored IEEE division — so no libm log parity is needed
+    // (the tfidf discipline; log is monotone, the ranking is identical).
+    // Shape: one explode -> combinable counts; the min-support filter
+    // prunes the bigram tail BEFORE the two vocab-scale unigram joins;
+    // final top-k is TakeOrderedAndProject. int64 bound: c12·N <= N² —
+    // fine through sf1 (N≈3e7 -> 9e14); DECIMAL at true warehouse scale.
+    "collocations_pmi" -> ((s, dir) => {
+      val t = docs(s, dir).select(TextOps.tokens(col("text")).as("toks"))
+      val biAll = t
+        .select(explode(TextOps.shingles(col("toks"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      val nb = biAll.agg(sum(col("c12")).as("nb"))
+      val uni = t.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      biAll.filter(col("c12") >= PmiMinCount)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(nb))
+        .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+          ((col("c12") * col("nb")).cast("double") /
+            (col("c1") * col("c2")).cast("double")).as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("bigram"))
+        .limit(PmiTopN)
+    }),
 
     // ---- Gopher quality rules (Rae et al. 2021, Appendix A) ----------------
     // The named rule-based filter most production pipelines start from:
@@ -1476,6 +1526,64 @@ object LlmData {
     })
   )
 
+  /** The `bpe_train_merges` loop body — see the registry entry's scaladoc.
+    * Pair counting runs over the spaced symbol representation shared with
+    * [[graft.text.TextOps.bpeSpaced]]; pairs touching the `/` word
+    * boundary are excluded (merges never cross words). Argmax tie-break
+    * is (count DESC, pair ASC) in both engines.
+    */
+  def bpeTrainMerges(s: SparkSession, dir: String,
+                     rounds: Int = BpeTrainRounds): DataFrame = {
+    // The SPACED corpus is checkpointed ONCE (eager, the pagerank
+    // discipline): every round then pays its r-deep replace chain + split
+    // over materialized strings instead of re-deriving the bpeSpaced
+    // regexes from raw text per round. Measured for the 8-round loop at
+    // sf0.1 (warm): re-derive-per-round 7.9 s, checkpoint-per-ROUND
+    // 10.9 s (9 materialization jobs outweigh the recompute at this
+    // corpus), checkpoint-once + width spread 3.9 s. Working set: one
+    // ~|corpus| symbol-string table, the trainer's inherent state.
+    // machine-width spread BEFORE the checkpoint: the documents scan's
+    // volume-sized partition clamp (5 parts at sf0.1) would otherwise cap
+    // every round's 3-4 s CPU count stage at 5 tasks; the one-time 15 MB
+    // shuffle is noise against 8 rounds × 6× better occupancy.
+    val base = docs(s, dir)
+      .select(TextOps.bpeSpaced(col("text")).as("sym"))
+      .repartition(s.sparkContext.defaultParallelism).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    for (r <- 1 to rounds) {
+      val cur = merges.foldLeft(col("sym")) { case (c, (p, _)) =>
+        call_function("replace", c, lit(s" $p "), lit(s" ${p.replace(" ", "")} "))
+      }
+      val toks = filter(split(cur, " "), x => x =!= lit(""))
+      // pair generation via zip_with(slice, slice): the lambda binds only
+      // its ELEMENT arguments, so the expensive token expression (r
+      // replaces + split over the corpus string) evaluates a constant
+      // number of times per ROW. TextOps.shingles here would make `toks`
+      // a free variable of its element_at lambda and re-inline the whole
+      // chain PER ELEMENT — measured 291 s vs 11 s for the 8-round loop
+      // at sf0.1 (the dedup_cdc_chunks HOF rule).
+      val n = size(toks)
+      val pairsCol = when(n >= 2,
+        zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))
+      val top = base
+        .select(explode(pairsCol).as("pair"))
+        .filter(!col("pair").contains("/"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      require(top.nonEmpty, "bpe_train_merges: no mergeable pair left")
+      merges += ((top(0).getString(0), top(0).getLong(1)))
+    }
+    import s.implicits._
+    merges.toSeq.zipWithIndex.map { case ((p, n), i) =>
+      val Array(l, r) = p.split(" ", 2)
+      (i + 1L, l, r, p.replace(" ", ""), n)
+    }.toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
   def oracle: Map[String, String] = Map(
     // exact columns compared value-exact; the within-tolerance flags must
     // come back literal TRUE (quantile_cont == Spark's interpolating
@@ -1661,6 +1769,59 @@ object LlmData {
          |            ELSE 0.0 END AS compression
          |FROM enc ORDER BY doc_id""".stripMargin
     },
+    "bpe_train_merges" -> {
+      // the training loop unrolled: c_r counts pairs over t_{r-1}, m_r is
+      // the argmax, t_r applies the merge; identical replace anchoring to
+      // the engine (leading/trailing spaces bound both symbol edges).
+      // Every t_r is MATERIALIZED: each is referenced twice (c_{r+1} and
+      // t_{r+1}), and planner inlining would expand t0's regex derivation
+      // ~2^R times (the emb_mmr_select lesson).
+      val rounds = (1 to BpeTrainRounds).map { r =>
+        s"""c$r AS (
+           |  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT toks[CAST(i AS INTEGER)] || ' ' ||
+           |           toks[CAST(i AS INTEGER) + 1] AS pair
+           |    FROM (SELECT toks, UNNEST(range(1, len(toks))) AS i
+           |          FROM (SELECT list_filter(string_split(sym, ' '),
+           |                         x -> x != '') AS toks
+           |                FROM t${r - 1})))
+           |  WHERE pair NOT LIKE '%/%' GROUP BY pair
+           |),
+           |m$r AS (SELECT CAST($r AS BIGINT) AS merge_rank, pair, n
+           |        FROM c$r ORDER BY n DESC, pair LIMIT 1),
+           |t$r AS MATERIALIZED (
+           |        SELECT replace(t.sym, ' ' || m.pair || ' ',
+           |                       ' ' || replace(m.pair, ' ', '') || ' ') AS sym
+           |        FROM t${r - 1} t, m$r m)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to BpeTrainRounds)
+        .map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+      s"""WITH t0 AS MATERIALIZED (
+         |  SELECT ${TextSql.bpeSpaced("text")} AS sym FROM documents),
+         |$rounds
+         |SELECT merge_rank, split_part(pair, ' ', 1) AS left_sym,
+         |       split_part(pair, ' ', 2) AS right_sym,
+         |       replace(pair, ' ', '') AS merged, n AS pair_count
+         |FROM ($union) ORDER BY merge_rank""".stripMargin
+    },
+    "collocations_pmi" ->
+      s"""WITH t AS (SELECT ${TextSql.tokens("text")} AS toks FROM documents),
+         |b AS (SELECT UNNEST(${TextSql.shingles("toks", 2)}) AS bigram
+         |      FROM t WHERE len(toks) >= 2),
+         |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12
+         |       FROM b GROUP BY 1),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM b),
+         |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+         |         SELECT UNNEST(toks) AS w FROM t) GROUP BY 1)
+         |SELECT bc.bigram, bc.c12, u1.c AS c1, u2.c AS c2,
+         |       CAST(bc.c12 * nb.nb AS DOUBLE)
+         |         / CAST(u1.c * u2.c AS DOUBLE) AS pmi_ratio
+         |FROM bc
+         |CROSS JOIN nb
+         |JOIN uc u1 ON split_part(bc.bigram, ' ', 1) = u1.w
+         |JOIN uc u2 ON split_part(bc.bigram, ' ', 2) = u2.w
+         |WHERE bc.c12 >= $PmiMinCount
+         |ORDER BY pmi_ratio DESC, bc.bigram LIMIT $PmiTopN""".stripMargin,
     "dedup_incremental" -> DedupSql.incrementalMinhashPairs(MinJaccard),
     "dedup_containment" -> DedupSql.containmentPairs(MinContainment),
     "dedup_decontaminate" ->

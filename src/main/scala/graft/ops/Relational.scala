@@ -256,6 +256,9 @@ object Relational {
     * subplan appears once in the final plan.
     */
   val LpRounds = 3
+  /** markov_stationary: fixed-point unit (1e-9) and power-iteration rounds. */
+  val MarkovFp = 1000000000L
+  val MarkovIters = 4
 
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
@@ -1566,6 +1569,50 @@ object Relational {
         .select(col("from_type"), col("to_type"), col("n"),
           (col("n").cast("double") / col("from_n").cast("double")).as("p"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // ---- Markov stationary distribution ------------------------------------
+    // The long-run state occupancy of the event-transition chain: power
+    // iteration pi_{k+1}(j) = sum_i pi_k(i)·n_ij / n_i, MarkovIters
+    // rounds, in int64 FIXED POINT (unit 1e-9) with integer-div
+    // truncation — the pagerank discipline, so the oracle's identically
+    // unrolled CTE rounds are hash-exact with zero float tolerance. One
+    // events shuffle builds the transition counts (shared shape with
+    // event_transition_matrix); everything after runs on the
+    // states²-sized matrix (dimension-scale at any corpus size), and the
+    // MarkovIters joins chain into ONE action — no per-round collect or
+    // checkpoint. int64 bound: pi·n <= 1e9·n_ij, safe past 1e9 events
+    // per transition cell; DECIMAL/HUGEINT at true warehouse scale.
+    "markov_stationary" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(seq).as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val trans = pairs.join(
+        pairs.groupBy(col("from_type")).agg(sum(col("n")).as("from_n")),
+        "from_type")
+      val states = Tables.events(s, dir)
+        .select(col("event_type").as("st")).distinct()
+      val m = states.agg(count(lit(1)).as("m"))
+      var pi = states.crossJoin(broadcast(m))
+        .select(col("st"), expr(s"${MarkovFp}L div m").as("v"))
+      for (_ <- 1 to MarkovIters) {
+        val contrib = trans
+          .join(broadcast(pi), trans("from_type") === pi("st"))
+          .select(col("to_type").as("cst"),
+            expr("(v * n) div from_n").as("cv"))
+          .groupBy(col("cst")).agg(sum(col("cv")).as("cv"))
+        pi = states.join(contrib, states("st") === contrib("cst"), "left")
+          .select(col("st"), coalesce(col("cv"), lit(0L)).as("v"))
+      }
+      pi.select(col("st").as("event_type"), col("v").as("pi_fp"),
+          (col("v").cast("double") / lit(MarkovFp.toDouble)).as("pi"))
+        .orderBy("event_type")
     }),
 
     // ---- median imputation --------------------------------------------------
@@ -3893,6 +3940,45 @@ object Relational {
         |       CAST(p.n AS DOUBLE) / CAST(t.from_n AS DOUBLE) AS p
         |FROM pairs p JOIN totals t ON p.from_type = t.from_type
         |ORDER BY p.from_type, to_type""".stripMargin,
+    "markov_stationary" -> {
+      // the power iteration unrolled: c_k sums this round's truncated
+      // integer contributions, pi_k densifies back onto the state list.
+      val rounds = (1 to MarkovIters).map { k =>
+        s"""c$k AS (
+           |  SELECT tr.to_type AS st,
+           |         CAST(sum((p.v * tr.n) // tr.from_n) AS BIGINT) AS cv
+           |  FROM trans tr JOIN pi${k - 1} p ON p.st = tr.from_type
+           |  GROUP BY 1
+           |),
+           |pi$k AS (
+           |  SELECT s.st, CAST(COALESCE(c.cv, 0) AS BIGINT) AS v
+           |  FROM states s LEFT JOIN c$k c ON c.st = s.st
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type AS to_type,
+         |         lag(event_type) OVER (PARTITION BY user_id
+         |                               ORDER BY ts, event_id) AS from_type
+         |  FROM events
+         |), pairs AS (
+         |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM seq
+         |  WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+         |), trans AS (
+         |  SELECT p.from_type, p.to_type, p.n, t.from_n
+         |  FROM pairs p JOIN (
+         |    SELECT from_type, CAST(sum(n) AS BIGINT) AS from_n
+         |    FROM pairs GROUP BY 1) t ON p.from_type = t.from_type
+         |), states AS (
+         |  SELECT DISTINCT event_type AS st FROM events
+         |), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM states),
+         |pi0 AS (
+         |  SELECT st, CAST($MarkovFp // m AS BIGINT) AS v FROM states, mm
+         |),
+         |$rounds
+         |SELECT st AS event_type, v AS pi_fp,
+         |       CAST(v AS DOUBLE) / CAST($MarkovFp AS DOUBLE) AS pi
+         |FROM pi$MarkovIters ORDER BY event_type""".stripMargin
+    },
     "impute_missing_prices" ->
       """WITH masked AS (
         |  SELECT o_orderkey, o_orderpriority,

@@ -158,17 +158,24 @@ object TextOps {
     * application. One narrow codegen'd projection per row — no UDF, no
     * shuffle.
     */
-  def bpeMergedString(text: Column): Column = {
-    val spaced = concat(lit(" "),
+  /** The PRE-merge symbol string: leading space, every symbol followed by
+    * one space, word boundaries as a `/` symbol no merge may touch. The
+    * shared representation of [[bpeMergedString]] (fixed-table encode) and
+    * `LlmData.bpeTrainMerges` (merge-table TRAINING), so the trainer's
+    * learned pairs apply through the exact encode machinery.
+    */
+  def bpeSpaced(text: Column): Column =
+    concat(lit(" "),
       regexp_replace(
         call_function("replace",
           regexp_replace(lower(text), lit("[^a-z]+"), lit(" ")),
           lit(" "), lit(" / ")),
         lit("([a-z/])"), lit("$1 ")))
-    BpeMerges.foldLeft(spaced) { case (c, (p, r)) =>
+
+  def bpeMergedString(text: Column): Column =
+    BpeMerges.foldLeft(bpeSpaced(text)) { case (c, (p, r)) =>
       call_function("replace", c, lit(s" $p "), lit(s" $r "))
     }
-  }
 
   // ---- sentiment (lexicon) -----------------------------------------------
 

@@ -78,13 +78,15 @@ object TextSql {
     * as Spark's). Backreference syntax is the one divergence (`\1` vs
     * `$1`); regex classes are engine-portable.
     */
-  def bpeMergedString(text: String): String = {
-    val spaced = s"' ' || regexp_replace(replace(regexp_replace(lower($text), " +
+  /** DuckDB twin of [[TextOps.bpeSpaced]]. */
+  def bpeSpaced(text: String): String =
+    s"' ' || regexp_replace(replace(regexp_replace(lower($text), " +
       s"'[^a-z]+', ' ', 'g'), ' ', ' / '), '([a-z/])', '\\1 ', 'g')"
-    TextOps.BpeMerges.foldLeft(spaced) { case (acc, (p, r)) =>
+
+  def bpeMergedString(text: String): String =
+    TextOps.BpeMerges.foldLeft(bpeSpaced(text)) { case (acc, (p, r)) =>
       s"replace($acc, ' $p ', ' $r ')"
     }
-  }
 
   def sentimentScore(text: String): String = {
     val toks = tokens(text)

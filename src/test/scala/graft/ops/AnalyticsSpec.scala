@@ -379,4 +379,111 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).toSeq == expect.map(t => (t._1, t._2)))
     got.zip(expect).foreach { case (g, e) => assert(math.abs(g._3 - e._3) < 1e-9) }
   }
+
+  test("t-closeness matches a driver-side EMD brute force") {
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val rows = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val prios = rows.map(_._2).distinct.sorted
+    val m = prios.length
+    val nAll = rows.length.toLong
+    val tot = prios.map(p => p -> rows.count(_._2 == p).toLong).toMap
+    val expected = rows.map(_._1).distinct.sorted.map { g =>
+      val nG = rows.count(_._1 == g).toLong
+      var cum = 0L
+      var emd = 0L
+      prios.foreach { p =>
+        val cnt = rows.count(r => r._1 == g && r._2 == p).toLong
+        cum += cnt * nAll - tot(p) * nG
+        emd += math.abs(cum)
+      }
+      (g, nG, emd.toDouble / (nG * nAll * (m - 1)).toDouble)
+    }
+    val got = graft.SparkEntry.queries("tcloseness_audit")(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (row, (g, nG, t)) =>
+      assert(row.getString(0) == g)
+      assert(row.getLong(1) == nG)
+      assert(row.getDouble(2) == t) // identical int64 prefix sums + one division
+      assert(row.getBoolean(3) == (t > Analytics.TCloseT))
+    }
+    // the statistic is a probability distance: always within [0, 1]
+    assert(expected.forall { case (_, _, t) => t >= 0.0 && t <= 1.0 })
+  }
+
+  test("grid knn join equals the quadratic radius-bounded kNN") {
+    // derive the hashed coordinates through the engine once, then brute
+    // force k-nearest-within-r over ALL pairs: equality proves the 3x3
+    // blocking is complete within r AND the rank window is right
+    def coord(h: org.apache.spark.sql.Column, salt: Long) = {
+      val u = (h + salt) * graft.text.TextOps.MIX % graft.text.TextOps.P
+      u * u % graft.text.TextOps.P % Analytics.GridMod
+    }
+    val pts = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("id"),
+        graft.text.TextOps.polyHash(col("c_custkey").cast("string")).as("h"))
+      .select(col("id"), coord(col("h"), 1).as("x"), coord(col("h"), 2).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = pts.flatMap { case (a, ax, ay) =>
+      pts.filter(_._1 != a)
+        .map { case (b, bx, by) =>
+          (b, (ax - bx) * (ax - bx) + (ay - by) * (ay - by)) }
+        .filter(_._2 <= Analytics.GridR2)
+        .sortBy { case (b, d2) => (d2, b) }
+        .take(Analytics.GridKnnK)
+        .zipWithIndex
+        .map { case ((b, d2), i) => (a, (i + 1).toLong, b, d2) }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.SparkEntry.queries("grid_knn_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("mmr selection matches a driver-side greedy brute force") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val q = embs.find(_._1 == Analytics.MmrQueryId).get._2
+    val cands = scala.collection.mutable.ArrayBuffer(
+      embs.filter(_._1 != Analytics.MmrQueryId).toSeq: _*)
+    var ms = cands.map(c => c._1 -> 0.0).toMap
+    val expected = (1 to Analytics.MmrK).map { i =>
+      val scored = cands.map { case (id, v) =>
+        (id, cos(q, v), ms(id), 0.7 * cos(q, v) - 0.3 * ms(id), v)
+      }
+      val best = scored.minBy { case (id, _, _, m, _) => (-m, id) }
+      cands --= cands.filter(_._1 == best._1)
+      ms = cands.map { case (id, v) =>
+        id -> math.max(ms(id), cos(v, best._5)) }.toMap
+      (i, best._1, best._2, best._3, best._4)
+    }
+    val got = graft.SparkEntry.queries("emb_mmr_select")(spark, sfDir).collect()
+    assert(got.length == Analytics.MmrK)
+    got.zip(expected).foreach { case (row, (i, id, rel, m, score)) =>
+      assert(row.getInt(0) == i)
+      assert(row.getLong(1) == id, s"pick $i: ${row.getLong(1)} vs $id")
+      assert(row.getDouble(2) == rel)
+      assert(row.getDouble(3) == m)
+      assert(row.getDouble(4) == score)
+    }
+    // picks are distinct and never the query vector itself
+    assert(got.map(_.getLong(1)).distinct.length == Analytics.MmrK)
+    assert(!got.map(_.getLong(1)).contains(Analytics.MmrQueryId))
+  }
 }

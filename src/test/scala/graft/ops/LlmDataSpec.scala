@@ -1187,4 +1187,70 @@ class LlmDataSpec extends SparkSpec {
     assert(Multimodal.mp4VideoFeatures(5L, mp4.take(40)).isEmpty)
     assert(Multimodal.mp4VideoFeatures(5L, Array[Byte](1, 2)).isEmpty)
   }
+
+  test("bpe training matches a driver-side brute force of the merge loop") {
+    val spaced = Tables.load(spark, sfDir, "documents")
+      .select(graft.text.TextOps.bpeSpaced(col("text")).as("s"))
+      .collect().map(_.getString(0))
+    var corpus = spaced
+    val expected = (1 to LlmData.BpeTrainRounds).map { _ =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      corpus.foreach { s =>
+        val toks = s.split(" ").filter(_.nonEmpty)
+        var i = 0
+        while (i < toks.length - 1) {
+          if (toks(i) != "/" && toks(i + 1) != "/") {
+            val p = toks(i) + " " + toks(i + 1)
+            counts(p) = counts.getOrElse(p, 0L) + 1
+          }
+          i += 1
+        }
+      }
+      val (p, n) = counts.toSeq.sortBy { case (pair, c) => (-c, pair) }.head
+      corpus = corpus.map(_.replace(s" $p ", s" ${p.replace(" ", "")} "))
+      (p, n)
+    }
+    val got = SparkEntry.queries("bpe_train_merges")(spark, sfDir).collect()
+    assert(got.length == LlmData.BpeTrainRounds)
+    got.zip(expected).zipWithIndex.foreach { case ((row, (p, n)), i) =>
+      assert(row.getLong(0) == i + 1L)
+      assert(row.getString(1) + " " + row.getString(2) == p,
+        s"round ${i + 1}: learned '${row.getString(1)} ${row.getString(2)}' " +
+          s"vs brute-force '$p'")
+      assert(row.getString(3) == p.replace(" ", ""))
+      assert(row.getLong(4) == n)
+    }
+    // learned merges must be applicable: later pairs may compose earlier
+    // merged symbols, and every pair is strictly alphabetic
+    assert(got.forall(r => r.getString(3).matches("[a-z]+")))
+  }
+
+  test("collocations pmi matches a brute-force association count") {
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = texts.map(_.trim.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    val bis = toks.filter(_.size >= 2)
+      .flatMap(t => t.sliding(2).map(w => w(0) + " " + w(1)))
+    val nb = bis.size.toLong
+    val expected = bis.groupBy(identity)
+      .map { case (bg, g) => (bg, g.size.toLong) }
+      .filter(_._2 >= LlmData.PmiMinCount)
+      .map { case (bg, c12) =>
+        val Array(w1, w2) = bg.split(" ", 2)
+        (bg, c12, uni(w1), uni(w2),
+          (c12 * nb).toDouble / (uni(w1) * uni(w2)).toDouble)
+      }.toSeq
+      .sortBy { case (bg, _, _, _, r) => (-r, bg) }
+      .take(LlmData.PmiTopN)
+    val got = SparkEntry.queries("collocations_pmi")(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (row, (bg, c12, c1, c2, r)) =>
+      assert(row.getString(0) == bg)
+      assert(row.getLong(1) == c12)
+      assert(row.getLong(2) == c1)
+      assert(row.getLong(3) == c2)
+      assert(row.getDouble(4) == r) // identical int64 products + one division
+    }
+  }
 }

@@ -833,4 +833,47 @@ class RelationalSpec extends SparkSpec {
         s"bin $bin closed below target")
     }
   }
+
+  test("markov stationary matches a driver-side fixed-point brute force") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+      .collect()
+    val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    var prevUser: Any = null
+    var prevType: String = null
+    ev.foreach { r =>
+      val u = r.get(0)
+      val t = r.getString(1)
+      if (u == prevUser) {
+        val k = (prevType, t)
+        pairs(k) = pairs.getOrElse(k, 0L) + 1
+      }
+      prevUser = u
+      prevType = t
+    }
+    val fromN = pairs.toSeq.groupBy(_._1._1)
+      .map { case (f, g) => (f, g.map(_._2).sum) }
+    val states = ev.map(_.getString(1)).distinct.sorted
+    val m = states.length
+    var pi = states.map(st => st -> (Relational.MarkovFp / m)).toMap
+    for (_ <- 1 to Relational.MarkovIters) {
+      val nxt = scala.collection.mutable.HashMap.empty[String, Long]
+      pairs.foreach { case ((f, t), n) =>
+        nxt(t) = nxt.getOrElse(t, 0L) + pi(f) * n / fromN(f)
+      }
+      pi = states.map(st => st -> nxt.getOrElse(st, 0L)).toMap
+    }
+    val got = SparkEntry.queries("markov_stationary")(spark, sfDir).collect()
+    assert(got.length == m)
+    got.foreach { r =>
+      assert(r.getLong(1) == pi(r.getString(0)),
+        s"state ${r.getString(0)}: ${r.getLong(1)} vs ${pi(r.getString(0))}")
+      assert(r.getDouble(2) == r.getLong(1).toDouble / Relational.MarkovFp)
+    }
+    // mass conserved up to integer-div truncation (a few units per round)
+    val mass = got.map(_.getLong(1)).sum
+    assert(mass <= Relational.MarkovFp)
+    assert(mass > Relational.MarkovFp * 9L / 10L)
+  }
 }
