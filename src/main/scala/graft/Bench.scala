@@ -131,14 +131,19 @@ object Bench {
     // NOT sufficient on a shared hypervisor — wait (within the same
     // budget) for effective parallelism to recover too, then stamp the
     // measured value so the artifact carries its own trust signal.
+    // Gate at 0.75×cpus, not cpus/2: BENCH_r08 ran at eff_cores 24.3/32
+    // (a 25% capacity loss spread over 274 queries inflated the total
+    // ~1.9× with no single query tripping the straggler net) yet stamped
+    // `contended: false` because 24.3 > 16 (round-9 verdict #1a).
+    val effGate = cpus * 0.75
     var (calib1t, effCores) = effectiveCores(cpus)
-    while (effCores < cpus / 2.0 && waitedSec < maxWaitSec) {
+    while (effCores < effGate && waitedSec < maxWaitSec) {
       System.err.println(f"[bench] waiting: effective cores $effCores%.1f " +
         f"of $cpus (host-level CPU contention)")
       Thread.sleep(15000); waitedSec += 15
       val c = effectiveCores(cpus); calib1t = c._1; effCores = c._2
     }
-    contended ||= effCores < cpus / 2.0
+    contended ||= effCores < effGate
     // AQE coalescing below defaultParallelism (parallelismFirst=false +
     // advisory size) now lives in GraftSession.builder so Bench, Verify,
     // and production jobs all run the same conf.
@@ -212,39 +217,77 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // ---- straggler re-run ------------------------------------------------
-    // A query >3× the run's median (and above an absolute floor) is either
-    // genuinely heavy or was hit by transient contention / a GC pause.
-    // Re-time it once with EVERY session memo cleared (Memos.clearAll) so
-    // the re-run pays its own construct cost — i.e. the judge's
-    // "standalone re-measurement" methodology, not a memo-warm free ride —
-    // and record the min. At 258 registered queries a dozen are GENUINELY
-    // above 3× the ~0.8 s median (index/k-means training, iterative
-    // graphs), so a straggler COUNT is not a contention signal (the r07
-    // floor run proved this: it self-flagged contended on 15 clean heavy
-    // queries while a ~60 s host-throttle window inflated an alphabetical
-    // stretch — exactly the rows a re-run repairs). Contention is judged
-    // by the probes alone; here we re-run the WORST 8 by excess ratio —
-    // bounded extra wall, and it repairs the biggest distortions whether
-    // they were throttle spikes or GC luck.
+    // ---- floor-anchored re-run (round-9 verdict #1b) -----------------------
+    // BENCH_FLOORS.json (committed) records each query's best CLEAN
+    // measurement at this scale factor. ANY query measuring >2× its floor
+    // is re-timed with EVERY session memo cleared (Memos.clearAll) so the
+    // re-run pays its own construct cost — the judge's "standalone
+    // re-measurement" methodology, not a memo-warm free ride — and the min
+    // is kept. Candidates run in DESCENDING excess order under a WALL
+    // budget (default 300 s), not a count cap: BENCH_r08's throttle window
+    // inflated dozens of mid-pack queries ~2× each, which a worst-8 net
+    // spread over 274 queries cannot repair. Queries without a floor entry
+    // (new this round) fall back to the median-based straggler cut.
+    val floors: Map[String, Double] = try {
+      val f = new java.io.File("BENCH_FLOORS.json")
+      if (!f.exists) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(f).get(new java.io.File(sfDir).getName)
+        if (node == null) Map.empty
+        else {
+          val it = node.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val okTimes = results.collect {
       case (k, v) if !failed.contains(k) => v }.toSeq.sorted
+    // Re-runs only repair a throttled first pass if THEY run clean:
+    // re-probe effective cores and wait (within the same bounded budget)
+    // for a clean window before spending the re-run wall.
+    var effCoresRerun = effCores
     val rerun: Map[String, Double] =
       if (okTimes.isEmpty) Map.empty
       else {
         val median = okTimes(okTimes.size / 2)
         val cut = math.max(2.5, 3.0 * median)
-        val stragglers = results.collect {
-          case (k, v) if !failed.contains(k) && v > cut => (k, v) }.toSeq
-          .sortBy(-_._2).take(8).map(_._1).sorted
-        stragglers.map { name =>
+        val candidates = results.collect {
+          case (k, v) if !failed.contains(k) && (floors.get(k) match {
+            // 0.5 s absolute slack: sub-second wobble is fixed-cost noise,
+            // not throttle damage worth re-run wall
+            case Some(fl) => v > math.max(0.5, 2.0 * fl)
+            case None     => v > cut
+          }) => (k, v / floors.getOrElse(k, cut))
+        }.sortBy(-_._2).map(_._1)
+        if (candidates.nonEmpty) {
+          effCoresRerun = effectiveCores(cpus)._2
+          while (effCoresRerun < effGate && waitedSec < maxWaitSec) {
+            System.err.println(f"[bench] waiting before re-runs: effective " +
+              f"cores $effCoresRerun%.1f of $cpus")
+            Thread.sleep(15000); waitedSec += 15
+            effCoresRerun = effectiveCores(cpus)._2
+          }
+        }
+        val budget =
+          sys.env.getOrElse("SPARK_GRAFT_RERUN_BUDGET", "300").toDouble
+        var spent = 0.0
+        val out = Map.newBuilder[String, Double]
+        for (name <- candidates if spent < budget) {
           Memos.clearAll()
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () } // keep first-pass time on error
-          name -> (System.nanoTime() - t0) / 1e9
-        }.toMap
+          val t = (System.nanoTime() - t0) / 1e9
+          spent += t
+          out += name -> t
+        }
+        out.result()
       }
     val finalTimes = results.map { case (k, v) =>
       k -> math.min(v, rerun.getOrElse(k, v)) }
@@ -279,14 +322,21 @@ object Bench {
     contended ||= effCoresEnd < cpus / 2.0
     val rerunJson = rerun.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""\"$k\":${ms(v)}""" }.mkString("{", ",", "}")
-    val line = s"""{"queries":$qs,"construct":$cs,"rerun":$rerunJson,"failed":$failedJson,"metric":"total","value":${ms(totalOk)},"unit":"sec","total_all":${ms(totalAll)},"raw_total":${ms(totalRaw)},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"load1_start":${ms(loadStart)},"waited_sec":$waitedSec,"calib_1t_sec":${ms(calib1t)},"eff_cores_start":${ms(effCores)},"eff_cores_end":${ms(effCoresEnd)}}"""
+    // Floor self-report: the measured/floor ratio over the floor-covered
+    // subset. A clean run reads ~1.0–1.3; >1.3 with clean eff_cores probes
+    // is a genuine plan regression, >1.3 with dirty probes is throttle.
+    val covered = finalTimes.collect {
+      case (k, v) if !failed.contains(k) && floors.contains(k) => (v, floors(k)) }
+    val floorTotal = covered.map(_._2).sum
+    val vsFloor = if (floorTotal > 0) covered.map(_._1).sum / floorTotal else -1.0
+    val line = s"""{"queries":$qs,"construct":$cs,"rerun":$rerunJson,"failed":$failedJson,"metric":"total","value":${ms(totalOk)},"unit":"sec","total_all":${ms(totalAll)},"raw_total":${ms(totalRaw)},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"load1_start":${ms(loadStart)},"waited_sec":$waitedSec,"calib_1t_sec":${ms(calib1t)},"eff_cores_start":${ms(effCores)},"eff_cores_rerun":${ms(effCoresRerun)},"eff_cores_end":${ms(effCoresEnd)},"floor_total":${ms(floorTotal)},"floor_queries":${covered.size},"vs_floor":${ms(vsFloor)}}"""
     println(line)
     // Compact totals line LAST: the round driver captures only a bounded
     // tail of stdout, so the big per-query line above survived r6/r7 only
     // as truncated text ("parsed": null). A short self-contained summary
     // as the FINAL line is always inside any tail window and parses on
     // its own; the full line remains first for humans and BENCH_LAST.json.
-    val summary = s"""{"metric":"total","value":${ms(totalOk)},"unit":"sec","raw_total":${ms(totalRaw)},"queries_run":${finalTimes.size},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"eff_cores_start":${ms(effCores)},"eff_cores_end":${ms(effCoresEnd)}}"""
+    val summary = s"""{"metric":"total","value":${ms(totalOk)},"unit":"sec","raw_total":${ms(totalRaw)},"queries_run":${finalTimes.size},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"eff_cores_start":${ms(effCores)},"eff_cores_end":${ms(effCoresEnd)},"vs_floor":${ms(vsFloor)}}"""
     println(summary)
     // Durable full copy for when stdout capture truncates the line.
     try {

@@ -67,7 +67,45 @@ object Analytics {
     * cells).
     */
   val GridMod = 1000000L
+  /** Match radius r of the spatial family (GridR2 = r²). Also the CELL
+    * EDGE of the DuckDB oracle's blocking (the oracle keeps the fixed
+    * cell = r, 3×3 layout — at oracle scale the blocking is incidental;
+    * the ENGINE picks its cell edge from measured density, below).
+    */
   val GridCell = 20000L
+  /** Density-adaptive cell edges (round-9 scale fix; VERDICT r8 #2).
+    * With a FIXED cell = r over a fixed extent, candidate pairs grow
+    * ∝ density² (sf1 slopes 19–26×) and the join has only (GridMod/r)²
+    * = 2500 distinct cell keys — a parallelism ceiling on a real
+    * cluster. The engine instead derives the cell edge from the measured
+    * point count n so expected points/cell stays CONSTANT:
+    *
+    *  - radius join: cell = GridMod·sqrt(NbrCellPts/n), clamped to
+    *    [r/NbrRingCap, r]. Probing ceil(r/cell) rings keeps the 3×3-style
+    *    completeness argument (any point within r is ≤ ceil(r/cell)
+    *    cells away on each axis); the ring cap bounds probe replication
+    *    at (2·NbrRingCap+1)². Output is intrinsically ∝ n·r²·density
+    *    (all in-radius pairs), so the win here is a constant factor
+    *    ((2r+c)² vs 9r² candidate area) plus unbounded cell-key
+    *    cardinality for shuffle parallelism.
+    *  - kNN join (k-bounded OUTPUT — the quadratic candidates were
+    *    avoidable): two-phase settle. Phase 1 uses cell c with expected
+    *    π·c²·density ≈ KnnSettleFactor·k in-circle points and probes
+    *    only 3×3 — complete within radius c — so a point with ≥ k
+    *    candidates at dist ≤ c is SETTLED (nothing outside the 3×3
+    *    block can beat its kth neighbor). Phase-1 candidates are
+    *    O(n · points/cell) — linear in n at any density. The unsettled
+    *    tail (Poisson P[N(c) < k] with mean 3k ≈ 0.2%, density-invariant
+    *    by construction) re-probes the full ceil(r/c)-ring neighborhood
+    *    exactly as the radius join does. Both phases are exact, so the
+    *    all-pairs equality spec and the DuckDB oracle are unchanged.
+    */
+  val NbrCellPts = 2L
+  val NbrRingCap = 3L
+  val KnnSettleFactor = 3L
+  /** Cell-edge floor: bounds the ring-offset literal at
+    * (2·r/GridMinCell+1)² = 41² for the unsettled tail. */
+  val GridMinCell = 1000L
   /** grid_knn_join: neighbors reported per point (within GridR2). */
   val GridKnnK = 4
   /** emb_mmr_select: picks, and the query vector's id. The lambda/(1-λ)
@@ -75,7 +113,8 @@ object Analytics {
     * (computing 1-λ driver-side would yield 0.30000000000000004). */
   val MmrK = 8
   val MmrQueryId = 0L
-  val GridR2 = 20000L * 20000L
+  val GridR = 20000L
+  val GridR2 = GridR * GridR
 
   /** schema_drift_profile compares these two calendar-year slices. */
   val DriftYearA = "1995"
@@ -147,35 +186,55 @@ object Analytics {
       lit(0.0), (acc, d) => acc + d)
   }
 
-  /** Shared candidate generator for the spatial-grid family
-    * (grid_neighbor_join / grid_knn_join): deterministic hashed
-    * coordinates, one home cell per point, probe side replicated 9x into
-    * the 3x3 neighborhood, equi-join on cell, exact int64 distance test
-    * against GridR2. `idRel` supplies the pair-direction predicate
-    * (undirected `a < b` for the pair listing, directed `a <> b` for
-    * kNN).
+  /** Hashed deterministic points of the spatial-grid family, bucketed at
+    * the given cell edge: (id, x, y, cx, cy). Coordinate scramble
+    * rationale unchanged from round 7 (salted quadratic-residue mix — see
+    * the [[GridCell]] scaladoc history in git for the lattice
+    * measurements that ruled out the raw/suffixed hashes).
     */
-  private def gridCandidatePairs(s: SparkSession, dir: String,
-                                 idRel: DataFrame => Column): DataFrame = {
+  private def gridPoints(s: SparkSession, dir: String, cell: Long): DataFrame = {
     def coord(h: Column, salt: Long): Column = {
       val u = (h + salt) * TextOps.MIX % TextOps.P
       u * u % TextOps.P % GridMod
     }
-    val pts = Tables.load(s, dir, "customer")
+    Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("id"),
         TextOps.polyHash(col("c_custkey").cast("string")).as("h"))
       .select(col("id"), coord(col("h"), 1).as("x"),
         coord(col("h"), 2).as("y"))
-      .withColumn("cx", expr(s"x div $GridCell"))
-      .withColumn("cy", expr(s"y div $GridCell"))
-    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      .withColumn("cx", expr(s"x div $cell"))
+      .withColumn("cy", expr(s"y div $cell"))
+  }
+
+  /** Point count of the grid family's input — ONE cheap column-pruned
+    * action at plan-construction time (the documented driver-coordinated
+    * pattern) that feeds the density-adaptive cell-edge choice.
+    */
+  private def gridPointCount(s: SparkSession, dir: String): Long =
+    math.max(1L, Tables.load(s, dir, "customer").select(col("c_custkey")).count())
+
+  /** Candidate pairs (a from `probePts`, b from `allPts`) COMPLETE within
+    * `radius`: the probe side replicates into the (2R+1)² ring
+    * neighborhood with R = ceil(radius/cell) — any point within radius is
+    * at most R cells away on each axis — then an equi-join on cell and an
+    * exact int64 distance cut at radius². `idRel` supplies the
+    * pair-direction predicate (undirected `a < b` for the pair listing,
+    * directed `a <> b` for kNN). Candidate generation stays an equi-join
+    * a shuffle can partition — never an all-pairs theta join — with cell
+    * keys ∝ (GridMod/cell)², unbounded as cells shrink.
+    */
+  private def gridCandidates(probePts: DataFrame, allPts: DataFrame,
+                             cell: Long, radius: Long,
+                             idRel: DataFrame => Column): DataFrame = {
+    val rings = ((radius + cell - 1) / cell).toInt
+    val offsets = array((for (dx <- -rings to rings; dy <- -rings to rings)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
-    val probes = pts
+    val probes = probePts
       .withColumn("o", explode(offsets))
       .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
         (col("cx") + col("o.dx")).as("pcx"),
         (col("cy") + col("o.dy")).as("pcy"))
-    val b = pts.select(col("id").as("b_id"), col("x").as("bx"),
+    val b = allPts.select(col("id").as("b_id"), col("x").as("bx"),
       col("y").as("by"), col("cx"), col("cy"))
     probes.join(b,
         probes("pcx") === b("cx") && probes("pcy") === b("cy") &&
@@ -183,7 +242,7 @@ object Analytics {
       .withColumn("dist2",
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")))
-      .filter(col("dist2") <= GridR2)
+      .filter(col("dist2") <= lit(radius * radius))
   }
 
   /** Greedy k-center (Gonzalez'85 farthest-first traversal) over the
@@ -425,40 +484,72 @@ object Analytics {
     }),
 
     // ---- grid-bucketed spatial neighbor join -------------------------------
-    // All point pairs within euclidean distance r, via the standard
-    // spatial-grid equi-join: each point lives in ONE GridCell-sized home
-    // cell; the probe side replicates 9x into the 3x3 neighborhood and
-    // joins on cell equality, so candidate generation is an equi-join a
-    // shuffle can partition (never an all-pairs theta join), and
-    // cell >= r makes the neighborhood provably complete. Coordinates are
-    // derived deterministically from the key hash (no RNG); the distance
-    // test is exact int64. At 100 TB this is the map-matching /
-    // collocation shape: candidates ~ density * 9 cells, and a skewed
-    // (urban) cell salts like any other hot key.
-    "grid_neighbor_join" -> ((s, dir) =>
-      gridCandidatePairs(s, dir, probes => probes("a_id") < col("b_id"))
+    // All point pairs within euclidean distance r, via the spatial-grid
+    // equi-join with a DENSITY-ADAPTIVE cell edge (see the NbrCellPts
+    // scaladoc): each point lives in ONE home cell, the probe side
+    // replicates into the ceil(r/cell)-ring neighborhood (provably
+    // complete within r) and joins on cell equality — an equi-join a
+    // shuffle can partition, never an all-pairs theta join. Coordinates
+    // are derived deterministically from the key hash (no RNG); the
+    // distance test is exact int64. The OUTPUT (all in-radius pairs) is
+    // intrinsically ∝ n·r²·density; adapting the cell trims the candidate
+    // area from 9r² toward (2r+cell)² and keeps cell-key cardinality (and
+    // so shuffle parallelism) growing with n instead of frozen at 2500.
+    "grid_neighbor_join" -> ((s, dir) => {
+      val n = gridPointCount(s, dir)
+      val cell = math.min(GridR, math.max((GridR + NbrRingCap - 1) / NbrRingCap,
+        (GridMod * math.sqrt(NbrCellPts.toDouble / n)).toLong))
+      val pts = gridPoints(s, dir, cell)
+      gridCandidates(pts, pts, cell, GridR,
+          probes => probes("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), col("dist2"))
-        .orderBy(col("a_id"), col("b_id"))),
+        .orderBy(col("a_id"), col("b_id"))
+    }),
 
     // ---- grid-bucketed radius-bounded kNN join -----------------------------
     // The k-nearest-neighbors-within-r sibling of grid_neighbor_join (the
-    // map-matching / nearest-facility shape): same 3x3 spatial-grid
-    // candidate equi-join — provably complete within r — then a top-k
-    // window per probe point ordered by (dist2, b_id). DIRECTED (a gets
-    // its own neighbors; a_id <> b_id), and bounding by r is what keeps
-    // the operator exact under blocking: unbounded kNN could owe a
-    // neighbor from outside the 3x3 neighborhood. The row_number bound
-    // compiles to WindowGroupLimit — each map task forwards at most k
-    // candidates per point into the rank exchange. Points with fewer
-    // than k in-radius neighbors report what exists (both engines).
+    // map-matching / nearest-facility shape), with a k-BOUNDED output —
+    // so unlike the radius join the quadratic candidate set is avoidable.
+    // Two-phase settle (see the KnnSettleFactor scaladoc): phase 1 probes
+    // only the 3×3 neighborhood of density-adaptive cells (complete
+    // within one cell edge c), and any point with ≥ k candidates at
+    // dist ≤ c is exactly settled — its top-k there IS its kNN-within-r,
+    // because an unseen point sits beyond c ≥ its kth distance. That
+    // phase is O(n · points-per-cell) — linear at any density. The
+    // unsettled tail (expected <1% by the Poisson construction; ALL
+    // points when the corpus is too sparse for c < r, where the rings
+    // collapse to the classic 3×3 anyway) re-probes the full
+    // ceil(r/c)-ring neighborhood. Both row_number bounds compile to
+    // WindowGroupLimit — each map task forwards at most k candidates per
+    // point into the rank exchange. Points with fewer than k in-radius
+    // neighbors report what exists (both engines). The phase-1 top-k is
+    // localCheckpointed (≤ k rows/point) so the settled output and the
+    // anti-join don't recompute the candidate join.
     "grid_knn_join" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("a_id"))
+      val wRank = Window.partitionBy(col("a_id"))
         .orderBy(col("dist2"), col("b_id"))
-      gridCandidatePairs(s, dir, probes => probes("a_id") =!= col("b_id"))
-        .withColumn("knn_rank", row_number().over(w).cast("long"))
+      val wCnt = Window.partitionBy(col("a_id"))
+      val n = gridPointCount(s, dir)
+      val cell = math.min(GridR, math.max(GridMinCell,
+        (GridMod * math.sqrt(
+          KnnSettleFactor * GridKnnK / (math.Pi * n))).toLong))
+      val pts = gridPoints(s, dir, cell)
+      val neq = (probes: DataFrame) => probes("a_id") =!= col("b_id")
+      val ph1 = gridCandidates(pts, pts, cell, cell, neq)
+        .withColumn("in_c", count(lit(1)).over(wCnt))
+        .withColumn("knn_rank", row_number().over(wRank).cast("long"))
         .filter(col("knn_rank") <= GridKnnK)
-        .select(col("a_id"), col("knn_rank"), col("b_id"), col("dist2"))
+        .localCheckpoint()
+      val settled = ph1.filter(col("in_c") >= GridKnnK)
+      val unsettledPts = pts.join(
+        settled.select(col("a_id").as("id")).distinct(), Seq("id"), "left_anti")
+      val ph2 = gridCandidates(unsettledPts, pts, cell, GridR, neq)
+        .withColumn("knn_rank", row_number().over(wRank).cast("long"))
+        .filter(col("knn_rank") <= GridKnnK)
+      settled.select(col("a_id"), col("knn_rank"), col("b_id"), col("dist2"))
+        .unionByName(
+          ph2.select(col("a_id"), col("knn_rank"), col("b_id"), col("dist2")))
         .orderBy(col("a_id"), col("knn_rank"))
     }),
 
@@ -849,8 +940,12 @@ object Analytics {
         .groupBy(col("n_name"), col("n_g"), col("n_all"), col("m_vals"))
         .agg(sum(abs(col("cum"))).as("emd_num"))
         .select(col("n_name"), col("n_g"),
-          (col("emd_num").cast("double") /
-            (col("n_g") * col("n_all") * (col("m_vals") - 1)).cast("double"))
+          // m_vals = 1 (single sensitive value) makes the denominator 0
+          // while EMD is trivially 0 — report 0, not NaN (round-9 ADVICE)
+          when(col("m_vals") > 1,
+            col("emd_num").cast("double") /
+              (col("n_g") * col("n_all") * (col("m_vals") - 1)).cast("double"))
+            .otherwise(lit(0.0))
             .as("t_dist"))
         .withColumn("at_risk", col("t_dist") > TCloseT)
         .orderBy(col("n_name"))
@@ -1322,10 +1417,12 @@ object Analytics {
          |  FROM cums GROUP BY 1, 2, 3, 4
          |)
          |SELECT n_name, n_g,
-         |       CAST(emd_num AS DOUBLE)
-         |         / CAST(n_g * n_all * (m_vals - 1) AS DOUBLE) AS t_dist,
-         |       CAST(emd_num AS DOUBLE)
-         |         / CAST(n_g * n_all * (m_vals - 1) AS DOUBLE) > $TCloseT
+         |       CASE WHEN m_vals > 1 THEN CAST(emd_num AS DOUBLE)
+         |         / CAST(n_g * n_all * (m_vals - 1) AS DOUBLE)
+         |         ELSE 0.0 END AS t_dist,
+         |       CASE WHEN m_vals > 1 THEN CAST(emd_num AS DOUBLE)
+         |         / CAST(n_g * n_all * (m_vals - 1) AS DOUBLE)
+         |         ELSE 0.0 END > $TCloseT
          |         AS at_risk
          |FROM e ORDER BY n_name""".stripMargin,
 

@@ -170,6 +170,16 @@ object LlmData {
   val BpePairTopN = 20
   /** bpe_train_merges: learned merge-table size (driver-loop rounds). */
   val BpeTrainRounds = 8
+  /** bpe_train_merges: fold the pending merges into a fresh corpus
+    * checkpoint every this-many rounds, bounding the per-round replace
+    * chain at this depth so total trainer cost stays O(rounds · corpus)
+    * instead of O(rounds² · corpus) as the merge table grows. 8 keeps the
+    * registered 8-round query on the measured checkpoint-once plan
+    * (re-checkpointing more often LOSES at small R: k=1 measured 10.9 s vs
+    * 3.9 s at sf0.1) while a 32k-vocab production run re-checkpoints 4k
+    * times — each round then pays ≤ 8 replaces over materialized strings.
+    */
+  val BpeRecheckpointEvery = 8
   /** collocations_pmi: min bigram support and report size. */
   val PmiMinCount = 5
   val PmiTopN = 20
@@ -1546,14 +1556,25 @@ object LlmData {
     // volume-sized partition clamp (5 parts at sf0.1) would otherwise cap
     // every round's 3-4 s CPU count stage at 5 tasks; the one-time 15 MB
     // shuffle is noise against 8 rounds × 6× better occupancy.
-    val base = docs(s, dir)
+    var base = docs(s, dir)
       .select(TextOps.bpeSpaced(col("text")).as("sym"))
       .repartition(s.sparkContext.defaultParallelism).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    for (r <- 1 to rounds) {
-      val cur = merges.foldLeft(col("sym")) { case (c, (p, _)) =>
-        call_function("replace", c, lit(s" $p "), lit(s" ${p.replace(" ", "")} "))
-      }
+    // merges NOT yet folded into `base` — the live replace chain. Bounded
+    // at [[BpeRecheckpointEvery]]: once the chain reaches that depth the
+    // pending merges are applied ONCE and the result re-checkpointed, so
+    // per-round cost stays O(corpus) at any merge-table size (measured
+    // linear to R=32, PLANS.md round 9) instead of the O(R²·corpus) an
+    // unbounded chain costs. At the registered R=8 no re-checkpoint fires
+    // and the plan is byte-identical to the checkpoint-once form.
+    val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+    def chain(ps: Seq[String]): org.apache.spark.sql.Column =
+      ps.foldLeft(col("sym")) { (c, p) =>
+      call_function("replace", c, lit(s" $p "), lit(s" ${p.replace(" ", "")} "))
+    }
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      val cur = chain(pending.toSeq)
       val toks = filter(split(cur, " "), x => x =!= lit(""))
       // pair generation via zip_with(slice, slice): the lambda binds only
       // its ELEMENT arguments, so the expensive token expression (r
@@ -1573,8 +1594,22 @@ object LlmData {
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(1).collect()
-      require(top.nonEmpty, "bpe_train_merges: no mergeable pair left")
-      merges += ((top(0).getString(0), top(0).getLong(1)))
+      if (top.isEmpty) {
+        // Degenerate corpus (every word a single symbol): return the
+        // merges learned so far — the oracle's unrolled CTEs likewise
+        // yield fewer rows, so the engines agree result-vs-result
+        // instead of diverging crash-vs-result (round-9 ADVICE).
+        exhausted = true
+      } else {
+        merges += ((top(0).getString(0), top(0).getLong(1)))
+        pending += top(0).getString(0)
+        if (pending.size >= BpeRecheckpointEvery && merges.size < rounds) {
+          val prev = base
+          base = base.select(chain(pending.toSeq).as("sym")).localCheckpoint()
+          pending.clear()
+          prev.unpersist()
+        }
+      }
     }
     import s.implicits._
     merges.toSeq.zipWithIndex.map { case ((p, n), i) =>

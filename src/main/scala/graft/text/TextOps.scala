@@ -154,9 +154,16 @@ object TextOps {
     * and the leading space anchors the left edge). Word boundaries become
     * a `/` symbol that no merge pattern contains, so merges never cross
     * words. Plain `replace` scans left-to-right non-overlapping in both
-    * engines, which for a single merge is exactly BPE's greedy
-    * application. One narrow codegen'd projection per row — no UDF, no
-    * shuffle.
+    * engines — a deliberate SINGLE-PASS approximation of BPE's greedy
+    * application: back-to-back occurrences of the same pair share a
+    * separator space, so `t h t h` yields `[th, t, h]` where iterated
+    * BPE (Sennrich et al. 2016) yields `[th, th]`. Engine and oracle
+    * apply the identical non-overlapping semantics, so parity is exact;
+    * the deviation only shows on repeated adjacent pairs (rare in text —
+    * zero rows differ on the synthetic corpus). A fixed-point loop
+    * (re-replace until unchanged) would match iterated BPE at the cost
+    * of a data-dependent expression depth no oracle can mirror. One
+    * narrow codegen'd projection per row — no UDF, no shuffle.
     */
   /** The PRE-merge symbol string: leading space, every symbol followed by
     * one space, word boundaries as a `/` symbol no merge may touch. The

@@ -1225,6 +1225,49 @@ class LlmDataSpec extends SparkSpec {
     assert(got.forall(r => r.getString(3).matches("[a-z]+")))
   }
 
+  test("bpe training at R=32 (bounded replace chain) matches brute force") {
+    // 32 rounds crosses the BpeRecheckpointEvery=8 boundary three times,
+    // exercising the round-9 chain-depth bound: the trainer folds pending
+    // merges into a fresh corpus checkpoint so per-round cost stays
+    // O(corpus). The learned table must be IDENTICAL to the unbounded
+    // driver-side loop. Brute force stops early if the corpus exhausts
+    // (no mergeable pair) — the trainer must then return the same prefix
+    // instead of throwing (round-9 ADVICE).
+    val rounds = 32
+    var corpus = Tables.load(spark, sfDir, "documents")
+      .select(graft.text.TextOps.bpeSpaced(col("text")).as("s"))
+      .collect().map(_.getString(0))
+    val expected = Iterator.continually {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      corpus.foreach { s =>
+        val toks = s.split(" ").filter(_.nonEmpty)
+        var i = 0
+        while (i < toks.length - 1) {
+          if (toks(i) != "/" && toks(i + 1) != "/") {
+            val p = toks(i) + " " + toks(i + 1)
+            counts(p) = counts.getOrElse(p, 0L) + 1
+          }
+          i += 1
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val (p, n) = counts.toSeq.sortBy { case (pair, c) => (-c, pair) }.head
+        corpus = corpus.map(_.replace(s" $p ", s" ${p.replace(" ", "")} "))
+        Some((p, n))
+      }
+    }.take(rounds).takeWhile(_.isDefined).flatten.toSeq
+    val got = LlmData.bpeTrainMerges(spark, sfDir, rounds).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).zipWithIndex.foreach { case ((row, (p, n)), i) =>
+      assert(row.getLong(0) == i + 1L)
+      assert(row.getString(1) + " " + row.getString(2) == p,
+        s"round ${i + 1}: learned '${row.getString(1)} ${row.getString(2)}' " +
+          s"vs brute-force '$p'")
+      assert(row.getLong(4) == n)
+    }
+  }
+
   test("collocations pmi matches a brute-force association count") {
     val texts = Tables.load(spark, sfDir, "documents")
       .select(col("text")).collect().map(_.getString(0))
