@@ -11,7 +11,7 @@ libraryDependencies ++= Seq(
   // The Kafka connector for graft.sinks.KafkaSink.write's default
   // format("kafka") path. NOT resolvable in this offline build (no jar in
   // /opt/spark/jars, none in the coursier cache; resolve re-attempted
-  // rounds 6, 7, and 8 — repo1.maven.org unreachable each time) —
+  // rounds 6 through 9 — repo1.maven.org unreachable each time) —
   // uncomment on a cluster with egress. Until then the connector
   // contract is enforced by KafkaLogSink.validateMessageSchema and
   // exercised end-to-end by the graft-kafka-log stand-in sink

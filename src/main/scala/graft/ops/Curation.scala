@@ -337,6 +337,21 @@ object Curation {
             lit(0.0), (acc, v) => acc + v).as("proj_norm2"))
         .orderBy("vec_id")),
 
+    // ---- raw JL projection, per-coordinate ----------------------------------
+    // The [[randomProjection]] RAW path (ARRAY<DOUBLE> of RpDim), registered
+    // directly under the driver gate by exploding to one (vec_id, j, p_j)
+    // row per coordinate — scalars the oracle comparator can hash, with no
+    // checksum indirection (emb_random_projection keeps the compact
+    // checksum form). Each p_j is the same sequential double fold in both
+    // engines, so values are bit-identical. Same narrow no-shuffle shape;
+    // the explode is the only addition.
+    "emb_rp_coordinates" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(randomProjection(col("embedding"))).as(Seq("j", "p_j")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("p_j"))
+        .orderBy("vec_id", "j")),
+
     // ---- temperature-sampled domain mixture --------------------------------
     // The data-mixing step of every multi-source training corpus: source s
     // contributes quota_s = floor(Target * sqrt(n_s) / sum sqrt(n_s)) docs
@@ -733,6 +748,23 @@ object Curation {
          |    j -> p[j + 1] * CAST(j + 1 AS DOUBLE))) AS proj_checksum,
          |  list_sum(list_transform(p, e -> e * e)) AS proj_norm2
          |FROM proj ORDER BY vec_id""".stripMargin
+    },
+    "emb_rp_coordinates" -> {
+      val mix = TextOps.MIX % TextOps.P
+      val p = TextOps.P
+      s"""WITH proj AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, $RpDim), j ->
+         |      list_sum(list_transform(range(0, ${LlmData.EmbDim}), i ->
+         |        CAST(embedding[i + 1] AS DOUBLE) *
+         |        (CASE WHEN ((i * $RpDim + j + 1) * $mix % $p)
+         |                   * ((i * $RpDim + j + 1) * $mix % $p) % $p % 2 = 0
+         |              THEN 1.0 ELSE -1.0 END)))) AS p
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j, p[j + 1] AS p_j
+         |FROM proj CROSS JOIN (SELECT UNNEST(range(0, $RpDim)) AS j)
+         |ORDER BY vec_id, j""".stripMargin
     },
     "sample_temperature" -> {
       val h = TextSql.polyHash("CAST(doc_id AS VARCHAR)")

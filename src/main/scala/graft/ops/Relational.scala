@@ -436,6 +436,12 @@ object Relational {
     * memoized per (session, dir).
     */
   val KcoreRounds = 6
+  /** hll_sliding_distinct_users: sketch-vs-exact tolerance (percent).
+    * Spark's DataSketches HLL at the default lgK=12 reads ~1% relative
+    * standard error; 5% gives ~5 sigma of headroom without letting a
+    * broken sketch path pass.
+    */
+  val HllSlidingTolPct = 5L
 
   private val kcoreMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -1319,6 +1325,25 @@ object Relational {
         .select(date_format(
           date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
           "yyyy-MM-dd").as("d"), col("u7"))
+        .orderBy("d")
+    }),
+
+    // ---- sliding distinct, sketch path: HLL-vs-exact audit -----------------
+    // [[hllSlidingDistinct]] is the 100 TB path for sliding_distinct_users
+    // (one mergeable HLL sketch per day, window-unioned across the trailing
+    // week — the raw (day, user) pairs never shuffle). Registered under the
+    // driver gate with the approx_sketches contract: the exact count is a
+    // value-exact column and the sketch estimate comes back as a
+    // within-tolerance flag that must be literal TRUE (DataSketches HLL and
+    // any oracle approximation disagree on raw estimates by design).
+    "hll_sliding_distinct_users" -> ((s, dir) => {
+      val exact = queries("sliding_distinct_users")(s, dir)
+      val approx = hllSlidingDistinct(Tables.events(s, dir))
+      exact.join(approx, "d")
+        .select(col("d"), col("u7"),
+          (abs(col("u7_approx") - col("u7").cast("double")) <=
+            col("u7").cast("double") * (HllSlidingTolPct / 100.0))
+            .as("hll_ok"))
         .orderBy("d")
     }),
 
@@ -3785,6 +3810,18 @@ object Relational {
         |), days AS (SELECT DISTINCT de AS day FROM ev)
         |SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d') AS d,
         |       count(DISTINCT user_id) AS u7
+        |FROM days JOIN ev ON ev.de BETWEEN day - 6 AND day
+        |GROUP BY day ORDER BY d""".stripMargin,
+    // exact column mirrored value-exact; the sketch flag must be TRUE
+    "hll_sliding_distinct_users" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS de,
+        |         user_id
+        |  FROM events
+        |), days AS (SELECT DISTINCT de AS day FROM ev)
+        |SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d') AS d,
+        |       count(DISTINCT user_id) AS u7,
+        |       TRUE AS hll_ok
         |FROM days JOIN ev ON ev.de BETWEEN day - 6 AND day
         |GROUP BY day ORDER BY d""".stripMargin,
     "revenue_mom_growth" ->
