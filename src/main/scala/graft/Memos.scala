@@ -19,6 +19,7 @@ object Memos {
   def clearAll(): Unit = {
     ops.Relational.clearGraphCaches()
     ops.Analytics.clearKcenterCache()
+    ops.Analytics.clearGridCountCache()
     ops.Stats.clearStatsCaches()
     dedup.Dedup.clearIndexCache()
     sim.Similarity.clearCentroidCache()

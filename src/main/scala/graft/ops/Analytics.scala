@@ -208,10 +208,23 @@ object Analytics {
 
   /** Point count of the grid family's input — ONE cheap column-pruned
     * action at plan-construction time (the documented driver-coordinated
-    * pattern) that feeds the density-adaptive cell-edge choice.
+    * pattern) that feeds the density-adaptive cell-edge choice. Memoized
+    * per (session, dir): both grid queries (and every Verify/Bench
+    * construct) share the same scalar, and a count over immutable
+    * session data never changes. Cleared via [[clearKcenterCache]]'s
+    * sibling hook in [[graft.Memos]].
     */
-  private def gridPointCount(s: SparkSession, dir: String): Long =
-    math.max(1L, Tables.load(s, dir, "customer").select(col("c_custkey")).count())
+  private val gridCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
+
+  def clearGridCountCache(): Unit = gridCountMemo.clear()
+
+  private def gridPointCount(s: SparkSession, dir: String): Long = {
+    gridCountMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    gridCountMemo.computeIfAbsent((s, dir), _ =>
+      math.max(1L, Tables.load(s, dir, "customer")
+        .select(col("c_custkey")).count()))
+  }
 
   /** Candidate pairs (a from `probePts`, b from `allPts`) COMPLETE within
     * `radius`: the probe side replicates into the (2R+1)² ring
