@@ -258,6 +258,43 @@ object Analytics {
       .filter(col("dist2") <= lit(radius * radius))
   }
 
+  /** Two-phase radius-bounded exact kNN join over a points table
+    * (id, x, y, cx, cy bucketed at `cell` — see [[gridPoints]]). The
+    * library form of the `grid_knn_join` registry entry so the settle
+    * phase (cell < radius, the 100 TB shape) is unit-testable on a dense
+    * synthetic cloud: the registered query's testdata only reaches
+    * cell < r from sf0.1 up. Semantics: for every point, the k nearest
+    * OTHER points within `radius`, ranked by (dist2, b_id); points with
+    * fewer than k in-radius neighbors report what exists. See the
+    * [[KnnSettleFactor]] scaladoc for the completeness argument.
+    */
+  def gridKnnJoin(pts: DataFrame, cell: Long, k: Int,
+                  radius: Long): DataFrame = {
+    // phase-1 settledness needs dist ≤ cell to imply dist ≤ radius
+    require(cell >= 1 && cell <= radius,
+      s"gridKnnJoin: cell ($cell) must be in [1, radius=$radius]")
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(col("a_id"))
+      .orderBy(col("dist2"), col("b_id"))
+    val wCnt = Window.partitionBy(col("a_id"))
+    val neq = (probes: DataFrame) => probes("a_id") =!= col("b_id")
+    val ph1 = gridCandidates(pts, pts, cell, cell, neq)
+      .withColumn("in_c", count(lit(1)).over(wCnt))
+      .withColumn("knn_rank", row_number().over(wRank).cast("long"))
+      .filter(col("knn_rank") <= k)
+      .localCheckpoint()
+    val settled = ph1.filter(col("in_c") >= k)
+    val unsettledPts = pts.join(
+      settled.select(col("a_id").as("id")).distinct(), Seq("id"), "left_anti")
+    val ph2 = gridCandidates(unsettledPts, pts, cell, radius, neq)
+      .withColumn("knn_rank", row_number().over(wRank).cast("long"))
+      .filter(col("knn_rank") <= k)
+    settled.select(col("a_id"), col("knn_rank"), col("b_id"), col("dist2"))
+      .unionByName(
+        ph2.select(col("a_id"), col("knn_rank"), col("b_id"), col("dist2")))
+      .orderBy(col("a_id"), col("knn_rank"))
+  }
+
   /** Greedy k-center (Gonzalez'85 farthest-first traversal) over the
     * embeddings table: seed = smallest vec_id, then KcK-1 rounds of
     * "farthest point from the chosen set" (ties to the smaller vec_id).
@@ -539,31 +576,11 @@ object Analytics {
     // localCheckpointed (≤ k rows/point) so the settled output and the
     // anti-join don't recompute the candidate join.
     "grid_knn_join" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wRank = Window.partitionBy(col("a_id"))
-        .orderBy(col("dist2"), col("b_id"))
-      val wCnt = Window.partitionBy(col("a_id"))
       val n = gridPointCount(s, dir)
       val cell = math.min(GridR, math.max(GridMinCell,
         (GridMod * math.sqrt(
           KnnSettleFactor * GridKnnK / (math.Pi * n))).toLong))
-      val pts = gridPoints(s, dir, cell)
-      val neq = (probes: DataFrame) => probes("a_id") =!= col("b_id")
-      val ph1 = gridCandidates(pts, pts, cell, cell, neq)
-        .withColumn("in_c", count(lit(1)).over(wCnt))
-        .withColumn("knn_rank", row_number().over(wRank).cast("long"))
-        .filter(col("knn_rank") <= GridKnnK)
-        .localCheckpoint()
-      val settled = ph1.filter(col("in_c") >= GridKnnK)
-      val unsettledPts = pts.join(
-        settled.select(col("a_id").as("id")).distinct(), Seq("id"), "left_anti")
-      val ph2 = gridCandidates(unsettledPts, pts, cell, GridR, neq)
-        .withColumn("knn_rank", row_number().over(wRank).cast("long"))
-        .filter(col("knn_rank") <= GridKnnK)
-      settled.select(col("a_id"), col("knn_rank"), col("b_id"), col("dist2"))
-        .unionByName(
-          ph2.select(col("a_id"), col("knn_rank"), col("b_id"), col("dist2")))
-        .orderBy(col("a_id"), col("knn_rank"))
+      gridKnnJoin(gridPoints(s, dir, cell), cell, GridKnnK, GridR)
     }),
 
     // ---- schema / distribution drift profile -------------------------------

@@ -446,6 +446,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("gridKnnJoin settle phase (cell < radius) equals brute force on a " +
+      "dense cloud") {
+    // The registered query's testdata only reaches the adaptive cell < r
+    // regime from sf0.1 up; this pins the settled path (and its union
+    // with the unsettled ring re-probe) in CI on a synthetic cloud dense
+    // enough that MOST points settle in phase 1 and some do not.
+    import spark.implicits._
+    val radius = 100L
+    val cell = 25L // 4 rings for the unsettled tail
+    val k = 3
+    // deterministic scatter over [0, 1000)²: dense enough for ~everyone
+    // to have k neighbors within one cell edge, with a sparse corner
+    // (ids 990+ pushed to a far band) that must take phase 2
+    val pts = (0L until 1000L).map { i =>
+      val h = i * 2654435761L % 4294967296L
+      val base = if (i >= 990) 900000L else 0L
+      (i, base + h % 1000L, base + (h / 1000L) % 1000L)
+    }
+    val df = pts.toDF("id", "x", "y")
+      .withColumn("cx", expr(s"x div $cell"))
+      .withColumn("cy", expr(s"y div $cell"))
+    val got = Analytics.gridKnnJoin(df, cell, k, radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = pts.flatMap { case (a, ax, ay) =>
+      pts.filter(_._1 != a)
+        .map { case (b, bx, by) =>
+          (b, (ax - bx) * (ax - bx) + (ay - by) * (ay - by)) }
+        .filter(_._2 <= radius * radius)
+        .sortBy { case (b, d2) => (d2, b) }
+        .take(k)
+        .zipWithIndex
+        .map { case ((b, d2), i) => (a, (i + 1).toLong, b, d2) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected)
+    // the scenario must actually exercise BOTH phases: most points have
+    // k candidates within one cell edge (settled), the sparse band not
+    val withinCell = pts.map { case (a, ax, ay) =>
+      pts.count { case (b, bx, by) =>
+        b != a &&
+          (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= cell * cell }
+    }
+    assert(withinCell.count(_ >= k) > 800, "dense majority must settle")
+    assert(withinCell.count(_ < k) > 5, "sparse band must reach phase 2")
+  }
+
   test("mmr selection matches a driver-side greedy brute force") {
     val embs = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
