@@ -43,6 +43,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
   }
 
+  test("grid kNN join: equi-join candidates, rank bound compiles to " +
+      "WindowGroupLimit, no cartesian product") {
+    // the density-adaptive two-phase plan's promises: candidate
+    // generation stays a partitionable equi-join (hash/sort-merge, never
+    // a nested-loop/cartesian), and the per-point top-k prunes map-side
+    val p = plan("grid_knn_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("column pruning reaches the scan for a narrow projection") {
     // project_shape_docs reads a 2-column shape from documents: the scan's
     // ReadSchema must not include the wide text payload
