@@ -305,6 +305,30 @@ object LlmData {
             .otherwise(lit(0.0)))
         .orderBy("doc_id")),
 
+    // ITERATED BPE ENCODE — each merge applied to its fixed point before
+    // the next (TextOps.bpeMergedStringIterated), i.e. real Sennrich
+    // greedy application: the back-to-back pairs the single-pass
+    // text_bpe_encode approximation leaves unmerged merge fully here.
+    // n_extra_merges (single-pass tokens − fixed-point tokens) measures
+    // the approximation gap per document; both hashes gate the symbol
+    // strings byte-for-byte. Same narrow one-projection scale shape —
+    // the chain is just BpeIterPasses× deeper (a fixed unroll so the
+    // oracle mirrors it literally).
+    "text_bpe_encode_iterated" -> ((s, dir) => {
+      def nTok(c: org.apache.spark.sql.Column) =
+        size(filter(split(c, " +"),
+          x => x =!= lit("") && x =!= lit("/"))).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextOps.bpeMergedString(col("text")).as("m1"),
+          TextOps.bpeMergedStringIterated(col("text")).as("mfp"))
+        .select(col("doc_id"),
+          nTok(col("mfp")).as("n_tokens_fp"),
+          (nTok(col("m1")) - nTok(col("mfp"))).as("n_extra_merges"),
+          TextOps.polyHash(col("mfp")).as("bpe_fp_hash"))
+        .orderBy("doc_id")
+    }),
+
     // BPE TRAINING — learn the merge table itself (Sennrich et al. 2016):
     // BpeTrainRounds rounds of (count adjacent symbol pairs) -> (argmax)
     // -> (apply the merge corpus-wide), the driver-coordinated loop every
@@ -1802,6 +1826,21 @@ object LlmData {
          |                 len(list_filter(string_split_regex(m, ' +'),
          |                   x -> x != '' AND x != '/'))
          |            ELSE 0.0 END AS compression
+         |FROM enc ORDER BY doc_id""".stripMargin
+    },
+    "text_bpe_encode_iterated" -> {
+      val m1 = TextSql.bpeMergedString("text")
+      val mfp = TextSql.bpeMergedStringIterated("text")
+      def nTok(c: String) =
+        s"CAST(len(list_filter(string_split_regex($c, ' +'), " +
+          s"x -> x != '' AND x != '/')) AS BIGINT)"
+      s"""WITH enc AS (
+         |  SELECT doc_id, $m1 AS m1, $mfp AS mfp FROM documents
+         |)
+         |SELECT doc_id,
+         |       ${nTok("mfp")} AS n_tokens_fp,
+         |       ${nTok("m1")} - ${nTok("mfp")} AS n_extra_merges,
+         |       ${TextSql.polyHash("mfp")} AS bpe_fp_hash
          |FROM enc ORDER BY doc_id""".stripMargin
     },
     "bpe_train_merges" -> {

@@ -184,6 +184,32 @@ object TextOps {
       call_function("replace", c, lit(s" $p "), lit(s" $r "))
     }
 
+  /** Passes per merge for [[bpeMergedStringIterated]]. One non-overlapping
+    * replace pass merges at least every other occurrence inside a run of
+    * back-to-back repeats (the shared-separator effect documented on
+    * [[bpeMergedString]]), so a run of m occurrences reaches its fixed
+    * point in ceil(log2(m)) + 1 passes. Runs cannot cross the `/` word
+    * boundary and words are single letter runs (≤ ~40 symbols in any real
+    * corpus), so 6 passes (2^6 = 64) are exhaustive; the count must be a
+    * FIXED unroll — not a data-dependent loop — so the oracle can mirror
+    * the chain literally.
+    */
+  val BpeIterPasses = 6
+
+  /** ITERATED BPE encode — each merge applied to its FIXED POINT before
+    * the next, which is exactly Sennrich et al. (2016)'s greedy encode
+    * (left-to-right on overlap ties): back-to-back pairs that the
+    * single-pass [[bpeMergedString]] approximation leaves unmerged
+    * (`t h t h` → [th, t, h]) merge fully here ([th, th]). Still one
+    * codegen'd narrow projection of chained `replace` builtins — just
+    * [[BpeIterPasses]]× deeper.
+    */
+  def bpeMergedStringIterated(text: Column): Column =
+    BpeMerges.foldLeft(bpeSpaced(text)) { case (c, (p, r)) =>
+      (1 to BpeIterPasses).foldLeft(c)((cc, _) =>
+        call_function("replace", cc, lit(s" $p "), lit(s" $r ")))
+    }
+
   // ---- sentiment (lexicon) -----------------------------------------------
 
   /** Transparent lexicon sentiment (SURVEY §7.2 item 6): hit-count of

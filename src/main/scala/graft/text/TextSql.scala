@@ -88,6 +88,15 @@ object TextSql {
       s"replace($acc, ' $p ', ' $r ')"
     }
 
+  /** DuckDB twin of [[TextOps.bpeMergedStringIterated]] — the identical
+    * fixed [[TextOps.BpeIterPasses]]-deep unroll per merge.
+    */
+  def bpeMergedStringIterated(text: String): String =
+    TextOps.BpeMerges.foldLeft(bpeSpaced(text)) { case (acc, (p, r)) =>
+      (1 to TextOps.BpeIterPasses).foldLeft(acc)((a, _) =>
+        s"replace($a, ' $p ', ' $r ')")
+    }
+
   def sentimentScore(text: String): String = {
     val toks = tokens(text)
     val (pos, neg) = TextOps.sentimentLexicon

@@ -1268,6 +1268,52 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("iterated bpe encode reaches the true per-merge fixed point") {
+    import spark.implicits._
+    // crafted repeat-heavy strings where the single-pass approximation
+    // provably under-merges, plus real corpus text
+    val crafted = Seq("ththth", "ththththththth", "to to toto",
+      "inin and andand", "x thth y", "ererererer stst")
+    val real = Tables.load(spark, sfDir, "documents")
+      .select(col("text")).limit(30).collect().map(_.getString(0))
+    // faithful driver-side mirror of TextOps.bpeSpaced
+    def spacedRef(t: String): String = {
+      val words = t.toLowerCase.replaceAll("[^a-z]+", " ")
+      val slashed = words.replace(" ", " / ")
+      " " + slashed.replaceAll("([a-z/])", "$1 ")
+    }
+    def fixedPoint(t: String): String = {
+      var s = spacedRef(t)
+      for ((p, r) <- graft.text.TextOps.BpeMerges) {
+        var prev = ""
+        while (prev != s) { prev = s; s = s.replace(s" $p ", s" $r ") }
+      }
+      s
+    }
+    def toks(s: String): Seq[String] =
+      s.split(" +").filter(x => x.nonEmpty && x != "/").toSeq
+    val inputs = (crafted ++ real).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = inputs.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.text.TextOps.bpeMergedStringIterated(col("text")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    inputs.foreach { case (id, t) =>
+      assert(got(id) == fixedPoint(t),
+        s"doc $id '$t': engine '${got(id)}' vs fixed point '${fixedPoint(t)}'")
+    }
+    // and the crafted cases really exercise the gap: single-pass leaves
+    // more tokens than the fixed point on at least the repeat strings
+    val single = df.select(col("doc_id"),
+        graft.text.TextOps.bpeMergedString(col("text")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val gaps = crafted.indices.count(i =>
+      toks(single(i.toLong)).size > toks(got(i.toLong)).size)
+    assert(gaps >= 3, s"crafted repeats must show the single-pass gap ($gaps)")
+    // sanity on the flagship example from the round-9 ADVICE
+    assert(toks(fixedPoint("ththth")) == Seq("th", "th", "th"))
+  }
+
   test("collocations pmi matches a brute-force association count") {
     val texts = Tables.load(spark, sfDir, "documents")
       .select(col("text")).collect().map(_.getString(0))
