@@ -11,7 +11,8 @@ libraryDependencies ++= Seq(
   // The Kafka connector for graft.sinks.KafkaSink.write's default
   // format("kafka") path. NOT resolvable in this offline build (no jar in
   // /opt/spark/jars, none in the coursier cache; resolve re-attempted
-  // rounds 6 through 9 — repo1.maven.org unreachable each time) —
+  // rounds 6 through 10 — repo1.maven.org unreachable each time, DNS
+  // still fails as of 2026-08-15 round 10) —
   // uncomment on a cluster with egress. Until then the connector
   // contract is enforced by KafkaLogSink.validateMessageSchema and
   // exercised end-to-end by the graft-kafka-log stand-in sink
@@ -20,6 +21,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes RAW to sbt's stdout/stderr, not through the
+// sbt logger: the logger's "[info] " prefix is what made the driver's
+// tail capture of Bench's final JSON line unparseable two rounds running
+// ("parsed": null, round-9 verdict #2). StdoutOutput keeps Bench/Verify
+// stdout byte-identical to what the program printed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -284,12 +284,20 @@ object Bench {
         for (name <- candidates if spent < budget) {
           Memos.clearAll()
           val t0 = System.nanoTime()
-          try SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () } // keep first-pass time on error
+          // record the re-run time ONLY if the noop write completed: a
+          // re-run that throws quickly (e.g. construct-time failure right
+          // after clearAll) would otherwise record a near-zero time that
+          // silently replaces the real measurement (round-10 ADVICE). The
+          // wall still counts against the budget either way.
+          val ok =
+            try {
+              SparkEntry.queries(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              true
+            } catch { case _: Throwable => false } // keep first-pass time
           val t = (System.nanoTime() - t0) / 1e9
           spent += t
-          out += name -> t
+          if (ok) out += name -> t
         }
         out.result()
       }
@@ -326,6 +334,15 @@ object Bench {
     contended ||= effCoresEnd < effGate
     val rerunJson = rerun.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""\"$k\":${ms(v)}""" }.mkString("{", ",", "}")
+    // First-pass time of every re-run candidate: the queries map takes
+    // min(first, rerun), which clips upward noise but never downward —
+    // disclosing the unrepaired value per repaired query lets a reader
+    // reconstruct the single-pass total exactly (round-10 ADVICE).
+    val firstByName = results.toMap
+    val firstPassJson = rerun.toSeq.sortBy(_._1)
+      .map { case (k, _) => s"""\"$k\":${ms(firstByName(k))}""" }
+      .mkString("{", ",", "}")
+    val repairs = rerun.count { case (k, v) => v < firstByName(k) }
     // Floor self-report: the measured/floor ratio over the floor-covered
     // subset. A clean run reads ~1.0–1.3; >1.3 with clean eff_cores probes
     // is a genuine plan regression, >1.3 with dirty probes is throttle.
@@ -343,20 +360,23 @@ object Bench {
     // probes (< 0.85×cpus) is throttle and must be stamped.
     contended ||= vsFloor > 1.35 &&
       math.min(effCores, effCoresEnd) < cpus * 0.85 && covered.size >= 50
-    val line = s"""{"queries":$qs,"construct":$cs,"rerun":$rerunJson,"failed":$failedJson,"metric":"total","value":${ms(totalOk)},"unit":"sec","total_all":${ms(totalAll)},"raw_total":${ms(totalRaw)},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"load1_start":${ms(loadStart)},"waited_sec":$waitedSec,"calib_1t_sec":${ms(calib1t)},"eff_cores_start":${ms(effCores)},"eff_cores_rerun":${ms(effCoresRerun)},"eff_cores_end":${ms(effCoresEnd)},"floor_total":${ms(floorTotal)},"floor_queries":${covered.size},"vs_floor":${ms(vsFloor)}}"""
+    val line = s"""{"queries":$qs,"construct":$cs,"rerun":$rerunJson,"first_pass":$firstPassJson,"repairs":$repairs,"failed":$failedJson,"metric":"total","value":${ms(totalOk)},"unit":"sec","total_all":${ms(totalAll)},"raw_total":${ms(totalRaw)},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"load1_start":${ms(loadStart)},"waited_sec":$waitedSec,"calib_1t_sec":${ms(calib1t)},"eff_cores_start":${ms(effCores)},"eff_cores_rerun":${ms(effCoresRerun)},"eff_cores_end":${ms(effCoresEnd)},"floor_total":${ms(floorTotal)},"floor_queries":${covered.size},"vs_floor":${ms(vsFloor)}}"""
     println(line)
-    // Compact totals line LAST: the round driver captures only a bounded
-    // tail of stdout, so the big per-query line above survived r6/r7 only
-    // as truncated text ("parsed": null). A short self-contained summary
-    // as the FINAL line is always inside any tail window and parses on
-    // its own; the full line remains first for humans and BENCH_LAST.json.
-    val summary = s"""{"metric":"total","value":${ms(totalOk)},"unit":"sec","raw_total":${ms(totalRaw)},"queries_run":${finalTimes.size},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"eff_cores_start":${ms(effCores)},"eff_cores_end":${ms(effCoresEnd)},"vs_floor":${ms(vsFloor)}}"""
-    println(summary)
     // Durable full copy for when stdout capture truncates the line.
     try {
       val w = new java.io.PrintWriter("BENCH_LAST.json")
       try w.println(line) finally w.close()
     } catch { case _: java.io.IOException => () } // best-effort artifact
+    // Compact totals line LAST — printed AFTER spark.stop() so no Spark
+    // shutdown chatter can land between it and process exit, and (with
+    // build.sbt's `run / outputStrategy := StdoutOutput`) with no sbt
+    // "[info] " prefix: rounds 8-9 the driver's tail capture saw the
+    // summary only inside sbt logger noise and recorded "parsed": null
+    // (round-9 verdict #2). The summary must be the FINAL stdout line and
+    // must parse on its own.
+    val summary = s"""{"metric":"total","value":${ms(totalOk)},"unit":"sec","raw_total":${ms(totalRaw)},"repairs":$repairs,"queries_run":${finalTimes.size},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"eff_cores_start":${ms(effCores)},"eff_cores_end":${ms(effCoresEnd)},"vs_floor":${ms(vsFloor)}}"""
     spark.stop()
+    System.out.println(summary)
+    System.out.flush()
   }
 }

@@ -20,21 +20,29 @@ object Verify {
     if (only.nonEmpty) out.listFiles().filter(f => f.isDirectory && !only(f.getName))
       .foreach(d => { def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(d) })
-    SparkEntry.queries
+    val wall0 = System.nanoTime()
+    // (name, ok, seconds) per query — feeds manifest.json below.
+    val status = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // remove any PREVIOUS run's result for this query: a stale dir
-        // would be verified as if produced by today's code, masking the
-        // regression the failure just revealed
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      .map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // remove any PREVIOUS run's result for this query: a stale dir
+          // would be verified as if produced by today's code, masking the
+          // regression the failure just revealed
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
+          false
         }
-        rm(new java.io.File(s"$outDir/$name"))
-      }
+      (name, ok, (System.nanoTime() - t0) / 1e9)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -51,6 +59,26 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest.json: what Verify itself observed — query count, per-query
+    // dumped/failed + wall seconds, total wall. CORRECTNESS_r09.json came
+    // back `{}` while the same jar reproduced 277/277 green (round-9
+    // verdict #1): with this manifest committed beside the dumps, an
+    // empty driver-side file is immediately attributable to the harness
+    // (manifest says N dumped) or to the engine (manifest says failures).
+    val perQ = status.map { case (n, ok, t) =>
+      s"""${q(n)}: {"dumped": $ok, "sec": ${f"$t%.3f"}}""" }
+      .mkString("{", ",", "}")
+    val manifest =
+      s"""{"sf_dir": ${q(sfDir)}, "queries_total": ${status.size}, """ +
+      s""""dumped": ${status.count(_._2)}, """ +
+      s""""failed": ${status.count(!_._2)}, """ +
+      s""""failed_names": ${status.collect { case (n, false, _) => q(n) }
+           .mkString("[", ",", "]")}, """ +
+      s""""wall_sec": ${f"${(System.nanoTime() - wall0) / 1e9}%.1f"}, """ +
+      s""""subset_mode": ${only.nonEmpty}, "per_query": $perQ}"""
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    System.err.println(s"[verify] manifest: ${status.count(_._2)}/" +
+      s"${status.size} dumped, ${status.count(!_._2)} failed")
     spark.stop()
   }
 }

@@ -313,7 +313,10 @@ object LlmData {
     // the approximation gap per document; both hashes gate the symbol
     // strings byte-for-byte. Same narrow one-projection scale shape —
     // the chain is just BpeIterPasses× deeper (a fixed unroll so the
-    // oracle mirrors it literally).
+    // oracle mirrors it literally). Bound: the unroll is the exact fixed
+    // point for ≤ 2^(BpeIterPasses-1) = 32 back-to-back occurrences of a
+    // pair within one word (~64 symbols); beyond that both engine and
+    // oracle under-merge IDENTICALLY (same unroll) — parity never breaks.
     "text_bpe_encode_iterated" -> ((s, dir) => {
       def nTok(c: org.apache.spark.sql.Column) =
         size(filter(split(c, " +"),

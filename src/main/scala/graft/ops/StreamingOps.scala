@@ -113,6 +113,42 @@ object StreamingOps {
           sum(col("rev").cast("decimal(18,2)")).cast("double").as("revenue"))
         .orderBy("touch")
     }),
+    // ---- EXECUTED Structured Streaming dedup (not a batch twin) ------------
+    // The one registry row that actually RUNS a streaming query: stage a
+    // duplicate-injected narrow event log (an at-least-once replay: every
+    // 7th event delivered twice), drain it through readStream → watermark →
+    // dropDuplicatesWithinWatermark → checkpointed parquet sink with
+    // Trigger.AvailableNow, then aggregate the SINK's contents. n_events ==
+    // n_distinct_ids per type and decimal-exact sum_value prove real
+    // streaming state restored exactly-once semantics end to end (sink
+    // files, not in-memory shortcuts). The 3650-day delay makes dedup state
+    // cover the whole synthetic time range so the oracle is the exact
+    // distinct log — at production cadence the delay is sized to the real
+    // replay horizon (minutes-hours), keeping state O(keys in horizon);
+    // nothing here is driver-resident, so the shape survives 100 TB: the
+    // staged log, the dedup state, and the sink all scale out.
+    "stream_dedup_exec" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      ev.write.parquet(s"$tmp/in/b1")
+      ev.filter(col("event_id") % 7 === 0).write.parquet(s"$tmp/in/b2")
+      val schema = s.read.parquet(s"$tmp/in/b1").schema
+      val src = StreamPipelines.parquetSource(s, s"$tmp/in/*", schema)
+      val q = StreamPipelines.dedupWithinWatermark(src, "3650 days")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(schema).parquet(s"$tmp/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct_ids"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "stream_join_click_pairs" -> ((s, dir) =>
       StreamPipelines.clickErrorJoin(Tables.events(s, dir))
         .orderBy("err_id", "clk_id")),
@@ -198,6 +234,14 @@ object StreamingOps {
         |)
         |SELECT w_start, event_type, CAST(n AS BIGINT) AS n, rnk
         |FROM r WHERE rnk <= 3 ORDER BY w_start, rnk""".stripMargin,
+    // executed-streaming dedup: the checkpointed sink's contents must be
+    // exactly the pristine (un-duplicated) log — count == distinct count
+    // per type, decimal-exact value sum
+    "stream_dedup_exec" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // dedup transparency: the replayed+deduped aggregation must equal the
     // aggregation over the pristine log
     "stream_dedup_replay" ->

@@ -203,6 +203,15 @@ object TextOps {
     * (`t h t h` → [th, t, h]) merge fully here ([th, th]). Still one
     * codegen'd narrow projection of chained `replace` builtins — just
     * [[BpeIterPasses]]× deeper.
+    *
+    * Run-length bound (round-10 ADVICE): the fixed unroll is the TRUE
+    * fixed point only for runs of ≤ 2^([[BpeIterPasses]]-1) = 32
+    * back-to-back occurrences of one pair (~64 symbols inside a single
+    * `/`-delimited word). A longer pathological repeat run under-merges —
+    * identically in the engine and the literal-chain oracle (both unroll
+    * the same [[BpeIterPasses]] passes), so parity holds; only the
+    * "fixed point" name is approximate beyond that bound. No real-corpus
+    * word approaches 64 symbols of one repeated pair.
     */
   def bpeMergedStringIterated(text: Column): Column =
     BpeMerges.foldLeft(bpeSpaced(text)) { case (c, (p, r)) =>

@@ -132,6 +132,22 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(r => r.getString(1) == "late"))
   }
 
+  test("stream_dedup_exec: EXECUTED streaming dedup pipeline == pristine log") {
+    // the registered query itself runs the full readStream → watermark →
+    // dropDuplicatesWithinWatermark → checkpointed parquet sink pipeline;
+    // its aggregate must equal the batch aggregate of the UN-duplicated
+    // log, and dedup must be airtight (count == distinct count per type)
+    val out = graft.ops.StreamingOps.queries("stream_dedup_exec")(spark, sfDir)
+      .collect()
+    val batch = eventsBatch.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct_ids"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(out.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
   test("dedupWithinWatermark drops replayed duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dupes")

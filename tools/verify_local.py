@@ -123,6 +123,22 @@ def main():
         flag = "  " if results[k].startswith(("OK", "rows-only")) else "!!"
         print(f"{flag} {k}: {results[k]}")
     print(f"\n{ok}/{len(results)} pass")
+    # Committed-mirror artifact (round-9 verdict #1b): optional 3rd arg is a
+    # JSON path; the round session commits this as CORRECTNESS_LOCAL_r{N}.json
+    # so an empty driver-side CORRECTNESS file is attributable from the repo
+    # alone. Shape mirrors the driver's per-query map plus a manifest echo.
+    if len(sys.argv) > 3:
+        manifest = None
+        mpath = os.path.join(OUT_DIR, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+                manifest.pop("per_query", None)  # keep the mirror compact
+        with open(sys.argv[3], "w") as f:
+            json.dump({"sf_dir": SF_DIR, "out_dir": OUT_DIR,
+                       "pass": ok, "total": len(results),
+                       "results": {k: results[k] for k in sorted(results)},
+                       "verify_manifest": manifest}, f, indent=1)
     sys.exit(0 if ok == len(results) else 1)
 
 
