@@ -133,7 +133,19 @@ object Stats {
       .select(col("bk") +: cs.map(c =>
         (sum(col(s"bt_$c")).over(wOff) - col(s"bt_$c")).as(s"off_$c")): _*)
     val inner = Window.partitionBy(col("bk")).orderBy(col(orderCol))
-    g.join(off, "bk")
+    // EXPLICIT fixed-width repartition on the window key, not the implicit
+    // ENSURE_REQUIREMENTS exchange: AQE's bytes-based coalescing sees a
+    // few-MB distinct-value frame and folds the CPU-heavy running-sum
+    // window into ONE task (measured 2.1 s single-task stages at sf0.1 in
+    // this family — the whole clean-window variance flagged in round 9:
+    // a serial stage inflates 1:1 with whichever single core it lands on,
+    // while wide stages average degradation out). Bytes are the wrong
+    // coalescing signal for per-row-expensive window work; the count is
+    // pinned to the session's shuffle parallelism so AQE cannot coalesce
+    // it. The offsets side is O(buckets) rows — broadcast, so this stays
+    // the ONLY exchange between the cell aggregation and the output.
+    val nPart = g0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    g.repartition(nPart, col("bk")).join(broadcast(off), "bk")
       .select(g0.columns.map(col) ++ cs.map(c =>
         (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)
   }
@@ -157,7 +169,12 @@ object Stats {
         (sum(col(s"bt_$c")).over(wOff) - col(s"bt_$c")).as(s"off_$c")): _*)
     val inner = Window.partitionBy(col(groupCol), col("bk"))
       .orderBy(col(orderCol))
-    g.join(off, Seq(groupCol, "bk"))
+    // same explicit-width discipline as [[bucketedCumsum]] (see comment
+    // there): pin the window exchange at the session's shuffle
+    // parallelism so AQE's bytes-based coalescing can't serialize the
+    // per-row-expensive running sums into one task.
+    val nPart = g0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    g.repartition(nPart, col(groupCol), col("bk")).join(broadcast(off), Seq(groupCol, "bk"))
       .select(g0.columns.map(col) ++ cs.map(c =>
         (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)
   }
