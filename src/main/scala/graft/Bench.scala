@@ -255,8 +255,8 @@ object Bench {
     // re-probe effective cores and wait (within the same bounded budget)
     // for a clean window before spending the re-run wall.
     var effCoresRerun = effCores
-    val rerun: Map[String, Double] =
-      if (okTimes.isEmpty) Map.empty
+    val (rerun, rerunAttempted): (Map[String, Double], Seq[String]) =
+      if (okTimes.isEmpty) (Map.empty, Nil)
       else {
         val median = okTimes(okTimes.size / 2)
         val cut = math.max(2.5, 3.0 * median)
@@ -281,7 +281,9 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_RERUN_BUDGET", "300").toDouble
         var spent = 0.0
         val out = Map.newBuilder[String, Double]
+        var attempted = List.empty[String]
         for (name <- candidates if spent < budget) {
+          attempted ::= name
           Memos.clearAll()
           val t0 = System.nanoTime()
           // record the re-run time ONLY if the noop write completed: a
@@ -299,7 +301,7 @@ object Bench {
           spent += t
           if (ok) out += name -> t
         }
-        out.result()
+        (out.result(), attempted.reverse)
       }
     val finalTimes = results.map { case (k, v) =>
       k -> math.min(v, rerun.getOrElse(k, v)) }
@@ -334,14 +336,17 @@ object Bench {
     contended ||= effCoresEnd < effGate
     val rerunJson = rerun.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""\"$k\":${ms(v)}""" }.mkString("{", ",", "}")
-    // First-pass time of every re-run candidate: the queries map takes
-    // min(first, rerun), which clips upward noise but never downward —
-    // disclosing the unrepaired value per repaired query lets a reader
-    // reconstruct the single-pass total exactly (round-10 ADVICE).
+    // First-pass time of every ATTEMPTED re-run candidate — including one
+    // whose re-run threw (it consumed budget; omitting it would make the
+    // disclosed set narrower than the documented "every candidate"
+    // contract, round-10+11 ADVICE). rerun_failed names the attempts that
+    // kept their first-pass time because the re-run did not complete.
     val firstByName = results.toMap
-    val firstPassJson = rerun.toSeq.sortBy(_._1)
-      .map { case (k, _) => s"""\"$k\":${ms(firstByName(k))}""" }
+    val firstPassJson = rerunAttempted.sorted
+      .map { k => s"""\"$k\":${ms(firstByName(k))}""" }
       .mkString("{", ",", "}")
+    val rerunFailedJson = rerunAttempted.filterNot(rerun.contains).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val repairs = rerun.count { case (k, v) => v < firstByName(k) }
     // Floor self-report: the measured/floor ratio over the floor-covered
     // subset. A clean run reads ~1.0–1.3; >1.3 with clean eff_cores probes
@@ -360,7 +365,7 @@ object Bench {
     // probes (< 0.85×cpus) is throttle and must be stamped.
     contended ||= vsFloor > 1.35 &&
       math.min(effCores, effCoresEnd) < cpus * 0.85 && covered.size >= 50
-    val line = s"""{"queries":$qs,"construct":$cs,"rerun":$rerunJson,"first_pass":$firstPassJson,"repairs":$repairs,"failed":$failedJson,"metric":"total","value":${ms(totalOk)},"unit":"sec","total_all":${ms(totalAll)},"raw_total":${ms(totalRaw)},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"load1_start":${ms(loadStart)},"waited_sec":$waitedSec,"calib_1t_sec":${ms(calib1t)},"eff_cores_start":${ms(effCores)},"eff_cores_rerun":${ms(effCoresRerun)},"eff_cores_end":${ms(effCoresEnd)},"floor_total":${ms(floorTotal)},"floor_queries":${covered.size},"vs_floor":${ms(vsFloor)}}"""
+    val line = s"""{"queries":$qs,"construct":$cs,"rerun":$rerunJson,"first_pass":$firstPassJson,"rerun_failed":$rerunFailedJson,"repairs":$repairs,"failed":$failedJson,"metric":"total","value":${ms(totalOk)},"unit":"sec","total_all":${ms(totalAll)},"raw_total":${ms(totalRaw)},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"load1_start":${ms(loadStart)},"waited_sec":$waitedSec,"calib_1t_sec":${ms(calib1t)},"eff_cores_start":${ms(effCores)},"eff_cores_rerun":${ms(effCoresRerun)},"eff_cores_end":${ms(effCoresEnd)},"floor_total":${ms(floorTotal)},"floor_queries":${covered.size},"vs_floor":${ms(vsFloor)}}"""
     println(line)
     // Durable full copy for when stdout capture truncates the line.
     try {
@@ -375,7 +380,11 @@ object Bench {
     // (round-9 verdict #2). The summary must be the FINAL stdout line and
     // must parse on its own.
     val summary = s"""{"metric":"total","value":${ms(totalOk)},"unit":"sec","raw_total":${ms(totalRaw)},"repairs":$repairs,"queries_run":${finalTimes.size},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"eff_cores_start":${ms(effCores)},"eff_cores_end":${ms(effCoresEnd)},"vs_floor":${ms(vsFloor)}}"""
-    spark.stop()
+    // stop() is best-effort: if Spark shutdown throws, the driver-contract
+    // summary line below must still print (a missing tail line is exactly
+    // the "parsed": null failure mode of rounds 8-9).
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(_) => () }
     System.out.println(summary)
     System.out.flush()
   }

@@ -23,5 +23,6 @@ object Memos {
     ops.Stats.clearStatsCaches()
     dedup.Dedup.clearIndexCache()
     sim.Similarity.clearCentroidCache()
+    ops.StreamingOps.clearExecStageCache()
   }
 }

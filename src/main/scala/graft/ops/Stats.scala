@@ -144,7 +144,10 @@ object Stats {
     // pinned to the session's shuffle parallelism so AQE cannot coalesce
     // it. The offsets side is O(buckets) rows — broadcast, so this stays
     // the ONLY exchange between the cell aggregation and the output.
-    val nPart = g0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // numShufflePartitions (already an Int) rather than parsing the raw
+    // conf string: platforms that set "auto" would NumberFormatException
+    // every prefix-sum query outside GraftSession-built sessions.
+    val nPart = g0.sparkSession.sessionState.conf.numShufflePartitions
     g.repartition(nPart, col("bk")).join(broadcast(off), "bk")
       .select(g0.columns.map(col) ++ cs.map(c =>
         (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)
@@ -173,7 +176,7 @@ object Stats {
     // there): pin the window exchange at the session's shuffle
     // parallelism so AQE's bytes-based coalescing can't serialize the
     // per-row-expensive running sums into one task.
-    val nPart = g0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPart = g0.sparkSession.sessionState.conf.numShufflePartitions
     g.repartition(nPart, col(groupCol), col("bk")).join(broadcast(off), Seq(groupCol, "bk"))
       .select(g0.columns.map(col) ++ cs.map(c =>
         (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)

@@ -15,6 +15,41 @@ import graft.streaming.StreamPipelines
   */
 object StreamingOps {
 
+  /** Staged event log for the EXECUTED streaming queries, memoized per
+    * (session, dir) like `pageRankGraph` — staging is a harness cost, not
+    * query semantics, and re-writing a full copy of the events table per
+    * invocation dominated `stream_dedup_exec`'s first pass in round 10.
+    * Rooted in [[Tables.scratchDir]] so the per-app JVM shutdown hook
+    * reclaims it (the round-10 form `createTempDirectory`'d a fresh copy
+    * per call and never deleted it — round-10 verdict #1 / ADVICE).
+    * Layout: `b1/` = the pristine log, `b2/` = every 7th event delivered
+    * again (the at-least-once replay the dedup query repairs).
+    */
+  private val stageMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def clearExecStageCache(): Unit = stageMemo.clear()
+
+  private def stagedEventLog(s: SparkSession, dir: String): String = {
+    stageMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    stageMemo.computeIfAbsent((s, dir), _ => {
+      val root = Tables.scratchDir(s, s"sdedup_in_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      ev.write.mode("overwrite").parquet(s"$root/b1")
+      ev.filter(col("event_id") % 7 === 0)
+        .write.mode("overwrite").parquet(s"$root/b2")
+      root
+    })
+  }
+
+  /** Per-invocation sink/checkpoint namespace: a checkpoint is single-use
+    * state (reusing one would make a re-run a no-op restore, not a
+    * measurement), so each execution gets a fresh subdir — still under the
+    * shutdown-hook-reclaimed scratch root, never leaked.
+    */
+  private val execSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** stream_late_data_audit: watermark delay (µs — 6 h sits inside the
     * jittered disorder band at test SFs, so the report is non-degenerate)
     * and the arrival-bucket width of the two-level running max.
@@ -129,24 +164,50 @@ object StreamingOps {
     // staged log, the dedup state, and the sink all scale out.
     "stream_dedup_exec" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-      ev.write.parquet(s"$tmp/in/b1")
-      ev.filter(col("event_id") % 7 === 0).write.parquet(s"$tmp/in/b2")
-      val schema = s.read.parquet(s"$tmp/in/b1").schema
-      val src = StreamPipelines.parquetSource(s, s"$tmp/in/*", schema)
+      val stage = stagedEventLog(s, dir)
+      val run = Tables.scratchDir(s, s"sdedup_run_${execSeq.incrementAndGet()}")
+      val schema = s.read.parquet(s"$stage/b1").schema
+      val src = StreamPipelines.parquetSource(s, s"$stage/*", schema)
       val q = StreamPipelines.dedupWithinWatermark(src, "3650 days")
         .writeStream.format("parquet")
-        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.read.schema(schema).parquet(s"$tmp/out")
+      s.read.schema(schema).parquet(s"$run/out")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("event_id")).as("n_distinct_ids"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // ---- EXECUTED Structured Streaming windowed ETL (not a batch twin) -----
+    // Second registry row that RUNS a real streaming query, covering the
+    // stateful shape the batch twins only mirror: readStream over the
+    // staged pristine log → watermark → tumbling window aggregation →
+    // foreachBatch partition-level UPSERT sink (complete mode re-emits
+    // updated windows; each micro-batch dynamically overwrites ONLY the
+    // date partitions it touched — the idempotent late-data-reopens-its-day
+    // table-maintenance shape, StreamPipelines.runFileEtlUpsert). The
+    // registered result is the SINK read back, so exactness against the
+    // batch oracle proves the streaming state + upsert bookkeeping end to
+    // end. Scale shape: streaming state is O(open windows × types), the
+    // sink rewrite is per touched date partition — both independent of log
+    // size; at production cadence append/update mode with watermark
+    // eviction bounds state to the disorder horizon.
+    "stream_etl_upsert_exec" -> ((s, dir) => {
+      val stage = stagedEventLog(s, dir)
+      val run = Tables.scratchDir(s, s"setl_run_${execSeq.incrementAndGet()}")
+      val schema = s.read.parquet(s"$stage/b1").schema
+      StreamPipelines.runFileEtlUpsert(s, s"$stage/b1", schema,
+        s"$run/out", s"$run/ckpt")
+      // d is a partition directory column on the sink: cast pins it to the
+      // string the upsert wrote (partition type inference would read it
+      // back as DATE and silently change the schema vs the oracle)
+      s.read.parquet(s"$run/out")
+        .select(col("w_start"), col("event_type"), col("n"),
+          col("sum_value"), col("d").cast("string").as("d"))
+        .orderBy("w_start", "event_type")
     }),
 
     "stream_join_click_pairs" -> ((s, dir) =>
@@ -237,6 +298,14 @@ object StreamingOps {
     // executed-streaming dedup: the checkpointed sink's contents must be
     // exactly the pristine (un-duplicated) log — count == distinct count
     // per type, decimal-exact value sum
+    // executed-streaming windowed upsert ETL: the partition-upserted sink
+    // must equal the batch tumbling aggregation, d = the window's date
+    "stream_etl_upsert_exec" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d') AS d
+        |FROM events GROUP BY 1, 2, 5 ORDER BY w_start, event_type""".stripMargin,
     "stream_dedup_exec" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,

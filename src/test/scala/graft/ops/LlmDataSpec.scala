@@ -215,7 +215,7 @@ class LlmDataSpec extends SparkSpec {
   test("IVF index lifecycle: persisted search == in-memory search, lists pruned") {
     import graft.sim.Similarity
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val dir = tempDir("graft_ivf")
     Similarity.writeIvfIndex(emb, dir, LlmData.IvfCentroids)
     val queries = emb.filter(col("vec_id") < LlmData.AnnQueries)
     val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, queries,

@@ -664,6 +664,15 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(est - n) <= math.max(1L, (0.05 * n).toLong),
         s"day $d: exact=$n hll=$est")
     }
+    // Aggregate-bias gate (round-10 ADVICE): per-window tails need the
+    // wide 5-8% tolerance, but the MEAN relative error across all windows
+    // shrinks ~1/sqrt(windows) for an unbiased estimator — a systematic
+    // ~5% estimator bias (wrong union, off-by-constant) passes every
+    // per-window gate yet trips this one. 4% keeps single-digit window
+    // counts at tiny SFs from flaking.
+    val meanRelErr = exact.toSeq.map { case (d, n) =>
+      math.abs(approx(d) - n).toDouble / math.max(1L, n) }.sum / exact.size
+    assert(meanRelErr <= 0.04, f"mean relative error $meanRelErr%.4f > 4%%")
   }
 
   test("cdc apply: last writer wins, tombstones drop, re-inserts survive") {

@@ -42,7 +42,7 @@ class KafkaSinkSpec extends SparkSpec {
     val parsed = graft.streaming.StreamPipelines.parseKafkaJson(raw, schema)
       .filter(col("price") > 20.0)
       .select(col("ean"), col("price"))
-    val dir = java.nio.file.Files.createTempDirectory("kafka_log").toFile
+    val dir = new java.io.File(tempDir("kafka_log"))
     KafkaSink.write(parsed, topic = "products", bootstrap = "localhost:9092",
       keyCol = Some("ean"), format = "graft-kafka-log",
       extraOptions = Map("path" -> dir.getAbsolutePath))

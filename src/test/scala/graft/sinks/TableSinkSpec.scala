@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 class TableSinkSpec extends SparkSpec {
 
   test("partitioned write: partition pruning reads only matching directories") {
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val out = tempDir("graft_part")
     val orders = Tables.load(spark, sfDir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
     TableSink.writePartitioned(orders, out, Seq("o_year"))
@@ -46,7 +46,7 @@ class TableSinkSpec extends SparkSpec {
   }
 
   test("partition upsert replaces only the touched partitions") {
-    val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    val out = tempDir("graft_upsert") + "/t"
     val orders = Tables.load(spark, sfDir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
     TableSink.writePartitioned(orders, out, Seq("o_year"))
@@ -72,7 +72,7 @@ class TableSinkSpec extends SparkSpec {
   }
 
   test("compaction: many small files become few, data byte-identical") {
-    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val out = tempDir("graft_compact") + "/t"
     val orders = Tables.load(spark, sfDir, "orders")
     orders.repartition(40).write.parquet(out)
     def partFiles = new java.io.File(out).listFiles()
@@ -89,7 +89,7 @@ class TableSinkSpec extends SparkSpec {
   }
 
   test("range layout: per-file key ranges are disjoint (footer-skippable)") {
-    val out = java.nio.file.Files.createTempDirectory("graft_range").toString + "/t"
+    val out = tempDir("graft_range") + "/t"
     TableSink.writeRangeLayout(
       Tables.load(spark, sfDir, "orders"), out, "o_orderkey", nFiles = 6)
     val files = new java.io.File(out).listFiles()
@@ -110,7 +110,7 @@ class TableSinkSpec extends SparkSpec {
   test("z-order layout: per-file min/max boxes shrink in BOTH dimensions") {
     val orders = Tables.load(spark, sfDir, "orders")
       .withColumn("d_epoch", unix_date(col("o_orderdate").cast("date")).cast("long"))
-    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    val out = tempDir("graft_zorder") + "/t"
     TableSink.writeZOrderLayout(orders, out, "o_custkey", "d_epoch", nFiles = 8)
     val back = spark.read.parquet(out)
     assert(back.count() == orders.count())

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class CsvPipelineSpec extends SparkSpec {
 
   private lazy val csvPath: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val dir = java.nio.file.Paths.get(tempDir("graft_csv"))
     val header = ProductSchemas.flat.fieldNames.mkString(",")
     def row(ean: String, status: String, ready: String, priceUsd: String) =
       Seq(ean, "16050217", s"${ean}_Black", "M", "Black", "BrandX", "8", "SubX",
@@ -70,7 +70,7 @@ class CsvPipelineSpec extends SparkSpec {
   }
 
   test("ORC round-trip preserves data and pushes predicates to the scan") {
-    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
+    val out = tempDir("graft_orc") + "/t"
     val orders = graft.Tables.load(spark, sfDir, "orders")
     orders.write.orc(out)
     val back = spark.read.orc(out)

@@ -16,7 +16,7 @@ class StreamingSpec extends SparkSpec {
     * events.parquet file into a temp dir once per suite.
     */
   private lazy val eventsDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_events_src")
+    val dir = java.nio.file.Paths.get(tempDir("graft_events_src"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
@@ -150,7 +150,7 @@ class StreamingSpec extends SparkSpec {
 
   test("dedupWithinWatermark drops replayed duplicates") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_dupes")
+    val dir = java.nio.file.Paths.get(tempDir("graft_dupes"))
     // two copies of the same events (an at-least-once replay)
     val base = eventsBatch.limit(100).cache()
     base.write.parquet(s"$dir/batch1")
@@ -167,7 +167,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("end-to-end file ETL: stream -> watermark -> agg -> parquet sink") {
-    val out = java.nio.file.Files.createTempDirectory("graft_etl")
+    val out = java.nio.file.Paths.get(tempDir("graft_etl"))
     StreamPipelines.runFileEtl(spark, eventsDir,
       spark.read.parquet(eventsDir).schema,
       s"$out/data", s"$out/ckpt")
@@ -180,7 +180,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("foreachBatch upsert ETL: day partitions written, rerun idempotent") {
-    val out = java.nio.file.Files.createTempDirectory("graft_upsert_etl").toString
+    val out = tempDir("graft_upsert_etl")
     def run(): Unit = StreamPipelines.runFileEtlUpsert(spark, eventsDir,
       spark.read.parquet(eventsDir).schema, s"$out/data", s"$out/ckpt")
     run()
@@ -203,7 +203,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("checkpoint recovery: a rerun with the same checkpoint adds nothing") {
-    val out = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = tempDir("graft_ckpt")
     def run(): Unit = StreamPipelines.runFileEtl(spark, eventsDir,
       spark.read.parquet(eventsDir).schema, s"$out/data", s"$out/ckpt")
     run()
@@ -233,7 +233,7 @@ class StreamingSpec extends SparkSpec {
     // The full streaming publish path: file stream (kafka-source stand-in)
     // -> transform -> toMessages -> writeStream.format(kafka stand-in).
     // With the connector jar this is writeStream.format("kafka") verbatim.
-    val out = java.nio.file.Files.createTempDirectory("graft_kafka_stream")
+    val out = java.nio.file.Paths.get(tempDir("graft_kafka_stream"))
     val msgs = graft.sinks.KafkaSink.toMessages(
       streamEvents.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value")),

@@ -122,7 +122,7 @@ class XmlRenderSpec extends SparkSpec {
   }
 
   test("single-object sink round-trips through the Hadoop FS API") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val tmp = tempDir("graft_xml")
     val path = s"file://$tmp/out.xml"
     XmlDocument.writeSingleObject(spark, path, "<products>é</products>")
     assert(XmlDocument.readSingleObject(spark, path) == "<products>é</products>")
