@@ -376,10 +376,23 @@ object Relational {
       // (the residual is explode + the partial count agg; same rows,
       // same counts)
       .agg(sort_array(collect_list(col("dst"))).as("out"))
+    // SHUFFLE_HASH on the adjacency side of both attach joins: above the
+    // broadcast threshold these would fall to SortMergeJoin, and each SMJ
+    // SORTS the edge frame with its attached neighbor arrays — at 10×
+    // data the two payload sorts measured ~100× sf0.1's intersect-stage
+    // CPU (3853 s vs ~40 s; GC 700 s) on a graph whose Σd² is exactly
+    // 10×. A shuffled hash join keeps the scale-correct both-sides-
+    // shuffled shape but builds its hash map from the O(nodes) adjacency
+    // side and STREAMS the edge rows — no sort ever touches a row
+    // carrying an array. Build side per task is nodes/shuffle.partitions
+    // rows, which is exactly the frame the groupBy above already
+    // materialized per task.
     val tri =
       if (chunk <= 0)
-        o.join(oadj.select(col("src"), col("out").as("ou")), "src")
-          .join(oadj.select(col("src").as("dst"), col("out").as("ov")), "dst")
+        o.join(oadj.select(col("src"), col("out").as("ou"))
+            .hint("SHUFFLE_HASH"), "src")
+          .join(oadj.select(col("src").as("dst"), col("out").as("ov"))
+            .hint("SHUFFLE_HASH"), "dst")
           .select(col("src").as("u"), col("dst").as("v"),
             explode(graft.functions.ArrayKernels.sorted_intersect(
               col("ou"), col("ov"))).as("w"))
@@ -392,9 +405,11 @@ object Relational {
             element_at(col("part"), 1).as("lo"),
             element_at(col("part"), -1).as("hi"))
         o.join(ch.select(col("src"), col("part").as("pu"),
-            col("lo").as("lou"), col("hi").as("hiu")), "src")
+            col("lo").as("lou"), col("hi").as("hiu"))
+            .hint("SHUFFLE_HASH"), "src")
           .join(ch.select(col("src").as("dst"), col("part").as("pv"),
-            col("lo").as("lov"), col("hi").as("hiv")), "dst")
+            col("lo").as("lov"), col("hi").as("hiv"))
+            .hint("SHUFFLE_HASH"), "dst")
           .filter(col("hiu") >= col("lov") && col("lou") <= col("hiv"))
           .select(col("src").as("u"), col("dst").as("v"),
             explode(graft.functions.ArrayKernels.sorted_intersect(
