@@ -249,7 +249,19 @@ object Analytics {
         (col("cy") + col("o.dy")).as("pcy"))
     val b = allPts.select(col("id").as("b_id"), col("x").as("bx"),
       col("y").as("by"), col("cx"), col("cy"))
-    probes.join(b,
+    // Explicit fixed-width co-partitioning on the cell keys (the
+    // pageRankGraph/bucketedCumsum discipline): the candidate-pair
+    // expansion is CPU-heavy relative to its input BYTES, so AQE's
+    // byte-based coalescing squeezed the join down to 4 tasks on a
+    // 32-core session at 10× data (measured: the two 21 s-CPU expansion
+    // stages ran 4-wide — an 8× parallelism loss on pure CPU work).
+    // Matching hash partitioning on each side's join keys satisfies the
+    // join's distribution requirement, so this adds NO extra exchange —
+    // it only pins the width AQE would otherwise collapse. At lake scale
+    // the cell-key shuffle is already wide and the floor is a no-op.
+    val cores = probePts.sparkSession.sparkContext.defaultParallelism
+    probes.repartition(cores, col("pcx"), col("pcy"))
+      .join(b.repartition(cores, col("cx"), col("cy")),
         probes("pcx") === b("cx") && probes("pcy") === b("cy") &&
           idRel(probes))
       .withColumn("dist2",
