@@ -604,6 +604,17 @@ object Dedup {
         sh.join(off, "bk")
           .withColumn("rn", row_number().over(inner) + col("off"))
           .select(col("rn"), col("id"), col("s"))
+          // pin the CHECKPOINT's width: the frame freezes with whatever
+          // partitioning the rank plan produced, and AQE's byte-coalescing
+          // leaves the small bk exchange at ~4-8 partitions — every
+          // downstream stage that scans the checkpoint (the w-1 pair join
+          // and the per-pair intersect kernel, the query's CPU) then runs
+          // that narrow forever (measured 8-wide / 28 s-CPU stages on a
+          // 32-core session at 10× data; the round-11 cores report flagged
+          // the 1.27× 4→32 speedup). One small exchange at build time
+          // buys full width for every probe.
+          .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+            col("rn"))
           .localCheckpoint(eager = false)
       })
     val left = ranked.select(col("rn"), col("id").as("ia"), col("s").as("sa"))

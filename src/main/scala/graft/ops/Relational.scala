@@ -1259,15 +1259,22 @@ object Relational {
       val liT = s"graft_li_bkt_$tag"
       val oT = s"graft_o_bkt_$tag"
       Seq(liT, oT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      // Bucket count = the session's parallelism, NOT a constant: the
+      // exchange-free merge join runs exactly bucket-count-wide, so 8
+      // buckets capped the join at 8 tasks on a 32-core session (the
+      // round-11 cores report caught it as a 1.39× 4→32 speedup). At lake
+      // scale the same rule holds — size buckets to the cluster's target
+      // join parallelism, since the layout freezes it at write time.
+      val nBkt = s.sparkContext.defaultParallelism
       graft.sinks.TableSink.writeBucketed(
         Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-        liT, "l_orderkey", 8, Some("l_orderkey"),
+        liT, "l_orderkey", nBkt, Some("l_orderkey"),
         path = Some(scratchDir(s, "bkt/lineitem")))
       graft.sinks.TableSink.writeBucketed(
         Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority")),
-        oT, "o_orderkey", 8, Some("o_orderkey"),
+        oT, "o_orderkey", nBkt, Some("o_orderkey"),
         path = Some(scratchDir(s, "bkt/orders")))
       s.table(liT).hint("merge")
         .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))

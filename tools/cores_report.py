@@ -20,8 +20,13 @@ import json
 import sys
 
 # Below this 4-core wall (seconds) the time is fixed cost, not compute —
-# the ratio carries no parallelism signal.
-WALL_FLOOR = 2.0
+# the ratio carries no parallelism signal. Override with GRAFT_WALL_FLOOR:
+# the right floor scales with the corpus (at sf1 a 2-6 s query is still
+# mostly per-stage fixed cost + exchange latency, and a hypervisor
+# throttled to ~20/32 effective cores caps even perfect scaling at ~5x —
+# round-11 used 8.0 at sf1 so only queries with real compute are judged).
+import os
+WALL_FLOOR = float(os.environ.get("GRAFT_WALL_FLOOR", "2.0"))
 # 4-core/32-core speedup below this flags a serial stage. Perfect scaling
 # reads ~8; shuffle/fixed overhead typically lands 2-6; a serial stage ~1.
 MIN_SPEEDUP = 1.5
