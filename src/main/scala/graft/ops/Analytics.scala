@@ -126,6 +126,32 @@ object Analytics {
     */
   val SemPruneK = 5
 
+  /** semdedup_label_prune cluster-size guard: past this many rows in one
+    * label, within-label pairing switches from exact all-pairs to sign-LSH
+    * banded blocking ([[semdedupPrune]]) — the SemDedup contract bounds
+    * cluster sizes at train time, but nothing used to enforce it here and
+    * the all-pairs term was the registry's worst committed sf1 slope
+    * (8.2x on 10x data). The test corpus sits below the threshold at
+    * sf0.01 (labels ~50 rows: exact path, result unchanged) and above it
+    * at sf0.1+ (labels 200+/2000 rows: banded path).
+    */
+  val SemBandThreshold = 128L
+
+  /** Banding geometry for the oversized-label fallback: [[SemBands]]
+    * disjoint bands of `rb` sign bits each over the leading dims, where
+    * `rb` is sized PER LABEL from that label's row count (smallest rb in
+    * [[SemBandMinBits]]..[[SemBandMaxBits]] with `2^rb * SemBandTarget >=
+    * n_label` — [[Similarity.planeBitsFor]]'s fixed-point integer form as
+    * a column, no floating log2). Expected same-bucket candidates per band
+    * are then O(n_label * SemBandTarget) — linear in the label, never
+    * quadratic, at ANY label size; bands * maxBits = 64 = the embedding
+    * dim, so band bit ranges never alias.
+    */
+  val SemBands = 4
+  val SemBandTarget = 32L
+  val SemBandMinBits = 4
+  val SemBandMaxBits = 16
+
   /** hybrid_rrf_search: reciprocal-rank-fusion constant (the k=60 of
     * Cormack/Clarke/Buettcher SIGIR'09), per-leg candidate depth, and the
     * final fused cut. The semantic leg's query vector is the embedding of
@@ -411,6 +437,96 @@ object Analytics {
     })
   }
 
+  /** semdedup_label_prune body, parameterized by the cluster-size guard so
+    * the spec can force either path on the small test corpus.
+    *
+    * Labels with at most `bandThreshold` rows pair exactly (all lower-id
+    * pairs within the label). Oversized labels go through sign-LSH banded
+    * blocking instead: [[SemBands]] disjoint bands of `rb` leading-dim
+    * sign bits each, `rb` sized per label so the expected bucket holds
+    * ~[[SemBandTarget]] vectors ([[Similarity.planeBitsFor]]'s fixed-point
+    * comparison as a column expression), candidates = lower-id pairs
+    * sharing any (band, hash) bucket. Candidate work per oversized label
+    * is O(n_label * SemBandTarget * SemBands) — linear, never quadratic,
+    * which is the missing enforcement of the SemDedup train-time
+    * cluster-size bound. The scored pairs from both paths then share one
+    * (max-cos-to-lower-id, per-label top-K) ranking.
+    *
+    * Scale shape: the per-label sizes frame is O(labels) and broadcast;
+    * the banded self-join shuffles only (label, band, hash, id) — vectors
+    * never ride through the band exchange; scored candidates re-attach
+    * embeddings by id (two hash joins). The DuckDB oracle mirrors the
+    * threshold switch, the per-label `rb`, and every band hash bit, so
+    * correctness parity is independent of banding recall.
+    */
+  def semdedupPrune(emb: DataFrame,
+                    bandThreshold: Long = SemBandThreshold): DataFrame = {
+    val e = emb.select(col("label"), col("vec_id"), col("embedding"))
+    val sizes = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_label"))
+      // smallest rb in [min, max] with 2^rb * target >= n_label, as
+      // min + (count of b in [min, max) with 2^b * target < n_label) —
+      // exact integer comparisons, no floating log2 (see planeBitsFor)
+      .withColumn("rb", lit(SemBandMinBits) +
+        (SemBandMinBits until SemBandMaxBits).map(b =>
+          when(lit((1L << b) * SemBandTarget) < col("n_label"), 1)
+            .otherwise(0)).reduce(_ + _))
+    val tagged = e.join(broadcast(sizes), Seq("label"))
+    val small = tagged.filter(col("n_label") <= bandThreshold)
+    val big = tagged.filter(col("n_label") > bandThreshold)
+
+    val smallPairs = small
+      .select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .join(small.select(col("label"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"),
+        Similarity.cosine(col("a_emb"), col("b_emb")).as("cos"))
+
+    // band i's hash: rb sign bits read from dims [i*rb+1, i*rb+rb] — the
+    // dim offset moves with the per-label rb, and bands*maxBits = dim so
+    // the index can never exceed the vector
+    def bandHash(i: Int): Column =
+      (0 until SemBandMaxBits).map { j =>
+        when(lit(j) < col("rb") &&
+          element_at(col("embedding"),
+            (lit(i) * col("rb") + lit(j + 1)).cast("int")) > lit(0f),
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bands = big.select(col("label"), col("vec_id"),
+        posexplode(array((0 until SemBands).map(bandHash): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+    val cand = bands
+      .select(col("label"), col("band"), col("bh"), col("vec_id").as("a_id"))
+      .join(bands.select(col("label"), col("band"), col("bh"),
+        col("vec_id").as("b_id")), Seq("label", "band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"))
+      .distinct()
+    val bigPairs = cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
+        Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
+        Seq("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"),
+        Similarity.cosine(col("a_emb"), col("b_emb")).as("cos"))
+
+    val pairs = smallPairs.unionByName(bigPairs)
+    val perVec = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos").desc, col("a_id"))
+    val perLabel = Window.partitionBy(col("label"))
+      .orderBy(col("cos").desc, col("b_id"))
+    pairs
+      .withColumn("rn", row_number().over(perVec))
+      .filter(col("rn") === 1)
+      .withColumn("rk", row_number().over(perLabel))
+      .filter(col("rk") <= SemPruneK)
+      .select(col("label"), col("b_id").as("vec_id"),
+        col("a_id").as("keeper_id"), col("cos").as("max_cos"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("label"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- sweep-line interval concurrency -----------------------------------
@@ -651,37 +767,18 @@ object Analytics {
     // for the paper's k-means cluster ids): within each cluster, score
     // every vector by its max cosine to a LOWER-ID vector (the retained
     // representative under greedy-by-id), and prune a fixed per-cluster
-    // budget of the most redundant vectors. Pairing is label-blocked —
-    // O(sum of cluster^2), never corpus^2 — which is exactly the
-    // SemDedup contract: clusters are sized by k at train time, so the
-    // quadratic term is bounded by construction; sign-LSH sub-blocking
-    // (Dedup's banding) composes inside a cluster if one outgrows memory.
+    // budget of the most redundant vectors. Pairing is label-blocked and
+    // CLUSTER-SIZE GUARDED (see [[semdedupPrune]]): labels within
+    // [[SemBandThreshold]] pair exactly; oversized labels switch to
+    // sign-LSH banded blocking with per-label bucket sizing, so the
+    // within-label candidate count stays linear at any cluster size —
+    // the SemDedup contract's train-time size bound, enforced in the
+    // query instead of assumed. The oracle mirrors the switch and the
+    // banding bit-for-bit, so parity is independent of banding recall.
     // Cosines are the bit-identical left-to-right fold shared with the
     // ANN family.
-    "semdedup_label_prune" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val a = e.select(col("label"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"))
-      val b = e.select(col("label"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"))
-      val pairs = a.join(b, Seq("label"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("label"), col("a_id"), col("b_id"),
-          Similarity.cosine(col("a_emb"), col("b_emb")).as("cos"))
-      val perVec = Window.partitionBy(col("b_id"))
-        .orderBy(col("cos").desc, col("a_id"))
-      val perLabel = Window.partitionBy(col("label"))
-        .orderBy(col("cos").desc, col("b_id"))
-      pairs
-        .withColumn("rn", row_number().over(perVec))
-        .filter(col("rn") === 1)
-        .withColumn("rk", row_number().over(perLabel))
-        .filter(col("rk") <= SemPruneK)
-        .select(col("label"), col("b_id").as("vec_id"),
-          col("a_id").as("keeper_id"), col("cos").as("max_cos"),
-          col("rk").cast("long").as("rk"))
-        .orderBy(col("label"), col("rk"))
-    }),
+    "semdedup_label_prune" -> ((s, dir) =>
+      semdedupPrune(Tables.load(s, dir, "embeddings"))),
 
     // ---- Pareto frontier (2D skyline) --------------------------------------
     // Orders not dominated on (order day, price): B dominates A iff B is
@@ -1250,11 +1347,47 @@ object Analytics {
 
     "semdedup_label_prune" -> {
       val cos = SimilaritySql.cosine("a.embedding", "b.embedding", 64)
-      s"""WITH pairs AS (
+      val cosBig = SimilaritySql.cosine("ea.embedding", "eb.embedding", 64)
+      // per-label band width: min + count of b in [min, max) with
+      // 2^b * target < n_label — mirrors semdedupPrune's integer column
+      val rbExpr = s"$SemBandMinBits + " +
+        (SemBandMinBits until SemBandMaxBits).map(b =>
+          s"(CASE WHEN ${(1L << b) * SemBandTarget} < n_label THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      // band hash: bit j set iff j < rb and dim [band*rb + j + 1] > 0 —
+      // same condition order and same 1-based dim index as the engine
+      val bh = (0 until SemBandMaxBits).map(j =>
+        s"CASE WHEN $j < rb AND (embedding)[t.band * rb + ${j + 1}] > 0" +
+          s" THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH n AS (
+         |  SELECT label, count(*) AS n_label FROM embeddings GROUP BY label
+         |), rt AS (
+         |  SELECT label, n_label, $rbExpr AS rb FROM n
+         |), e AS (
+         |  SELECT em.label, em.vec_id, em.embedding, rt.n_label, rt.rb
+         |  FROM embeddings em JOIN rt USING (label)
+         |), small_pairs AS (
          |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
          |         $cos AS cos
-         |  FROM embeddings a JOIN embeddings b
+         |  FROM e a JOIN e b
          |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE a.n_label <= $SemBandThreshold
+         |), bands AS (
+         |  SELECT label, vec_id, t.band, $bh AS bh
+         |  FROM e, UNNEST(range(0, $SemBands)) AS t(band)
+         |  WHERE n_label > $SemBandThreshold
+         |), cand AS (
+         |  SELECT DISTINCT a.label, a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.label = b.label AND a.band = b.band AND a.bh = b.bh
+         |   AND a.vec_id < b.vec_id
+         |), big_pairs AS (
+         |  SELECT c.label, c.a_id, c.b_id, $cosBig AS cos
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.a_id
+         |  JOIN embeddings eb ON eb.vec_id = c.b_id
+         |), pairs AS (
+         |  SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs
          |), per_vec AS (
          |  SELECT label, a_id, b_id, cos,
          |         row_number() OVER (PARTITION BY b_id

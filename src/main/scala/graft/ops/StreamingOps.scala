@@ -30,10 +30,22 @@ object StreamingOps {
 
   private[graft] def clearExecStageCache(): Unit = stageMemo.clear()
 
+  /** Collision-free staging subdir name for a dataset dir: SHA-1 of the
+    * FULL path, not `String.hashCode` — two distinct dirs with colliding
+    * 32-bit hashCodes in one session would silently share (and the second
+    * would overwrite) one staging directory while both memo entries kept
+    * pointing at it.
+    */
+  private def stageKey(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
   private def stagedEventLog(s: SparkSession, dir: String): String = {
     stageMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     stageMemo.computeIfAbsent((s, dir), _ => {
-      val root = Tables.scratchDir(s, s"sdedup_in_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val root = Tables.scratchDir(s, s"sdedup_in_${stageKey(dir)}")
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("ts"), col("value"))
       ev.write.mode("overwrite").parquet(s"$root/b1")

@@ -155,6 +155,81 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("semdedupPrune: banded fallback activates past the threshold and " +
+    "matches a driver-side reference of the banded semantics") {
+    val embDf = Tables.load(spark, sfDir, "embeddings")
+    val embs = embDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // reference banded semantics: per-label rb, SemBands bands of rb sign
+    // bits over the leading dims, candidates = lower-id pairs sharing a
+    // (band, hash) bucket
+    val sizes = embs.groupBy(_._3).map { case (l, v) => l -> v.length.toLong }
+    def rbOf(n: Long): Int = Analytics.SemBandMinBits +
+      (Analytics.SemBandMinBits until Analytics.SemBandMaxBits)
+        .count(b => (1L << b) * Analytics.SemBandTarget < n)
+    def bandKeys(v: Array[Float], rb: Int): Seq[(Int, Long)] =
+      (0 until Analytics.SemBands).map { i =>
+        i -> (0 until rb).map(j =>
+          if (v(i * rb + j) > 0f) 1L << j else 0L).sum
+      }
+    val byLabel = embs.toVector.groupBy(_._3)
+    val cand: Vector[(Int, Long, Long)] = byLabel.toVector.flatMap {
+      case (label, vs) =>
+        val rb = rbOf(sizes(label))
+        val buckets: Map[(Int, Long), Vector[Long]] = vs
+          .flatMap(e => bandKeys(e._2, rb).map(k => (k, e._1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        buckets.values.toVector.flatMap { ids =>
+          for (a <- ids; b <- ids if a < b) yield (a, b)
+        }.distinct.map { case (a, b) => (label, a, b) }
+    }
+    val allPairs = sizes.values.map(n => n * (n - 1) / 2).sum
+    assert(cand.size < allPairs,
+      "banding must produce strictly fewer candidates than all-pairs")
+    val byId = embs.map(e => e._1 -> e._2).toMap
+    val expect = cand
+      .map { case (label, a, b) => (label, a, b, cos(byId(a), byId(b))) }
+      .groupBy(_._3) // per b: best (cos desc, a asc)
+      .map { case (_, ps) => ps.minBy(p => (-p._4, p._2)) }
+      .groupBy(_._1) // per label: top-K by (cos desc, b asc)
+      .flatMap { case (_, ps) =>
+        ps.toSeq.sortBy(p => (-p._4, p._3)).take(Analytics.SemPruneK)
+          .zipWithIndex
+          .map { case ((l, a, b, c), i) => (l, b, a, c, (i + 1).toLong) }
+      }.toSet
+
+    // threshold 1: every label is oversized, so the banded path covers
+    // the whole corpus
+    val got = Analytics.semdedupPrune(embDf, bandThreshold = 1L)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.length == expect.size)
+    val expByKey = expect.map(e => (e._1, e._2) -> e).toMap
+    for (g <- got) {
+      val e = expByKey((g._1, g._2))
+      assert(g._3 == e._3 && g._5 == e._5 && math.abs(g._4 - e._4) < 1e-12,
+        s"banded row mismatch: got $g expected $e")
+    }
+
+    // threshold above every label size: exact path only, equal to the
+    // registered query's result (which the DuckDB oracle pins exactly)
+    val exact = Analytics.semdedupPrune(embDf, bandThreshold = Long.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    val registered = Analytics.queries("semdedup_label_prune")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(exact == registered,
+      "with no oversized label the guarded form must equal the exact form")
+  }
+
   test("skyline_orders: equals the all-pairs dominance answer") {
     val got = Analytics.queries("skyline_orders")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
