@@ -55,6 +55,68 @@ object StreamingOps {
     })
   }
 
+  /** Range-ordered staged event log for the executed sessionizer. `in/`
+    * holds the events table repartitioned BY RANGE on `ts` into
+    * [[SessSlices]] part files whose modification times are set in range
+    * order, plus two far-future single-row sentinel files (latest mod
+    * times, user_id = -1). A `maxFilesPerTrigger = 1` file stream then
+    * delivers the log time-ordered ACROSS micro-batches (order within one
+    * batch stays arbitrary — the sessionizer sorts per key), so a
+    * zero-delay watermark is exact: slice k+1's minimum exceeds slice k's
+    * maximum by range partitioning, and no event ever arrives below the
+    * watermark. Sentinel one advances the final watermark past every real
+    * session's close; sentinel two (one minute later, so it merges into
+    * the sentinel session instead of emitting it) triggers the timeout
+    * pass that flushes them — watermarks take effect one batch late, and
+    * relying on a trailing no-data batch instead would couple the query
+    * to spark.sql.streaming.noDataMicroBatches.enabled.
+    */
+  private[graft] val SessSlices = 4
+
+  /** Session gap shared by the batch twin, the executed sessionizer, and
+    * the oracle (30 minutes, in micros).
+    */
+  val SessionGapUs: Long = 30L * 60L * 1000000L
+
+  private def stagedSessionLog(s: SparkSession, dir: String): String = {
+    stageMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    stageMemo.computeIfAbsent((s, s"ssess:$dir"), _ => {
+      val root = Tables.scratchDir(s, s"ssess_in_${stageKey(dir)}")
+      val inPath = s"$root/in"
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      ev.repartitionByRange(SessSlices, col("ts"))
+        .write.mode("overwrite").parquet(inPath)
+      val p = new org.apache.hadoop.fs.Path(inPath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def parts(): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+      // part-0000N names sort in range order; pin mod times to that order
+      // (minute steps keep every file far inside the source's maxFileAge)
+      val base = fs.getFileStatus(p).getModificationTime
+      val slices = parts().sortBy(_.getPath.getName)
+      slices.zipWithIndex.foreach { case (f, i) =>
+        fs.setTimes(f.getPath, base + i * 60000L, -1) }
+      val maxTsUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      def writeSentinel(tsUs: Long, seen: Set[String], mod: Long): Set[String] = {
+        import s.implicits._
+        Seq((-1L, -1L, tsUs, 0.0)).toDF("user_id", "event_id", "us", "value")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("us")).as("ts"), col("value"))
+          .coalesce(1).write.mode("append").parquet(inPath)
+        val now = parts().map(_.getPath.getName).toSet
+        (now -- seen).foreach(n =>
+          fs.setTimes(new org.apache.hadoop.fs.Path(p, n), mod, -1))
+        now
+      }
+      val farUs = maxTsUs + 100L * 86400L * 1000000L
+      val seen1 = writeSentinel(farUs, slices.map(_.getPath.getName).toSet,
+        base + 100L * 60000L)
+      writeSentinel(farUs + 60L * 1000000L, seen1, base + 101L * 60000L)
+      root
+    })
+  }
+
   /** Per-invocation sink/checkpoint namespace: a checkpoint is single-use
     * state (reusing one would make a re-run a no-op restore, not a
     * measurement), so each execution gets a fresh subdir — still under the
@@ -222,6 +284,52 @@ object StreamingOps {
         .orderBy("w_start", "event_type")
     }),
 
+    // ---- EXECUTED arbitrary-stateful sessionization (not a batch twin) -----
+    // Third registry row that RUNS a real streaming query, covering the
+    // one streaming API whose registered evidence was still mirror-only:
+    // KeyValueGroupedDataset.flatMapGroupsWithState (engine-managed
+    // per-key state, EventTimeTimeout, append mode). The staged log is
+    // range-ordered across micro-batches (see stagedSessionLog), the
+    // sessionizer folds each user's events into ONE open session of
+    // state, emits a session when a later event proves the 30-minute gap,
+    // and the watermark timeout flushes each user's final session — the
+    // sink is checkpointed parquet, and the registered result is the SINK
+    // read back, oracle = the batch gap-sessionization. Scale shape:
+    // state is O(active users) x one session, timeouts are engine-managed
+    // per key, the sink appends — nothing driver-resident.
+    "stream_sessionize_exec" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StatefulOps
+      val stage = stagedSessionLog(s, dir)
+      val run = Tables.scratchDir(s, s"ssess_run_${execSeq.incrementAndGet()}")
+      val schema = s.read.parquet(s"$stage/in").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/in")
+      import s.implicits._
+      val typed = src.withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"),
+          // the engine's own decimal(18,2) cast, so the folded cents sum
+          // is bit-identical to the batch decimal aggregation
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .as[StatefulOps.SessEvent]
+      val q = StatefulOps.sessionizeStreaming(typed, SessionGapUs).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$run/out")
+        .filter(col("user_id") >= 0) // drop the sentinel user's session
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("start_us")),
+            "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(timestamp_micros(col("last_us") + lit(SessionGapUs)),
+            "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("n_events"),
+          (col("cents").cast("double") / lit(100.0)).as("session_value"))
+        .orderBy("user_id", "s_start")
+    }),
+
     "stream_join_click_pairs" -> ((s, dir) =>
       StreamPipelines.clickErrorJoin(Tables.events(s, dir))
         .orderBy("err_id", "clk_id")),
@@ -269,6 +377,30 @@ object StreamingOps {
           sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
         .orderBy("day")
     }))
+
+  /** Gap-sessionization oracle, shared by the batch twin and the executed
+    * flatMapGroupsWithState form (both must equal it exactly).
+    */
+  private val SessionizeSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   >= INTERVAL 30 MINUTE OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+      |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "stream_late_data_audit" ->
@@ -338,26 +470,10 @@ object StreamingOps {
         |)
         |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*) AS n
         |FROM expanded GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
-    "stream_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |                   >= INTERVAL 30 MINUTE OR
-        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events
-        |), numbered AS (
-        |  SELECT user_id, ts, value,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM flagged
-        |)
-        |SELECT user_id,
-        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
-        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
-        |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "stream_sessionize" -> SessionizeSql,
+    // the executed flatMapGroupsWithState sessionizer must reproduce the
+    // batch gap-sessionization exactly
+    "stream_sessionize_exec" -> SessionizeSql,
     "attribution_last_touch" ->
       """WITH attributed AS (
         |  SELECT e.value,

@@ -148,6 +148,26 @@ class StreamingSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
 
+  test("stream_sessionize_exec: EXECUTED flatMapGroupsWithState sessions " +
+    "== batch gap-sessionization") {
+    // the registered query runs the full readStream → watermark →
+    // flatMapGroupsWithState (EventTimeTimeout) → checkpointed parquet
+    // sink pipeline over the range-ordered staged log; its read-back must
+    // equal the batch session_window twin row for row — which proves both
+    // emission paths (gap proven by a later event, watermark timeout for
+    // each user's final session) reconstruct the exact session set
+    val out = graft.ops.StreamingOps.queries("stream_sessionize_exec")(spark, sfDir)
+      .collect()
+    val batch = graft.ops.StreamingOps.queries("stream_sessionize")(spark, sfDir)
+      .collect()
+    assert(out.length == batch.length)
+    assert(out.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    // every user's LAST session is only emittable via the timeout flush —
+    // its presence above proves EventTimeTimeout fired per key; sanity:
+    // one session per user minimum
+    assert(out.map(_.getLong(0)).distinct.length >= 1)
+  }
+
   test("dedupWithinWatermark drops replayed duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Paths.get(tempDir("graft_dupes"))
