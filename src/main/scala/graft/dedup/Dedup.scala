@@ -572,6 +572,15 @@ object Dedup {
     * join); verification is the same exact shingle-set Jaccard as the
     * LSH families. Returns (a, b, jaccard), a < b.
     */
+  /** Test observability hook: the last ranked/checkpointed frame
+    * [[sortedNeighborhoodPairs]] built or reused. PlanShapeSpec pins its
+    * partition count to session width — the round-11 cores-report fix: a
+    * `localCheckpoint` FREEZES whatever width AQE left, and without the
+    * explicit repartition the small `bk` exchange's 4-8-partition
+    * coalesce became permanent for every downstream scan.
+    */
+  @volatile private[graft] var snmRankedForTest: DataFrame = _
+
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = SnmW,
                               keyLen: Int = SnmKeyLen, minJaccard: Double = 0.5,
                               idCol: String = "doc_id", textCol: String = "text"
@@ -617,6 +626,7 @@ object Dedup {
             col("rn"))
           .localCheckpoint(eager = false)
       })
+    snmRankedForTest = ranked
     val left = ranked.select(col("rn"), col("id").as("ia"), col("s").as("sa"))
       .withColumn("i", explode(sequence(lit(1), lit(window - 1))))
       .select((col("rn") + col("i")).as("rn"), col("ia"), col("sa"))

@@ -19,6 +19,19 @@ object TableSink {
                        mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** CONTRACT (round-11 ADVICE): the aligned repartition below caps the
+    * write — including the per-file sortBy — at `nBuckets` tasks, so size
+    * `nBuckets` to at least the intended write parallelism (the
+    * bucketed_join_agg caller uses session parallelism; a production
+    * table sizes buckets to the cluster, which is also what freezes the
+    * downstream JOIN width at a sane value — the two decisions are the
+    * same decision). Callers with deliberately tiny bucket counts trade
+    * write parallelism for layout, which is fine for small tables only.
+    * The one-file-per-bucket alignment also assumes Spark's bucket-id
+    * expression stays Murmur3-pmod (= HashPartitioning); if that ever
+    * diverged the write would still be CORRECT, just degrade to
+    * many-files-per-bucket.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     nBuckets: Int, sortCol: Option[String] = None,
                     mode: SaveMode = SaveMode.Overwrite,

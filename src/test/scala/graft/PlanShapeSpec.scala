@@ -56,6 +56,44 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("sorted-neighborhood checkpoint is pinned to session width") {
+    // round-11 cores-report fix: the ranked frame's localCheckpoint
+    // freezes whatever partitioning the plan produced, and AQE's
+    // byte-coalescing left the small bk exchange at 4-8 partitions — the
+    // checkpoint must therefore be explicitly repartitioned to session
+    // width, or every downstream scan (the w-1 pair join and the per-pair
+    // intersect kernel, the query's CPU) runs narrow forever
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.dedup.Dedup.sortedNeighborhoodPairs(docs).queryExecution.analyzed
+    val ranked = graft.dedup.Dedup.snmRankedForTest
+    assert(ranked != null, "ranked frame hook not populated")
+    assert(ranked.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism,
+      s"checkpoint width ${ranked.rdd.getNumPartitions} != session width " +
+        s"${spark.sparkContext.defaultParallelism}")
+  }
+
+  test("grid candidate join keeps its explicit cell-key width") {
+    // round-11 cores-report fix: the candidate-pair expansion is CPU-heavy
+    // relative to its input bytes, so AQE's byte-based coalescing squeezed
+    // the join to 4 tasks at 10x data. The explicit fixed-width
+    // repartition on the cell keys must survive into the final physical
+    // plan (user-specified numPartitions is exempt from AQE coalescing and
+    // satisfies the join's distribution requirement, so no extra exchange)
+    val cores = spark.sparkContext.defaultParallelism
+    val df = SparkEntry.queries("grid_knn_join")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pinned = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning(pcx") || l.contains("hashpartitioning(cx"))
+    val widths = pinned.toSeq
+    assert(widths.nonEmpty, "expected explicit cell-key hashpartitioning " +
+      "exchanges in the candidate join\n" + p.take(3000))
+    assert(widths.forall(_.contains(s", $cores)")),
+      s"cell-key exchange not at session width $cores:\n" +
+        widths.mkString("\n"))
+  }
+
   test("column pruning reaches the scan for a narrow projection") {
     // project_shape_docs reads a 2-column shape from documents: the scan's
     // ReadSchema must not include the wide text payload

@@ -668,11 +668,16 @@ class RelationalSpec extends SparkSpec {
     // wide 5-8% tolerance, but the MEAN relative error across all windows
     // shrinks ~1/sqrt(windows) for an unbiased estimator — a systematic
     // ~5% estimator bias (wrong union, off-by-constant) passes every
-    // per-window gate yet trips this one. 4% keeps single-digit window
-    // counts at tiny SFs from flaking.
+    // per-window gate yet trips this one. The threshold scales with the
+    // window count (round-11 ADVICE): at 1-2 windows a legitimate 4-5%
+    // single-window error must not trip the mean gate that the per-window
+    // gate just allowed, while at 30+ windows the mean of unbiased noise
+    // sits well under 4%.
     val meanRelErr = exact.toSeq.map { case (d, n) =>
       math.abs(approx(d) - n).toDouble / math.max(1L, n) }.sum / exact.size
-    assert(meanRelErr <= 0.04, f"mean relative error $meanRelErr%.4f > 4%%")
+    val gate = math.max(0.04, 0.05 / math.sqrt(exact.size.toDouble))
+    assert(meanRelErr <= gate,
+      f"mean relative error $meanRelErr%.4f > $gate%.4f (${exact.size} windows)")
   }
 
   test("cdc apply: last writer wins, tombstones drop, re-inserts survive") {
