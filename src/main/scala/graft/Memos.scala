@@ -20,6 +20,7 @@ object Memos {
     ops.Relational.clearGraphCaches()
     ops.Analytics.clearKcenterCache()
     ops.Analytics.clearGridCountCache()
+    ops.Analytics.clearSemSizesCache()
     ops.Stats.clearStatsCaches()
     dedup.Dedup.clearIndexCache()
     sim.Similarity.clearCentroidCache()

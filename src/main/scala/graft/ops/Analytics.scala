@@ -459,21 +459,51 @@ object Analytics {
     * threshold switch, the per-label `rb`, and every band hash bit, so
     * correctness parity is independent of banding recall.
     */
+  /** Per-label sizes for [[semdedupPrune]]'s split, memoized per
+    * (session, corpus plan): O(cluster-count) rows — the SemDedup cluster
+    * ids are bounded by the train-time k, so collecting them driver-side
+    * is the same bounded-collect shape as [[gridPointCount]] / the IVF
+    * centroids. Resolving the split at plan-construction time keeps the
+    * EMPTY branch out of the physical plan entirely: at small SFs the
+    * query is the exact all-pairs plan, unchanged; past the threshold the
+    * plan is banded-only — the data-driven union form would pay the empty
+    * branch's exchange ladder at every scale (measured ~1 s of pure
+    * sequential stage latency on a 20k-vector corpus).
+    */
+  private val semSizesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Long), Array[(Int, Long)]]()
+
+  private[graft] def clearSemSizesCache(): Unit = semSizesMemo.clear()
+
+  private def semLabelSizes(e: DataFrame): Array[(Int, Long)] = {
+    semSizesMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    semSizesMemo.computeIfAbsent(
+      (e.sparkSession, e.queryExecution.analyzed.semanticHash().toLong),
+      _ => e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))))
+  }
+
+  /** Smallest rb in [min, max] with 2^rb * target >= n — the fixed-point
+    * integer form of [[Similarity.planeBitsFor]] (no floating log2).
+    */
+  private def semBandBits(n: Long): Int = SemBandMinBits +
+    (SemBandMinBits until SemBandMaxBits)
+      .count(b => (1L << b) * SemBandTarget < n)
+
   def semdedupPrune(emb: DataFrame,
                     bandThreshold: Long = SemBandThreshold): DataFrame = {
     val e = emb.select(col("label"), col("vec_id"), col("embedding"))
-    val sizes = e.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_label"))
-      // smallest rb in [min, max] with 2^rb * target >= n_label, as
-      // min + (count of b in [min, max) with 2^b * target < n_label) —
-      // exact integer comparisons, no floating log2 (see planeBitsFor)
-      .withColumn("rb", lit(SemBandMinBits) +
-        (SemBandMinBits until SemBandMaxBits).map(b =>
-          when(lit((1L << b) * SemBandTarget) < col("n_label"), 1)
-            .otherwise(0)).reduce(_ + _))
-    val tagged = e.join(broadcast(sizes), Seq("label"))
-    val small = tagged.filter(col("n_label") <= bandThreshold)
-    val big = tagged.filter(col("n_label") > bandThreshold)
+    val sizes = semLabelSizes(e)
+    val bigSizes = sizes.filter(_._2 > bandThreshold)
+    val smallSet = sizes.filter(_._2 <= bandThreshold).map(_._1).toSeq
+    // prune the per-branch isin filter when a branch covers the whole
+    // corpus — the common case (uniform cluster sizes) keeps the plan a
+    // single branch with no label predicate at all
+    def slice(labels: Seq[Int]): DataFrame =
+      if (labels.length == sizes.length) e
+      else e.filter(col("label").isin(labels: _*))
+    val small = slice(smallSet)
+    val big = slice(bigSizes.map(_._1).toSeq)
 
     val smallPairs = small
       .select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
@@ -493,17 +523,39 @@ object Analytics {
             (lit(i) * col("rb") + lit(j + 1)).cast("int")) > lit(0f),
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val bands = big.select(col("label"), col("vec_id"),
+    // Explicit fixed-width partitioning on the CPU-carrying exchanges
+    // (the gridCandidates discipline): id-pair rows are byte-tiny, so
+    // AQE's byte-based coalescing collapses the band join and the
+    // per-vector argmax window to 1-2 tasks while their work (candidate
+    // expansion, 3 dot products per pair, the window sort) is pure CPU —
+    // measured at 10x data as a ladder of single-task stages. Matching
+    // hash partitioning satisfies each operator's own distribution
+    // requirement, so the pins replace the exchanges AQE would have
+    // inserted — no extra shuffle, and user-specified widths are exempt
+    // from AQE coalescing. At lake scale the exchanges are byte-wide
+    // anyway and the floor is a no-op. Band-duplicate candidate pairs are
+    // NOT distinct'ed: the per-vector rn = 1 cut collapses them to one
+    // identical row (same b_id, same cos, same a_id), and the dedup's
+    // exchange + aggregate cost more than the <= SemBands-fold duplicate
+    // cosines they save.
+    val cores = emb.sparkSession.sparkContext.defaultParallelism
+    // rb attaches as a literal lookup over the (bounded) oversized-label
+    // set — no broadcast-join stage for a per-label scalar
+    val rbCol = bigSizes.foldLeft(lit(0)) { case (acc, (l, n)) =>
+      when(col("label") === lit(l), lit(semBandBits(n))).otherwise(acc) }
+    lazy val bands = big.withColumn("rb", rbCol)
+      .select(col("label"), col("vec_id"),
         posexplode(array((0 until SemBands).map(bandHash): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
-    val cand = bands
+    lazy val bigPairs = bands
       .select(col("label"), col("band"), col("bh"), col("vec_id").as("a_id"))
+      .repartition(cores, col("label"), col("band"), col("bh"))
       .join(bands.select(col("label"), col("band"), col("bh"),
-        col("vec_id").as("b_id")), Seq("label", "band", "bh"))
+          col("vec_id").as("b_id"))
+        .repartition(cores, col("label"), col("band"), col("bh")),
+        Seq("label", "band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select(col("label"), col("a_id"), col("b_id"))
-      .distinct()
-    val bigPairs = cand
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
         Seq("a_id"))
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
@@ -511,7 +563,12 @@ object Analytics {
       .select(col("label"), col("a_id"), col("b_id"),
         Similarity.cosine(col("a_emb"), col("b_emb")).as("cos"))
 
-    val pairs = smallPairs.unionByName(bigPairs)
+    // only materialized branches enter the plan (see semLabelSizes): the
+    // common uniform-cluster case is a single branch with no union
+    val pairs = ((if (smallSet.nonEmpty) Seq(smallPairs) else Nil) ++
+      (if (bigSizes.nonEmpty) Seq(bigPairs) else Nil))
+      .reduce(_ unionByName _)
+      .repartition(cores, col("b_id"))
     val perVec = Window.partitionBy(col("b_id"))
       .orderBy(col("cos").desc, col("a_id"))
     val perLabel = Window.partitionBy(col("label"))
