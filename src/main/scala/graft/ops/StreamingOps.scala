@@ -83,8 +83,11 @@ object StreamingOps {
     stageMemo.computeIfAbsent((s, s"ssess:$dir"), _ => {
       val root = Tables.scratchDir(s, s"ssess_in_${stageKey(dir)}")
       val inPath = s"$root/in"
+      // event_type rides along for the executed stream-stream join, which
+      // shares this staged ordered log (the sessionizer ignores it)
       val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
       ev.repartitionByRange(SessSlices, col("ts"))
         .write.mode("overwrite").parquet(inPath)
       val p = new org.apache.hadoop.fs.Path(inPath)
@@ -100,8 +103,9 @@ object StreamingOps {
       val maxTsUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       def writeSentinel(tsUs: Long, seen: Set[String], mod: Long): Set[String] = {
         import s.implicits._
-        Seq((-1L, -1L, tsUs, 0.0)).toDF("user_id", "event_id", "us", "value")
-          .select(col("user_id"), col("event_id"),
+        Seq((-1L, -1L, "sentinel", tsUs, 0.0))
+          .toDF("user_id", "event_id", "event_type", "us", "value")
+          .select(col("user_id"), col("event_id"), col("event_type"),
             timestamp_micros(col("us")).as("ts"), col("value"))
           .coalesce(1).write.mode("append").parquet(inPath)
         val now = parts().map(_.getPath.getName).toSet
@@ -333,6 +337,37 @@ object StreamingOps {
     "stream_join_click_pairs" -> ((s, dir) =>
       StreamPipelines.clickErrorJoin(Tables.events(s, dir))
         .orderBy("err_id", "clk_id")),
+
+    // ---- EXECUTED stream-stream interval join (not a batch twin) -----------
+    // Fourth executed streaming query: the last stateful streaming API
+    // whose registered evidence was mirror-only. The SAME clickErrorJoin
+    // body the batch twin uses runs under readStream over the staged
+    // ordered log — a real stream-stream inner join with watermarks on
+    // both sides and the two-sided time-range condition that bounds join
+    // state. Inner-join matches emit EAGERLY (the watermark only governs
+    // state eviction), so AvailableNow drains every pair with no sentinel
+    // flush needed; the range-ordered staging plus the 1-hour watermark
+    // delay guarantee no input row is ever late-dropped (slice k+1's min
+    // exceeds slice k's max, and eviction of a click needs the watermark
+    // past t_clk + lookback, which cannot precede a matching error's
+    // arrival). The registered result is the checkpointed SINK read back;
+    // oracle = the batch interval join.
+    "stream_join_click_exec" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = stagedSessionLog(s, dir)
+      val run = Tables.scratchDir(s, s"ssjoin_run_${execSeq.incrementAndGet()}")
+      val schema = s.read.parquet(s"$stage/in").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/in")
+      val q = StreamPipelines.clickErrorJoin(src)
+        .writeStream.format("parquet")
+        .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$run/out")
+        .select(col("err_id"), col("clk_id"), col("user_id"))
+        .orderBy("err_id", "clk_id")
+    }),
     "stream_static_enrich" -> ((s, dir) =>
       StreamPipelines.enrichWithCustomers(
         Tables.events(s, dir), Tables.load(s, dir, "customer"))
@@ -401,6 +436,23 @@ object StreamingOps {
       |       count(*) AS n_events,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+
+  /** Interval-join oracle, shared by the batch twin and the executed
+    * stream-stream form (both must equal it exactly).
+    */
+  private val ClickErrorJoinSql =
+    """WITH err AS (
+      |  SELECT event_id AS err_id, user_id, epoch_us(ts) AS t_err
+      |  FROM events WHERE event_type = 'error'
+      |), clk AS (
+      |  SELECT event_id AS clk_id, user_id, epoch_us(ts) AS t_clk
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT err_id, clk_id, err.user_id
+      |FROM err JOIN clk ON err.user_id = clk.user_id
+      |  AND clk.t_clk >= err.t_err - 30 * 60 * 1000000
+      |  AND clk.t_clk < err.t_err
+      |ORDER BY err_id, clk_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "stream_late_data_audit" ->
@@ -494,19 +546,10 @@ object StreamingOps {
         |   WHERE o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
         |FROM events e ORDER BY event_id""".stripMargin,
-    "stream_join_click_pairs" ->
-      """WITH err AS (
-        |  SELECT event_id AS err_id, user_id, epoch_us(ts) AS t_err
-        |  FROM events WHERE event_type = 'error'
-        |), clk AS (
-        |  SELECT event_id AS clk_id, user_id, epoch_us(ts) AS t_clk
-        |  FROM events WHERE event_type = 'click'
-        |)
-        |SELECT err_id, clk_id, err.user_id
-        |FROM err JOIN clk ON err.user_id = clk.user_id
-        |  AND clk.t_clk >= err.t_err - 30 * 60 * 1000000
-        |  AND clk.t_clk < err.t_err
-        |ORDER BY err_id, clk_id""".stripMargin,
+    "stream_join_click_pairs" -> ClickErrorJoinSql,
+    // the executed stream-stream join must reproduce the batch interval
+    // join exactly (inner-join emission is eager; staging is ordered)
+    "stream_join_click_exec" -> ClickErrorJoinSql,
     "stream_static_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment
         |FROM events LEFT JOIN customer ON user_id = c_custkey

@@ -168,6 +168,20 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).distinct.length >= 1)
   }
 
+  test("stream_join_click_exec: EXECUTED stream-stream interval join " +
+    "== batch interval join") {
+    // the registered query runs the full readStream → two-sided watermark
+    // → interval inner join → checkpointed parquet sink pipeline over the
+    // range-ordered staged log; read-back must equal the batch twin row
+    // for row (eager inner-join emission + ordered staging ⇒ exactness)
+    val out = graft.ops.StreamingOps.queries("stream_join_click_exec")(spark, sfDir)
+      .collect()
+    val batch = graft.ops.StreamingOps.queries("stream_join_click_pairs")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
   test("dedupWithinWatermark drops replayed duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Paths.get(tempDir("graft_dupes"))
