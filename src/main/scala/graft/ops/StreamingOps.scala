@@ -357,8 +357,15 @@ object StreamingOps {
       val stage = stagedSessionLog(s, dir)
       val run = Tables.scratchDir(s, s"ssjoin_run_${execSeq.incrementAndGet()}")
       val schema = s.read.parquet(s"$stage/in").schema
+      // 3 files per trigger → exactly two micro-batches over the 4 slices
+      // + 2 sentinels: pairs spanning the slice-2→slice-3 boundary prove
+      // cross-batch join state, while each extra batch costs a full
+      // 2-sided state-store commit cycle per shuffle partition (measured
+      // ~2-3 s/batch) that buys no additional evidence — the sessionizer
+      // keeps 1 file/trigger because its timeout flush NEEDS the sentinel
+      // in a later batch than the last real data
       val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$stage/in")
+        .option("maxFilesPerTrigger", 3).parquet(s"$stage/in")
       val q = StreamPipelines.clickErrorJoin(src)
         .writeStream.format("parquet")
         .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
