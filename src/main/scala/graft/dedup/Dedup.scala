@@ -567,10 +567,20 @@ object Dedup {
     * per-bucket row_number runs partition-parallel — the same parallel-
     * scan shape as [[graft.ops.Stats]]' rank machinery, so the sort
     * scales with executors while the DuckDB oracle keeps its one-window
-    * formulation (identical integers). Window pairs come from a w-1-way
-    * sequence explode + equi-join on rank (narrow fan-out, no range
-    * join); verification is the same exact shingle-set Jaccard as the
-    * LSH families. Returns (a, b, jaccard), a < b.
+    * formulation (identical integers). Window pairs come from a BLOCK
+    * equi-join, not a w-1-way rank explode: ranks are grouped into
+    * contiguous blocks of w, each probe row is replicated to its own
+    * block and the next (2 copies — any pair within distance w-1 spans
+    * at most two adjacent w-blocks), and the equi-join on the block id
+    * applies the cheap long-distance predicate BEFORE the shingle
+    * intersect kernel ever runs. The build side is the checkpointed
+    * ranked frame itself, already hash-partitioned on the block id, so
+    * the pair join shuffles the shingle arrays 2x (the replicas) instead
+    * of the explode form's (w-1)x, and the SHUFFLE_HASH build means no
+    * SortMergeJoin ever sorts rows carrying the arrays (the same
+    * payload-sort discipline as the triangle-count adjacency attach).
+    * Verification is the same exact shingle-set Jaccard as the LSH
+    * families. Returns (a, b, jaccard), a < b.
     */
   /** Test observability hook: the last ranked/checkpointed frame
     * [[sortedNeighborhoodPairs]] built or reused. PlanShapeSpec pins its
@@ -595,7 +605,7 @@ object Dedup {
     // compilation across calls on the same corpus.
     val ranked = snmCache.computeIfAbsent(
       (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
-        s"$idCol/$textCol/$keyLen"),
+        s"$idCol/$textCol/$keyLen/$window"),
       _ => {
         val sh = docs.select(col(idCol).as("id"),
             substring(TextOps.normalize(col(textCol)), 1, keyLen).as("key"),
@@ -612,25 +622,53 @@ object Dedup {
         val inner = Window.partitionBy(col("bk")).orderBy(col("key"), col("id"))
         sh.join(off, "bk")
           .withColumn("rn", row_number().over(inner) + col("off"))
-          .select(col("rn"), col("id"), col("s"))
+          // blk groups the rank order into contiguous blocks of w: any
+          // pair within distance w-1 lives in one block or two ADJACENT
+          // blocks, so the pair join below is an equi-join on blk with a
+          // 2-way replica explode — not a (w-1)-way rank explode
+          .select(col("rn"), floor(col("rn") / window).as("blk"),
+            col("id"), col("s"))
           // pin the CHECKPOINT's width: the frame freezes with whatever
           // partitioning the rank plan produced, and AQE's byte-coalescing
           // leaves the small bk exchange at ~4-8 partitions — every
-          // downstream stage that scans the checkpoint (the w-1 pair join
-          // and the per-pair intersect kernel, the query's CPU) then runs
+          // downstream stage that scans the checkpoint (the pair join and
+          // the per-pair intersect kernel, the query's CPU) then runs
           // that narrow forever (measured 8-wide / 28 s-CPU stages on a
           // 32-core session at 10× data; the round-11 cores report flagged
           // the 1.27× 4→32 speedup). One small exchange at build time
-          // buys full width for every probe.
+          // buys full width for every probe — and partitioning on blk
+          // means the BUILD side of the pair join is already distributed
+          // on the join key: only the 2x probe replicas shuffle.
           .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-            col("rn"))
+            col("blk"))
           .localCheckpoint(eager = false)
       })
     snmRankedForTest = ranked
-    val left = ranked.select(col("rn"), col("id").as("ia"), col("s").as("sa"))
-      .withColumn("i", explode(sequence(lit(1), lit(window - 1))))
-      .select((col("rn") + col("i")).as("rn"), col("ia"), col("sa"))
-    left.join(ranked.select(col("rn"), col("id").as("ib"), col("s").as("sb")), "rn")
+    val left = ranked
+      .select(col("rn").as("rna"), col("id").as("ia"), col("s").as("sa"),
+        col("blk"))
+      // replicate each probe row to its own block and the next: distance
+      // <= w-1 never spans more than two adjacent w-blocks
+      .withColumn("blk", explode(array(col("blk"), col("blk") + 1)))
+    left.join(
+        ranked.select(col("rn").as("rnb"), col("id").as("ib"),
+          col("s").as("sb"), col("blk")).hint("shuffle_hash"),
+        Seq("blk"))
+      // the distance predicate compares two longs; Catalyst folds an
+      // inner-join filter into the join condition, so it runs at probe
+      // time — before any shingle arrays reach the intersect kernel
+      .filter(col("rnb") > col("rna") && col("rnb") < col("rna") + window)
+      // single-kernel pre-gate: i/(A+B-i) >= t  <=>  i*(1+t) >= t*(A+B)
+      // (denominator always positive — non-empty shingle sets). The
+      // division form that the final jaccard filter folds into the join
+      // condition references the intersect kernel TWICE per candidate;
+      // this algebraic form references it once, and short-circuits the
+      // folded condition so the exact-jaccard re-check only ever runs on
+      // the (rare) survivors.
+      .filter(graft.functions.ArrayKernels
+          .sorted_intersect_count(col("sa"), col("sb")).cast("double") *
+          (lit(1.0) + minJaccard) >=
+        lit(minJaccard) * (size(col("sa")) + size(col("sb"))).cast("double"))
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col("sa"), col("sb"))
       .withColumn("inter", graft.functions.ArrayKernels.sorted_intersect_count(col("sa"), col("sb")))
