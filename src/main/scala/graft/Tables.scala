@@ -53,6 +53,31 @@ object Tables {
     }.sum
   }
 
+  /** Hash-repartition on `keys`, localCheckpoint, and RE-DECLARE the
+    * resulting layout on the returned frame. Under AQE the checkpoint's
+    * `LogicalRDD` comes back with `UnknownPartitioning` even though the
+    * rows are physically laid out `pmod(murmur3(keys), n)` — so every
+    * downstream join/aggregate on `keys` re-shuffles the full checkpoint
+    * payload. Re-tagging the true `HashPartitioning` (via the
+    * [[org.apache.spark.sql.graftbridge.Bridge]] into Spark's classic
+    * Dataset internals) lets `EnsureRequirements` elide those exchanges —
+    * the same contract as a bucketed table read, for session-lifetime
+    * working sets that would be bucketed TABLES at 100 TB.
+    *
+    * The declared layout is exactly what this method just produced
+    * (repartition immediately followed by the checkpoint), so the
+    * mis-declaration hazard of raw `tagHashPartitioned` cannot arise.
+    */
+  def checkpointHashPartitioned(df: DataFrame, keys: Seq[String],
+                                numPartitions: Int,
+                                eager: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ck = df.repartition(numPartitions, keys.map(col): _*)
+      .localCheckpoint(eager)
+    org.apache.spark.sql.graftbridge.Bridge
+      .tagHashPartitioned(ck, keys, numPartitions)
+  }
+
   /** Repair under-provisioned scan parallelism. The single-file test
     * tables carry ONE parquet row group, so their scan yields ONE input
     * partition and every downstream codegen'd kernel (gram hashing,

@@ -637,11 +637,14 @@ object Dedup {
           // 32-core session at 10× data; the round-11 cores report flagged
           // the 1.27× 4→32 speedup). One small exchange at build time
           // buys full width for every probe — and partitioning on blk
-          // means the BUILD side of the pair join is already distributed
-          // on the join key: only the 2x probe replicas shuffle.
-          .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-            col("blk"))
-          .localCheckpoint(eager = false)
+          // (with the layout RE-DECLARED on the checkpoint, which AQE
+          // otherwise returns as UnknownPartitioning) means the BUILD
+          // side of the pair join is already distributed on the join
+          // key: only the 2x probe replicas shuffle, the build side's
+          // exchange is elided outright.
+          .transform(d => graft.Tables.checkpointHashPartitioned(d,
+            Seq("blk"), docs.sparkSession.sparkContext.defaultParallelism,
+            eager = false))
       })
     snmRankedForTest = ranked
     val left = ranked

@@ -178,6 +178,13 @@ object Relational {
         .agg(sort_array(array_distinct(collect_list(col("dst")))).as("adj"))
         .select(col("src"), col("adj"), size(col("adj")).cast("long").as("d"))
         .localCheckpoint(eager = true)
+        // the groupBy above ran exchange-free on the repartition(cores,
+        // src) layout, so the checkpointed rows ARE hash(src) pmod cores
+        // — re-declare that layout (AQE checkpoints come back
+        // UnknownPartitioning) so consumers that join or re-aggregate on
+        // src skip their adjacency-side exchange entirely
+        .transform(d => org.apache.spark.sql.graftbridge.Bridge
+          .tagHashPartitioned(d, Seq("src"), cores))
     })
   }
 
@@ -478,8 +485,14 @@ object Relational {
       // (bounded: KcoreRounds·3 jobs on pinned frames — the documented
       // CC/PageRank coordination family) and the profile itself is a
       // literal 7-row frame.
-      var e = adj.select(col("src"), explode(col("adj")).as("dst"))
-        .localCheckpoint(true)
+      // narrow derivation (project + explode) of the tagged adjacency:
+      // the edge rows inherit hash(src) pmod cores, and re-declaring it
+      // on the checkpoint makes round 1's degree count and src semi-join
+      // exchange-free (checkpoints come back UnknownPartitioning)
+      var e = org.apache.spark.sql.graftbridge.Bridge.tagHashPartitioned(
+        adj.select(col("src"), explode(col("adj")).as("dst"))
+          .localCheckpoint(true),
+        Seq("src"), s.sparkContext.defaultParallelism)
       var rows = Vector((0, k, adj.count(), e.count()))
       // fixed-point early exit: once (survivors, edges) repeats, the
       // survivor set is stable (same edges → same degrees → same
