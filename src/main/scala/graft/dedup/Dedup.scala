@@ -155,6 +155,18 @@ object Dedup {
       (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
         s"$fkey/$nBands/$r"),
       _ => {
+        // NO declared layout on either half (deliberate — the
+        // checkpointHashPartitioned discipline was A/B-measured here and
+        // REJECTED, round 12): `sh` rows carry the shingle arrays, so a
+        // build-time hash(id) exchange costs more than the verify-join
+        // exchanges it would save; and pre-bucketing `bands` on
+        // (band, bh) statically co-partitions the bucket self-join,
+        // which REMOVES the exchange AQE needs as a runtime re-plan
+        // point — measured net slower (16.4 s vs 11.6 s family A/B at
+        // sf0.1) than letting AQE size/convert those narrow-row joins
+        // itself. The declared-layout trick pays where the payload is
+        // heavy and the join never broadcast-converts (the graph
+        // adjacency, the SNM ranked frame); band rows are three longs.
         val sh = sets(docs).filter(size(col("s")) > 0)
           .localCheckpoint(eager = false)
         val bands = sh
