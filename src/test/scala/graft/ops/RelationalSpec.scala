@@ -890,4 +890,23 @@ class RelationalSpec extends SparkSpec {
     assert(mass <= Relational.MarkovFp)
     assert(mass > Relational.MarkovFp * 9L / 10L)
   }
+
+  test("graph adjacency checkpoint declares its hash(src) layout") {
+    // round-12: the memoized adjacency is re-declared HashPartitioning
+    // (src, width) after its checkpoint (AQE checkpoints come back
+    // UnknownPartitioning) — this is what lets the triangle/bfs/kcore
+    // plans run their adjacency spine exchange-free (PlanShapeSpec pins
+    // the resulting exchange counts; this pins the declaration itself)
+    val adj = Relational.pageRankGraph(spark, sfDir)
+    adj.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.outputPartitioning match {
+          case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            assert(hp.numPartitions == spark.sparkContext.defaultParallelism)
+            assert(hp.expressions.flatMap(_.references).map(_.name) == Seq("src"))
+          case other => fail(s"expected HashPartitioning, got $other")
+        }
+      case other => fail(s"expected a checkpointed LogicalRDD, got $other")
+    }
+  }
 }
