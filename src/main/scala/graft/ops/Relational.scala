@@ -177,14 +177,24 @@ object Relational {
         // fully deterministic; the other consumers are order-invariant.
         .agg(sort_array(array_distinct(collect_list(col("dst")))).as("adj"))
         .select(col("src"), col("adj"), size(col("adj")).cast("long").as("d"))
+        // NO declared-layout re-tag here (Bridge.tagHashPartitioned was
+        // A/B-measured and REVERTED, round 12): declaring hash(src) on
+        // this checkpoint elides every consumer's adjacency-side
+        // ENSURE_REQUIREMENTS exchange — which looks like a win (sf0.1
+        // graph family 21.5 s -> 18.9 s) but at sf1 regressed triangles
+        // 7.9 -> 34 s, bfs 7.3 -> 16.6 s, labelprop 7.1 -> 13.7 s
+        // (window factor 1.16x on unchanged queries). Two mechanisms,
+        // both from LOSING the exchanges as AQE re-plan/materialization
+        // points: (1) derived frames (the oriented-edge o/oadj spine,
+        // the per-hop BFS edge explode) stop being shuffle-materialized
+        // and RECOMPUTE once per consumer — the triangle static plan
+        // carries the o subtree three times; (2) joins whose small side
+        // AQE broadcast-converts at runtime (labels, ranks, degrees)
+        // stay static SortMergeJoins that SORT rows carrying adjacency
+        // arrays — the round-11 payload-sort pathology reintroduced.
+        // The tag pays only where consumers join the CHECKPOINT ITSELF
+        // (SNM's pair-join build side); see PLANS.md round-12.
         .localCheckpoint(eager = true)
-        // the groupBy above ran exchange-free on the repartition(cores,
-        // src) layout, so the checkpointed rows ARE hash(src) pmod cores
-        // — re-declare that layout (AQE checkpoints come back
-        // UnknownPartitioning) so consumers that join or re-aggregate on
-        // src skip their adjacency-side exchange entirely
-        .transform(d => org.apache.spark.sql.graftbridge.Bridge
-          .tagHashPartitioned(d, Seq("src"), cores))
     })
   }
 
@@ -485,14 +495,8 @@ object Relational {
       // (bounded: KcoreRounds·3 jobs on pinned frames — the documented
       // CC/PageRank coordination family) and the profile itself is a
       // literal 7-row frame.
-      // narrow derivation (project + explode) of the tagged adjacency:
-      // the edge rows inherit hash(src) pmod cores, and re-declaring it
-      // on the checkpoint makes round 1's degree count and src semi-join
-      // exchange-free (checkpoints come back UnknownPartitioning)
-      var e = org.apache.spark.sql.graftbridge.Bridge.tagHashPartitioned(
-        adj.select(col("src"), explode(col("adj")).as("dst"))
-          .localCheckpoint(true),
-        Seq("src"), s.sparkContext.defaultParallelism)
+      var e = adj.select(col("src"), explode(col("adj")).as("dst"))
+        .localCheckpoint(true)
       var rows = Vector((0, k, adj.count(), e.count()))
       // fixed-point early exit: once (survivors, edges) repeats, the
       // survivor set is stable (same edges → same degrees → same

@@ -94,18 +94,6 @@ class PlanShapeSpec extends SparkSpec {
         widths.mkString("\n"))
   }
 
-  test("triangle plan: adjacency spine runs exchange-free") {
-    // round-12 structure pin: with the declared checkpoint layout, the
-    // static triangle plan carries exactly TWO exchanges — the
-    // algorithm's stated dst re-key and the final per-corner count agg.
-    // A third exchange means the o/oadj spine lost co-partitioning.
-    val p = SparkEntry.queries("graph_triangle_counts")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    val n = p.linesIterator.count(l =>
-      l.trim.matches(".*\\bExchange hashpartitioning.*"))
-    assert(n <= 2, s"triangle plan grew exchanges ($n):\n" + p.take(4000))
-  }
-
   test("SNM pair join: only the probe replicas shuffle") {
     // round-12 structure pin: the block join's build side IS the
     // checkpoint (declared hash(blk) layout) — the raw pair frame must

@@ -891,21 +891,21 @@ class RelationalSpec extends SparkSpec {
     assert(mass > Relational.MarkovFp * 9L / 10L)
   }
 
-  test("graph adjacency checkpoint declares its hash(src) layout") {
-    // round-12: the memoized adjacency is re-declared HashPartitioning
-    // (src, width) after its checkpoint (AQE checkpoints come back
-    // UnknownPartitioning) — this is what lets the triangle/bfs/kcore
-    // plans run their adjacency spine exchange-free (PlanShapeSpec pins
-    // the resulting exchange counts; this pins the declaration itself)
+  test("graph adjacency checkpoint does NOT declare a layout") {
+    // round-12 adjudication: re-declaring hash(src) on this checkpoint
+    // (Bridge.tagHashPartitioned) was A/B-measured and REVERTED — the
+    // elided consumer-side exchanges were AQE's re-plan/materialization
+    // points, and losing them regressed triangles 7.9 -> 34 s at sf1
+    // (derived-frame recompute + static payload-sort SMJs). This pins
+    // the DECISION: the adjacency checkpoint must stay
+    // UnknownPartitioning so consumers keep their adaptive exchanges.
     val adj = Relational.pageRankGraph(spark, sfDir)
     adj.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.outputPartitioning match {
-          case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
-            assert(hp.numPartitions == spark.sparkContext.defaultParallelism)
-            assert(hp.expressions.flatMap(_.references).map(_.name) == Seq("src"))
-          case other => fail(s"expected HashPartitioning, got $other")
-        }
+        assert(!lr.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+          s"adjacency checkpoint re-tagged (${lr.outputPartitioning}) — " +
+            "see the round-12 sf1 A/B before re-introducing this")
       case other => fail(s"expected a checkpointed LogicalRDD, got $other")
     }
   }
