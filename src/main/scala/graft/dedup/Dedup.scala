@@ -679,11 +679,18 @@ object Dedup {
       // condition references the intersect kernel TWICE per candidate;
       // this algebraic form references it once, and short-circuits the
       // folded condition so the exact-jaccard re-check only ever runs on
-      // the (rare) survivors.
+      // the (rare) survivors. The RHS is slackened by 1e-9*(A+B): the
+      // algebraic form is real-equivalent but not FLOAT-equivalent to the
+      // division form for thresholds whose (1+t) rounds (t=0.3 at a
+      // jaccard==t tie), and a too-tight gate would silently drop a pair
+      // the exact filter and the oracle keep. The slack (relative 1e-9)
+      // dwarfs the few-ulp rounding of either side, so the gate can only
+      // over-admit — the exact jaccard filter below stays the sole decider.
       .filter(graft.functions.ArrayKernels
           .sorted_intersect_count(col("sa"), col("sb")).cast("double") *
           (lit(1.0) + minJaccard) >=
-        lit(minJaccard) * (size(col("sa")) + size(col("sb"))).cast("double"))
+        lit(minJaccard - 1e-9) *
+          (size(col("sa")) + size(col("sb"))).cast("double"))
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col("sa"), col("sb"))
       .withColumn("inter", graft.functions.ArrayKernels.sorted_intersect_count(col("sa"), col("sb")))

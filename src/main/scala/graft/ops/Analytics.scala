@@ -1025,16 +1025,27 @@ object Analytics {
         sum(when(col("v") < col(s"est$p"), 1L).otherwise(0L)).as(s"lo$p"),
         sum(when(col("v") <= col(s"est$p"), 1L).otherwise(0L)).as(s"hi$p")))
       val ranks = v.crossJoin(broadcast(ests)).agg(rankCols.head, rankCols.tail: _*)
-      // exact order statistics (the oracle-checked truth)
-      val exact = v
-        .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
-        .filter(col("rn").isin(MrlProbes.map(target): _*))
-        .groupBy(col("rn")).agg(min(col("v")).as("exact_value"))
+      // exact order statistics (the oracle-checked truth), distributed:
+      // per-distinct-value counts get the two-level bucketed running sum
+      // (Stats.bucketedCumsum — the only serial window is the O(#buckets)
+      // offset table), and the rank-r statistic is the smallest v whose
+      // cumulative count reaches r. Replaces the previous
+      // row_number().over(Window.orderBy(v)) — a single-partition sort of
+      // the WHOLE column, the last one in the registry — with sorts
+      // partitioned by value bucket. Same integers: cum(v) = #elements
+      // <= v, so min(v : cum(v) >= r) IS the element at sorted position r.
+      val dist = v.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val exCols = MrlProbes.map(p =>
+        min(when(col("cnt_cum") >= target(p), col("v"))).as(s"ex$p"))
+      val exact = Stats.bucketedCumsum(dist, "v", Stats.KsBucketWidth,
+        Seq("cnt")).agg(exCols.head, exCols.tail: _*)
       val probe = s.createDataFrame(
         MrlProbes.map(p => (p, target(p)))).toDF("pct", "target_rank")
-      probe.join(exact, probe("target_rank") === exact("rn"))
+      probe.crossJoin(broadcast(exact))
         .crossJoin(broadcast(ranks))
-        .select(col("pct"), col("target_rank"), col("exact_value"),
+        .select(col("pct"), col("target_rank"),
+          MrlProbes.map(p => when(col("pct") === p, col(s"ex$p")))
+            .reduceRight(_.otherwise(_)).as("exact_value"),
           MrlProbes.map(p =>
             when(col("pct") === p,
               col(s"hi$p") >= col("target_rank") - tol &&

@@ -36,6 +36,15 @@ object Bridge {
     * must BE a checkpointed frame (its analyzed plan a bare
     * [[LogicalRDD]]) — anything else throws.
     */
+  /** Conf flag: when true, [[tagHashPartitioned]] SCANS the checkpoint
+    * before re-declaring and asserts every row actually lives in
+    * `pmod(murmur3(keys), n)` — turning the worst failure mode here (a
+    * wrongly declared layout silently mis-joins) into a loud error. On in
+    * every spec run (SparkSpec sets it), off by default at bench/prod:
+    * the validation pass reads the whole checkpoint once.
+    */
+  val ValidateLayoutKey = "spark.graft.bridge.validateLayout"
+
   def tagHashPartitioned(df: DataFrame, keys: Seq[String],
                          numPartitions: Int): DataFrame = {
     val session = df.sparkSession.asInstanceOf[ClassicSession]
@@ -44,9 +53,38 @@ object Bridge {
         require(lr.rdd.getNumPartitions == numPartitions,
           s"declared $numPartitions partitions but the checkpointed RDD " +
             s"has ${lr.rdd.getNumPartitions}")
-        val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
-          throw new IllegalArgumentException(
-            s"no column '$k' in checkpoint output ${lr.output.map(_.name)}")))
+        // Unique-match resolution (session resolver, so caseSensitive is
+        // honored): a first-match lookup over output with duplicate names
+        // could tag the WRONG attribute — and a wrong declared layout
+        // mis-joins silently by design.
+        val resolver = session.sessionState.analyzer.resolver
+        val attrs = keys.map { k =>
+          lr.output.filter(a => resolver(a.name, k)) match {
+            case Seq(one) => one
+            case Seq() => throw new IllegalArgumentException(
+              s"no column '$k' in checkpoint output ${lr.output.map(_.name)}")
+            case many => throw new IllegalArgumentException(
+              s"ambiguous column '$k': ${many.size} matches in checkpoint " +
+                s"output ${lr.output.map(_.name)}")
+          }
+        }
+        if (session.conf.get(ValidateLayoutKey, "false").toBoolean) {
+          import org.apache.spark.sql.functions.{col, spark_partition_id}
+          // HashPartitioning's OWN partition-id expression (pmod(murmur3,
+          // n)) — same seed, same null handling as the exchange that laid
+          // the rows out, so agreement here IS the elision contract.
+          val pidExpr = HashPartitioning(attrs, numPartitions)
+            .partitionIdExpression
+          val bad = Dataset.ofRows(session, lr)
+            .select(spark_partition_id().as("pid"), column(pidExpr).as("want"))
+            .filter(col("pid") =!= col("want"))
+            .limit(1).collect()
+          require(bad.isEmpty,
+            s"tagHashPartitioned: declared hash(${keys.mkString(",")}) % " +
+              s"$numPartitions, but partition ${bad.head.getInt(0)} holds " +
+              s"a row whose keys hash to partition ${bad.head.getInt(1)} — " +
+              "the checkpoint does not have the declared layout")
+        }
         // copy, changing ONLY the partitioning. The curried second
         // parameter list (session, originStats, originConstraints) must
         // ride along — dropping originStats in particular replaces the

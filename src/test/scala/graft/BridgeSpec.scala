@@ -36,11 +36,8 @@ class BridgeSpec extends SparkSpec {
     val tagged = Bridge.tagHashPartitioned(plain, Seq("k"), n)
     val probe = ranked.select(col("k"), (col("k") * 2).as("w"))
       .hint("shuffle_hash")
-    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.toString
-        .linesIterator.count(_.contains("Exchange hashpartitioning"))
-    val untaggedN = exchanges(probe.join(plain, "k"))
-    val taggedN = exchanges(probe.join(tagged, "k"))
+    val untaggedN = hashExchangeCount(probe.join(plain, "k"))
+    val taggedN = hashExchangeCount(probe.join(tagged, "k"))
     assert(taggedN == untaggedN - 1,
       s"tag should remove exactly the checkpoint-side exchange " +
         s"($untaggedN -> $taggedN)")
@@ -70,5 +67,34 @@ class BridgeSpec extends SparkSpec {
     val plain = ranked.repartition(n, col("k")).localCheckpoint()
     assertThrows[IllegalArgumentException](
       Bridge.tagHashPartitioned(plain, Seq("nope"), n))
+  }
+
+  test("layout validator catches a declaration the rows don't have") {
+    // SparkSpec turns Bridge.ValidateLayoutKey on for every spec run, so
+    // this is the validator's proof: rows physically laid out by k2=k+1
+    // but DECLARED as hash(k) — the silent-mis-join scenario — must fail
+    // loud at tag time instead of mis-joining downstream.
+    val n = spark.sparkContext.defaultParallelism
+    val wrong = ranked.withColumn("k2", col("k") + 1)
+      .repartition(n, col("k2")).localCheckpoint()
+    val ex = intercept[IllegalArgumentException](
+      Bridge.tagHashPartitioned(wrong, Seq("k"), n))
+    assert(ex.getMessage.contains("does not have the declared layout"),
+      ex.getMessage)
+    // and a CORRECT declaration passes the same row-by-row validation
+    val right = ranked.repartition(n, col("k")).localCheckpoint()
+    assert(Bridge.tagHashPartitioned(right, Seq("k"), n).count() == 1000)
+  }
+
+  test("duplicate key names in the checkpoint output are rejected") {
+    // first-match resolution over duplicate names could tag the WRONG
+    // attribute (round-12 ADVICE) — ambiguity must throw, not guess
+    val n = spark.sparkContext.defaultParallelism
+    val dup = ranked.repartition(n, col("k"))
+      .select(col("k"), col("v"), (col("k") * 1).as("k"))
+      .localCheckpoint()
+    val ex = intercept[IllegalArgumentException](
+      Bridge.tagHashPartitioned(dup, Seq("k"), n))
+    assert(ex.getMessage.contains("ambiguous"), ex.getMessage)
   }
 }

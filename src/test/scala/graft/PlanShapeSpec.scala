@@ -99,12 +99,30 @@ class PlanShapeSpec extends SparkSpec {
     // checkpoint (declared hash(blk) layout) — the raw pair frame must
     // show exactly one hashpartitioning exchange (the 2x replica side)
     val docs = Tables.load(spark, sfDir, "documents")
-    val p = graft.dedup.Dedup.sortedNeighborhoodPairs(docs)
-      .queryExecution.executedPlan.toString
-    val n = p.linesIterator.count(l =>
-      l.trim.matches(".*\\bExchange hashpartitioning.*"))
+    val pairs = graft.dedup.Dedup.sortedNeighborhoodPairs(docs)
+    val n = hashExchangeCount(pairs)
     assert(n == 1, s"expected exactly the probe-side exchange ($n):\n" +
-      p.take(4000))
+      pairs.queryExecution.executedPlan.toString.take(4000))
+  }
+
+  test("quantile_sketch_audit: no unpartitioned window over the raw column") {
+    // round-13 fix pin: the exact-order-statistics leg previously ran
+    // row_number().over(Window.orderBy(v)) — a single-partition sort of
+    // the whole fact column. It now goes through Stats.bucketedCumsum, so
+    // the ONLY unpartitioned windows allowed in the plan are the
+    // O(#buckets) offset scans ordering by the bucket key `bk` (or the
+    // O(k log n) sketch-sample scan over `sv`) — never the raw column `v`.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("quantile_sketch_audit")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val winds = lp.collect { case w: LWindow => w }
+    assert(winds.nonEmpty, "expected window nodes in the plan")
+    winds.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val ordCols = w.orderSpec.flatMap(_.child.references.toSeq).map(_.name)
+      assert(ordCols.forall(n => n == "bk" || n == "sv"),
+        s"unpartitioned window ordering by $ordCols — a single-partition " +
+          s"sort of a fact-scale column:\n$w")
+    }
   }
 
   test("column pruning reaches the scan for a narrow projection") {

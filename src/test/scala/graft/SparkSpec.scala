@@ -14,6 +14,25 @@ trait SparkSpec extends AnyFunSuite {
     * finding, same class as the stream_dedup_exec fix).
     */
   def tempDir(prefix: String): String = SparkSpec.tempDir(prefix)
+
+  /** Hash-partitioned shuffle exchanges in a physical plan, counted from
+    * the PLAN TREE (recursing through AQE wrappers) rather than by
+    * grepping the rendered string — the "Exchange hashpartitioning" text
+    * is version-dependent, so string pins broke on Spark upgrades instead
+    * of on real regressions (round-12 ADVICE).
+    */
+  def hashExchangeCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def cnt(p: SparkPlan): Int = p.collect {
+      case a: AdaptiveSparkPlanExec => cnt(a.executedPlan)
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => 1
+    }.sum
+    cnt(df.queryExecution.executedPlan)
+  }
 }
 
 object SparkSpec {
@@ -34,6 +53,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Every spec-run tagHashPartitioned call validates the declared
+      // layout row-by-row (Bridge.ValidateLayoutKey): a wrong declaration
+      // mis-joins silently in prod, so CI pays the extra checkpoint scan
+      // to fail loud instead.
+      .config(org.apache.spark.sql.graftbridge.Bridge.ValidateLayoutKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

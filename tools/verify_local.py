@@ -123,6 +123,23 @@ def main():
         flag = "  " if results[k].startswith(("OK", "rows-only")) else "!!"
         print(f"{flag} {k}: {results[k]}")
     print(f"\n{ok}/{len(results)} pass")
+    # Wall-clock budget gate (round-12 verdict #1): the driver kills Verify
+    # at ~570 s, and round 12 shipped an empty CORRECTNESS file when the
+    # sequential dump outgrew the margin. Fail the local mirror loudly if
+    # the manifest says the dump ran without >=20% headroom on its budget.
+    mpath = os.path.join(OUT_DIR, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            m = json.load(f)
+        if not m.get("subset_mode") and "wall_sec" in m:
+            budget = m.get("budget_sec", 450)
+            if m["wall_sec"] > budget:
+                print(f"!! VERIFY WALL BUDGET EXCEEDED: {m['wall_sec']}s > "
+                      f"{budget}s (driver timeout ~570s) — trim query cost "
+                      f"or raise SPARK_GRAFT_VERIFY_PAR")
+                sys.exit(2)
+            print(f"verify wall {m['wall_sec']}s within budget {budget}s "
+                  f"(par {m.get('parallelism', 1)})")
     # Committed-mirror artifact (round-9 verdict #1b): optional 3rd arg is a
     # JSON path; the round session commits this as CORRECTNESS_LOCAL_r{N}.json
     # so an empty driver-side CORRECTNESS file is attributable from the repo
