@@ -365,7 +365,10 @@ object Bench {
     // probes (< 0.85×cpus) is throttle and must be stamped.
     contended ||= vsFloor > 1.35 &&
       math.min(effCores, effCoresEnd) < cpus * 0.85 && covered.size >= 50
-    val line = s"""{"queries":$qs,"construct":$cs,"rerun":$rerunJson,"first_pass":$firstPassJson,"rerun_failed":$rerunFailedJson,"repairs":$repairs,"failed":$failedJson,"metric":"total","value":${ms(totalOk)},"unit":"sec","total_all":${ms(totalAll)},"raw_total":${ms(totalRaw)},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"load1_start":${ms(loadStart)},"waited_sec":$waitedSec,"calib_1t_sec":${ms(calib1t)},"eff_cores_start":${ms(effCores)},"eff_cores_rerun":${ms(effCoresRerun)},"eff_cores_end":${ms(effCoresEnd)},"floor_total":${ms(floorTotal)},"floor_queries":${covered.size},"vs_floor":${ms(vsFloor)}}"""
+    // `representative` makes a throttled artifact self-describing (round-13
+    // ADVICE): downstream consumers of the JSON need not read PLANS.md to
+    // know a contended window must not refresh floors or cited numbers.
+    val line = s"""{"queries":$qs,"construct":$cs,"rerun":$rerunJson,"first_pass":$firstPassJson,"rerun_failed":$rerunFailedJson,"repairs":$repairs,"failed":$failedJson,"metric":"total","value":${ms(totalOk)},"unit":"sec","total_all":${ms(totalAll)},"raw_total":${ms(totalRaw)},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"representative":${!contended},"load1_start":${ms(loadStart)},"waited_sec":$waitedSec,"calib_1t_sec":${ms(calib1t)},"eff_cores_start":${ms(effCores)},"eff_cores_rerun":${ms(effCoresRerun)},"eff_cores_end":${ms(effCoresEnd)},"floor_total":${ms(floorTotal)},"floor_queries":${covered.size},"vs_floor":${ms(vsFloor)}}"""
     println(line)
     // Durable full copy for when stdout capture truncates the line.
     try {
@@ -379,7 +382,7 @@ object Bench {
     // summary only inside sbt logger noise and recorded "parsed": null
     // (round-9 verdict #2). The summary must be the FINAL stdout line and
     // must parse on its own.
-    val summary = s"""{"metric":"total","value":${ms(totalOk)},"unit":"sec","raw_total":${ms(totalRaw)},"repairs":$repairs,"queries_run":${finalTimes.size},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"eff_cores_start":${ms(effCores)},"eff_cores_end":${ms(effCoresEnd)},"vs_floor":${ms(vsFloor)}}"""
+    val summary = s"""{"metric":"total","value":${ms(totalOk)},"unit":"sec","raw_total":${ms(totalRaw)},"repairs":$repairs,"queries_run":${finalTimes.size},"failures":${failed.size},"cpus":$cpus,"sf":"$sfDir","contended":$contended,"representative":${!contended},"eff_cores_start":${ms(effCores)},"eff_cores_end":${ms(effCoresEnd)},"vs_floor":${ms(vsFloor)}}"""
     // stop() is best-effort: if Spark shutdown throws, the driver-contract
     // summary line below must still print (a missing tail line is exactly
     // the "parsed": null failure mode of rounds 8-9).

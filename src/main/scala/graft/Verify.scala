@@ -40,7 +40,13 @@ object Verify {
     val wall0 = System.nanoTime()
     val par = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt)
-    val pool = Executors.newFixedThreadPool(par)
+    // Daemon threads + try/finally below: if a Future wrapper itself dies
+    // (OOM, interrupt — outside the per-query catch), a non-daemon fixed
+    // pool would keep the JVM alive silently past the driver's kill
+    // instead of exiting loudly (round-13 ADVICE).
+    val pool = Executors.newFixedThreadPool(par, r => {
+      val t = new Thread(r); t.setDaemon(true); t
+    })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     // (name, ok, seconds) per query — feeds manifest.json below. Future
     // order = submission order, so the manifest stays name-sorted.
@@ -70,8 +76,8 @@ object Verify {
           }
         (name, ok, (System.nanoTime() - t0) / 1e9)
       } }
+    try {
     val status = Await.result(Future.sequence(futures), Duration.Inf)
-    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -105,6 +111,7 @@ object Verify {
       .mkString("{", ",", "}")
     val manifest =
       s"""{"sf_dir": ${q(sfDir)}, "queries_total": ${status.size}, """ +
+      s""""master": ${q(spark.sparkContext.master)}, """ +
       s""""dumped": ${status.count(_._2)}, """ +
       s""""failed": ${status.count(!_._2)}, """ +
       s""""failed_names": ${status.collect { case (n, false, _) => q(n) }
@@ -121,6 +128,13 @@ object Verify {
     if (only.isEmpty && wallSec > budgetSec)
       System.err.println(s"[verify] WARNING: wall exceeds budget — the " +
         s"driver timeout is ~570 s; raise parallelism or trim query cost")
-    spark.stop()
+    } finally {
+      // Always reached, even if Await itself throws: the pool is daemon so
+      // it can't pin the JVM, and a failed session stop must not mask the
+      // original exception (which propagates and exits nonzero).
+      pool.shutdown()
+      try spark.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 }

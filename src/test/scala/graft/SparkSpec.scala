@@ -23,11 +23,18 @@ trait SparkSpec extends AnyFunSuite {
     */
   def hashExchangeCount(df: org.apache.spark.sql.DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // QueryStageExec and ReusedExchangeExec are LEAF wrappers: if the plan
+    // is counted after an action has materialized query stages, collect()
+    // stops at them and a pin could pass vacuously on an undercount
+    // (round-13 ADVICE). Recurse into both; the generic QueryStageExec
+    // match covers shuffle AND broadcast stages.
     def cnt(p: SparkPlan): Int = p.collect {
       case a: AdaptiveSparkPlanExec => cnt(a.executedPlan)
+      case s: QueryStageExec => cnt(s.plan)
+      case r: ReusedExchangeExec => cnt(r.child)
       case e: ShuffleExchangeExec
           if e.outputPartitioning.isInstanceOf[HashPartitioning] => 1
     }.sum
