@@ -36,14 +36,25 @@ object Bridge {
     * must BE a checkpointed frame (its analyzed plan a bare
     * [[LogicalRDD]]) — anything else throws.
     */
-  /** Conf flag: when true, [[tagHashPartitioned]] SCANS the checkpoint
+  /** Conf flag: when `true`, [[tagHashPartitioned]] SCANS the checkpoint
     * before re-declaring and asserts every row actually lives in
     * `pmod(murmur3(keys), n)` — turning the worst failure mode here (a
     * wrongly declared layout silently mis-joins) into a loud error. On in
     * every spec run (SparkSpec sets it), off by default at bench/prod:
     * the validation pass reads the whole checkpoint once.
+    *
+    * `sample` mode (round-13 verdict #8) checks only the first
+    * [[SampleRows]] rows of EACH partition — O(n_partitions · 64) rows
+    * instead of a full scan, cheap enough to leave on outside spec runs.
+    * It still catches every realistic misuse: a wrong key set, key order
+    * sensitivity, a wrong partition count, or a row-redistributing step
+    * between repartition and checkpoint all mis-place rows across most
+    * partitions, not in a tail one sampling could miss.
     */
   val ValidateLayoutKey = "spark.graft.bridge.validateLayout"
+
+  /** Rows checked per partition in `sample` validation mode. */
+  val SampleRows = 64
 
   def tagHashPartitioned(df: DataFrame, keys: Seq[String],
                          numPartitions: Int): DataFrame = {
@@ -68,21 +79,31 @@ object Bridge {
                 s"output ${lr.output.map(_.name)}")
           }
         }
-        if (session.conf.get(ValidateLayoutKey, "false").toBoolean) {
+        val mode = session.conf.get(ValidateLayoutKey, "false")
+        if (mode == "true" || mode == "sample") {
           import org.apache.spark.sql.functions.{col, spark_partition_id}
           // HashPartitioning's OWN partition-id expression (pmod(murmur3,
           // n)) — same seed, same null handling as the exchange that laid
           // the rows out, so agreement here IS the elision contract.
           val pidExpr = HashPartitioning(attrs, numPartitions)
             .partitionIdExpression
-          val bad = Dataset.ofRows(session, lr)
+          val checked = Dataset.ofRows(session, lr)
             .select(spark_partition_id().as("pid"), column(pidExpr).as("want"))
-            .filter(col("pid") =!= col("want"))
-            .limit(1).collect()
+          // sample mode: per-partition take(k) on the row iterator — each
+          // task stops after k rows (the select evaluates lazily), so the
+          // cost is O(partitions · k) rows, not a full checkpoint scan.
+          val bad =
+            if (mode == "sample")
+              checked.rdd.mapPartitions(_.take(SampleRows))
+                .filter(r => r.getInt(0) != r.getInt(1)).take(1)
+                .map(r => (r.getInt(0), r.getInt(1)))
+            else
+              checked.filter(col("pid") =!= col("want")).limit(1).collect()
+                .map(r => (r.getInt(0), r.getInt(1)))
           require(bad.isEmpty,
             s"tagHashPartitioned: declared hash(${keys.mkString(",")}) % " +
-              s"$numPartitions, but partition ${bad.head.getInt(0)} holds " +
-              s"a row whose keys hash to partition ${bad.head.getInt(1)} — " +
+              s"$numPartitions, but partition ${bad.head._1} holds " +
+              s"a row whose keys hash to partition ${bad.head._2} — " +
               "the checkpoint does not have the declared layout")
         }
         // copy, changing ONLY the partitioning. The curried second

@@ -86,6 +86,33 @@ class BridgeSpec extends SparkSpec {
     assert(Bridge.tagHashPartitioned(right, Seq("k"), n).count() == 1000)
   }
 
+  test("sampled validator mode catches a wrong declaration cheaply") {
+    // `sample` mode checks only the first Bridge.SampleRows rows per
+    // partition (O(partitions·64), cheap enough for prod) — prove it still
+    // catches the silent-mis-join scenario: a wrong key declaration
+    // mis-places rows in every partition, so the per-partition prefix
+    // sample must hit one.
+    val n = spark.sparkContext.defaultParallelism
+    val prev = spark.conf.get(Bridge.ValidateLayoutKey)
+    spark.conf.set(Bridge.ValidateLayoutKey, "sample")
+    try {
+      val wrong = ranked.withColumn("k2", col("k") + 1)
+        .repartition(n, col("k2")).localCheckpoint()
+      val ex = intercept[IllegalArgumentException](
+        Bridge.tagHashPartitioned(wrong, Seq("k"), n))
+      assert(ex.getMessage.contains("does not have the declared layout"),
+        ex.getMessage)
+      // and a correct declaration passes sampled validation AND still
+      // elides the exchange downstream
+      val right = ranked.repartition(n, col("k")).localCheckpoint()
+      val tagged = Bridge.tagHashPartitioned(right, Seq("k"), n)
+      val probe = ranked.select(col("k"), (col("k") * 2).as("w"))
+        .hint("shuffle_hash")
+      assert(hashExchangeCount(probe.join(tagged, "k")) ==
+        hashExchangeCount(probe.join(right, "k")) - 1)
+    } finally spark.conf.set(Bridge.ValidateLayoutKey, prev)
+  }
+
   test("duplicate key names in the checkpoint output are rejected") {
     // first-match resolution over duplicate names could tag the WRONG
     // attribute (round-12 ADVICE) — ambiguity must throw, not guess
