@@ -2525,21 +2525,75 @@ object Relational {
 
     // ---- cumulative window distributions -----------------------------------
     // percent_rank / cume_dist / nth_value over the per-priority price
-    // order: pure rank arithmetic ((r-1)/(n-1), c/n) — exact doubles in
-    // any engine — and the nth_value frame is the shared default (RANGE
-    // UNBOUNDED PRECEDING..CURRENT ROW) with a unique tie-break so RANGE
-    // and ROWS coincide. Per-partition sorts only; no global window.
+    // order — as DISTRIBUTED rank arithmetic, not a per-priority window.
+    // `Window.partitionBy(o_orderpriority)` caps the sort at 5 tasks
+    // forever (the round-14 4-vs-32-core report flagged the 1.35×
+    // speedup): at 100 TB each task would sort 20 TB. With a unique
+    // tie-break (c, o_orderkey) the three window functions are pure rank
+    // arithmetic — pr = (rn-1)/(n-1), cd = rn/n, nth_value(c,2) = the
+    // group's 2nd-smallest c (null at rn=1, its 1-row RANGE frame) — and
+    // rn decomposes bucket-wise exactly as in Stats.bucketedCumsum:
+    // rn = (rows of the priority in EARLIER value-buckets) + row_number
+    // within (priority, bucket). The serial level is the O(groups ×
+    // value-domain/width) bucket histogram; the per-row sort partitions
+    // by (priority, bucket) — width tunable via the bucket width, never
+    // capped by the 5-value group key. Same doubles: rank arithmetic is
+    // exact in any engine.
     "window_cume_dist" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("c"), col("o_orderkey"))
-      Tables.load(s, dir, "orders")
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val bw = Stats.KsBucketWidth
+      val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .withColumn("bk", expr(s"c div $bw"))
+      // bucket histogram per priority — O(groups × domain/width) rows,
+      // data-size-independent. Checkpointed: it feeds the offset/broadcast
+      // side, the per-priority totals, AND the rank-2 bucket probe, and
+      // without the lineage break each use would re-scan orders.
+      val off0 = o.groupBy(col("o_orderpriority"), col("bk"))
+        .agg(count(lit(1)).as("bcnt"))
+        .localCheckpoint()
+      // prefix offsets + totals over the tiny histogram (the only
+      // unpartitioned-by-row windows; both are O(#buckets) per group)
+      val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("bk"))
+      val wTot = Window.partitionBy(col("o_orderpriority"))
+      val off = off0.select(col("o_orderpriority"), col("bk"), col("bcnt"),
+        (sum(col("bcnt")).over(wOff) - col("bcnt")).as("boff"),
+        sum(col("bcnt")).over(wTot).as("n_p"))
+      // the bucket holding each priority's rank-2 row (first bk whose
+      // cumulative count reaches 2; null when the priority has < 2 rows —
+      // then no candidate rows survive and the left join below yields the
+      // null nth_value). The 2nd-lowest value is read off a tiny window
+      // over ONLY the rows at or below that bucket (≤ 2 buckets' worth).
+      val b2 = off.groupBy(col("o_orderpriority"))
+        .agg(min(when(col("boff") + col("bcnt") >= 2, col("bk"))).as("b2"))
+      val wCand = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("c"), col("o_orderkey"))
+      val slTbl = o.join(broadcast(b2), Seq("o_orderpriority"))
+        .filter(col("bk") <= col("b2"))
+        .withColumn("rnc", row_number().over(wCand))
+        .filter(col("rnc") === 2)
+        .select(col("o_orderpriority"), col("c").as("sl"))
+      // main pass: explicit fixed-width repartition on (priority, bucket)
+      // — the bucketedCumsum discipline: AQE's bytes-based coalescing
+      // would fold the per-row sort into 2 tasks (bytes are the wrong
+      // signal for per-row-expensive work); an explicit-width repartition
+      // is exempt. This is the fact table's only hash exchange; both
+      // joins are broadcasts, so the window adds no exchange.
+      val wTie = Window.partitionBy(col("o_orderpriority"), col("bk"))
+        .orderBy(col("c"), col("o_orderkey"))
+      o.repartition(nPart, col("o_orderpriority"), col("bk"))
+        .join(broadcast(off), Seq("o_orderpriority", "bk"))
+        .withColumn("rn", col("boff") + row_number().over(wTie))
+        .join(broadcast(slTbl), Seq("o_orderpriority"), "left")
         .select(col("o_orderkey"), col("o_orderpriority"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"),
-          nth_value(col("c"), 2).over(w).as("second_lowest"))
+          when(col("n_p") === 1, lit(0.0)).otherwise(
+            (col("rn") - 1).cast("double") / (col("n_p") - 1).cast("double"))
+            .as("pr"),
+          (col("rn").cast("double") / col("n_p").cast("double")).as("cd"),
+          when(col("rn") === 1, lit(null).cast("long"))
+            .otherwise(col("sl")).as("second_lowest"))
         .orderBy("o_orderkey")
     }),
 

@@ -125,6 +125,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("window_cume_dist: no full-table window keyed only by priority") {
+    // round-14 fix pin: the per-priority rank windows previously ran
+    // Window.partitionBy(o_orderpriority) over the whole orders table —
+    // 5 distinct values cap the sort at 5 tasks at any scale. The rank
+    // now decomposes bucket-wise: every window that sees fact-scale rows
+    // must partition by (priority, bk); a priority-only window is allowed
+    // ONLY above the rank-2 candidate pruning (a Filter in its subtree —
+    // ≤ 2 buckets' worth of rows) or over the O(#buckets) histogram.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Window => LWindow}
+    val lp = SparkEntry.queries("window_cume_dist")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val winds = lp.collect { case w: LWindow => w }
+    assert(winds.nonEmpty, "expected window nodes in the plan")
+    winds.foreach { w =>
+      val partCols = w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
+      // a table scan in the subtree (LogicalRelation / DataSourceV2
+      // relation) marks a fact-scale input; the histogram windows read
+      // the off0 checkpoint (LogicalRDD), which doesn't match
+      val overFact = w.child.collect {
+        case r if r.nodeName.contains("Relation") => r
+      }.nonEmpty
+      val pruned = w.child.collectFirst { case f: LFilter => f }.nonEmpty
+      assert(partCols.contains("bk") || pruned || !overFact,
+        s"window partitioned by $partCols over the unpruned fact scan — " +
+          s"a 5-task sort at any scale:\n$w")
+    }
+  }
+
   test("column pruning reaches the scan for a narrow projection") {
     // project_shape_docs reads a 2-column shape from documents: the scan's
     // ReadSchema must not include the wide text payload
