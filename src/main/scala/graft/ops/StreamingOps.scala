@@ -128,6 +128,52 @@ object StreamingOps {
     */
   private val execSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Shuffle width for an EXECUTED streaming query, derived from the staged
+    * input's on-disk size with the session's AQE advisory partition size.
+    * AQE cannot re-plan inside a micro-batch, so a stateful stream's
+    * state-partition count is pinned at query start from
+    * `spark.sql.shuffle.partitions` — at bench width (32) a kilobyte-state
+    * stream paid 32 state-store open+commit cycles per stateful operator
+    * per micro-batch of near-pure fixed cost (measured on
+    * stream_join_click_exec: stage wall 4.8 s, task-time sum 142.6 s, CPU
+    * 2.9 s — tasks blocked, not computing; at width 8 the same stage read
+    * 1.4 s wall). This applies the SAME volume rule AQE's partition
+    * coalescing applies to the batch twins: width = bytes / advisory,
+    * never above the configured shuffle width (so at 100 TB, where
+    * bytes/advisory vastly exceeds it, the width is exactly what the conf
+    * says — the rule only shrinks provably small state, it never caps
+    * scale-out).
+    */
+  private def streamShuffleWidth(s: SparkSession, paths: String*): Int = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val bytes = paths.map { raw =>
+      val p = new org.apache.hadoop.fs.Path(raw)
+      p.getFileSystem(hconf).getContentSummary(p).getLength
+    }.sum
+    val conf = s.sessionState.conf
+    val advisory = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    math.max(1L, math.min(conf.numShufflePartitions.toLong,
+      bytes / math.max(1L, advisory) + 1)).toInt
+  }
+
+  /** Cloned session pinned to `width` shuffle partitions for ONE streaming
+    * query. The width is captured into the query's checkpoint at start, so
+    * it must live on a session no concurrent batch query shares (Verify
+    * runs queries par-8 on one session — mutating the shared conf there
+    * would race). Clock/parquet-legacy confs that affect streaming-side
+    * expression semantics are copied explicitly: a fresh session state
+    * falls back to SparkContext-level defaults, which carry them only when
+    * this JVM's context was built by [[graft.GraftSession]].
+    */
+  private def streamSession(s: SparkSession, width: Int): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", width.toString)
+    Seq("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
+      .foreach(k => s2.conf.set(k, s.conf.get(k)))
+    s2
+  }
+
   /** stream_late_data_audit: watermark delay (µs — 6 h sits inside the
     * jittered disorder band at test SFs, so the report is non-degenerate)
     * and the arrival-bucket width of the two-level running max.
@@ -245,7 +291,9 @@ object StreamingOps {
       val stage = stagedEventLog(s, dir)
       val run = Tables.scratchDir(s, s"sdedup_run_${execSeq.incrementAndGet()}")
       val schema = s.read.parquet(s"$stage/b1").schema
-      val src = StreamPipelines.parquetSource(s, s"$stage/*", schema)
+      val s2 = streamSession(s,
+        streamShuffleWidth(s, s"$stage/b1", s"$stage/b2"))
+      val src = StreamPipelines.parquetSource(s2, s"$stage/*", schema)
       val q = StreamPipelines.dedupWithinWatermark(src, "3650 days")
         .writeStream.format("parquet")
         .option("path", s"$run/out").option("checkpointLocation", s"$run/ckpt")
@@ -277,8 +325,9 @@ object StreamingOps {
       val stage = stagedEventLog(s, dir)
       val run = Tables.scratchDir(s, s"setl_run_${execSeq.incrementAndGet()}")
       val schema = s.read.parquet(s"$stage/b1").schema
-      StreamPipelines.runFileEtlUpsert(s, s"$stage/b1", schema,
-        s"$run/out", s"$run/ckpt")
+      StreamPipelines.runFileEtlUpsert(
+        streamSession(s, streamShuffleWidth(s, s"$stage/b1")),
+        s"$stage/b1", schema, s"$run/out", s"$run/ckpt")
       // d is a partition directory column on the sink: cast pins it to the
       // string the upsert wrote (partition type inference would read it
       // back as DATE and silently change the schema vs the oracle)
@@ -307,9 +356,10 @@ object StreamingOps {
       val stage = stagedSessionLog(s, dir)
       val run = Tables.scratchDir(s, s"ssess_run_${execSeq.incrementAndGet()}")
       val schema = s.read.parquet(s"$stage/in").schema
-      val src = s.readStream.schema(schema)
+      val s2 = streamSession(s, streamShuffleWidth(s, s"$stage/in"))
+      val src = s2.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$stage/in")
-      import s.implicits._
+      import s2.implicits._
       val typed = src.withWatermark("ts", "0 seconds")
         .select(col("user_id"), col("ts"),
           unix_micros(col("ts")).as("ts_us"),
@@ -364,7 +414,8 @@ object StreamingOps {
       // ~2-3 s/batch) that buys no additional evidence — the sessionizer
       // keeps 1 file/trigger because its timeout flush NEEDS the sentinel
       // in a later batch than the last real data
-      val src = s.readStream.schema(schema)
+      val src = streamSession(s, streamShuffleWidth(s, s"$stage/in"))
+        .readStream.schema(schema)
         .option("maxFilesPerTrigger", 3).parquet(s"$stage/in")
       val q = StreamPipelines.clickErrorJoin(src)
         .writeStream.format("parquet")
