@@ -2548,33 +2548,35 @@ object Relational {
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
         .withColumn("bk", expr(s"c div $bw"))
       // bucket histogram per priority — O(groups × domain/width) rows,
-      // data-size-independent. Checkpointed: it feeds the offset/broadcast
-      // side, the per-priority totals, AND the rank-2 bucket probe, and
-      // without the lineage break each use would re-scan orders.
-      val off0 = o.groupBy(col("o_orderpriority"), col("bk"))
-        .agg(count(lit(1)).as("bcnt"))
-        .localCheckpoint()
-      // prefix offsets + totals over the tiny histogram (the only
-      // unpartitioned-by-row windows; both are O(#buckets) per group)
+      // data-size-independent; feeds only the broadcast offsets side, so
+      // it needs no lineage break (the round-14 first cut checkpointed it
+      // because a bucket-probe branch read it twice — that branch is gone,
+      // and the checkpoint was a serial materialization on the construct
+      // path). Prefix offsets + totals are the only unpartitioned-by-row
+      // windows; both are O(#buckets) per group.
       val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("bk"))
       val wTot = Window.partitionBy(col("o_orderpriority"))
-      val off = off0.select(col("o_orderpriority"), col("bk"), col("bcnt"),
-        (sum(col("bcnt")).over(wOff) - col("bcnt")).as("boff"),
-        sum(col("bcnt")).over(wTot).as("n_p"))
-      // the bucket holding each priority's rank-2 row (first bk whose
-      // cumulative count reaches 2; null when the priority has < 2 rows —
-      // then no candidate rows survive and the left join below yields the
-      // null nth_value). The 2nd-lowest value is read off a tiny window
-      // over ONLY the rows at or below that bucket (≤ 2 buckets' worth).
-      val b2 = off.groupBy(col("o_orderpriority"))
-        .agg(min(when(col("boff") + col("bcnt") >= 2, col("bk"))).as("b2"))
+      val off = o.groupBy(col("o_orderpriority"), col("bk"))
+        .agg(count(lit(1)).as("bcnt"))
+        .select(col("o_orderpriority"), col("bk"), col("bcnt"),
+          (sum(col("bcnt")).over(wOff) - col("bcnt")).as("boff"),
+          sum(col("bcnt")).over(wTot).as("n_p"))
+      // 2nd-lowest (c, o_orderkey) row per priority — a rank-2 top-k the
+      // optimizer rewrites to WindowGroupLimit: every scan partition keeps
+      // only its own 2 smallest rows BEFORE the exchange, so the
+      // priority-only window sorts ≤ 2·partitions rows, never the fact
+      // table (the first cut probed the rank-2 bucket via the checkpointed
+      // histogram instead: one more scan of orders, a broadcast join, and
+      // a filtered window — 3 plan nodes doing what the group-limit does
+      // in one).
       val wCand = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("c"), col("o_orderkey"))
-      val slTbl = o.join(broadcast(b2), Seq("o_orderpriority"))
-        .filter(col("bk") <= col("b2"))
-        .withColumn("rnc", row_number().over(wCand))
+      val slTbl = o.withColumn("rnc", row_number().over(wCand))
         .filter(col("rnc") === 2)
         .select(col("o_orderpriority"), col("c").as("sl"))
+      // fold the 5-row second-lowest table into the histogram broadcast:
+      // one BroadcastExchange + one join on the fact path instead of two
+      val offSl = off.join(slTbl, Seq("o_orderpriority"), "left")
       // main pass: explicit fixed-width repartition on (priority, bucket)
       // — the bucketedCumsum discipline: AQE's bytes-based coalescing
       // would fold the per-row sort into 2 tasks (bytes are the wrong
@@ -2584,9 +2586,8 @@ object Relational {
       val wTie = Window.partitionBy(col("o_orderpriority"), col("bk"))
         .orderBy(col("c"), col("o_orderkey"))
       o.repartition(nPart, col("o_orderpriority"), col("bk"))
-        .join(broadcast(off), Seq("o_orderpriority", "bk"))
+        .join(broadcast(offSl), Seq("o_orderpriority", "bk"))
         .withColumn("rn", col("boff") + row_number().over(wTie))
-        .join(broadcast(slTbl), Seq("o_orderpriority"), "left")
         .select(col("o_orderkey"), col("o_orderpriority"),
           when(col("n_p") === 1, lit(0.0)).otherwise(
             (col("rn") - 1).cast("double") / (col("n_p") - 1).cast("double"))

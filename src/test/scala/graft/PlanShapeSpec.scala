@@ -131,9 +131,11 @@ class PlanShapeSpec extends SparkSpec {
     // 5 distinct values cap the sort at 5 tasks at any scale. The rank
     // now decomposes bucket-wise: every window that sees fact-scale rows
     // must partition by (priority, bk); a priority-only window is allowed
-    // ONLY above the rank-2 candidate pruning (a Filter in its subtree —
-    // ≤ 2 buckets' worth of rows) or over the O(#buckets) histogram.
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Window => LWindow}
+    // ONLY when its input is pruned below it — a Filter, an aggregation
+    // (the O(#buckets) histogram), or a WindowGroupLimit (the rank-2
+    // top-k: each scan partition keeps k rows per group BEFORE the
+    // exchange, so the window sorts ≤ k·partitions rows).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Filter => LFilter, Window => LWindow, WindowGroupLimit => LWgl}
     val lp = SparkEntry.queries("window_cume_dist")(spark, sfDir)
       .queryExecution.optimizedPlan
     val winds = lp.collect { case w: LWindow => w }
@@ -141,16 +143,23 @@ class PlanShapeSpec extends SparkSpec {
     winds.foreach { w =>
       val partCols = w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
       // a table scan in the subtree (LogicalRelation / DataSourceV2
-      // relation) marks a fact-scale input; the histogram windows read
-      // the off0 checkpoint (LogicalRDD), which doesn't match
+      // relation) marks a fact-scale input
       val overFact = w.child.collect {
         case r if r.nodeName.contains("Relation") => r
       }.nonEmpty
-      val pruned = w.child.collectFirst { case f: LFilter => f }.nonEmpty
+      val pruned = w.child.collectFirst {
+        case f: LFilter => f
+        case a: LAgg => a
+        case g: LWgl => g
+      }.nonEmpty
       assert(partCols.contains("bk") || pruned || !overFact,
         s"window partitioned by $partCols over the unpruned fact scan — " +
           s"a 5-task sort at any scale:\n$w")
     }
+    // the group-limit itself must be present and in the rank-2 branch:
+    // without it the "pruned" window above would be a full 5-task sort
+    assert(lp.collect { case g: LWgl => g }.nonEmpty,
+      "expected the rank-2 branch to compile to WindowGroupLimit")
   }
 
   test("column pruning reaches the scan for a narrow projection") {
