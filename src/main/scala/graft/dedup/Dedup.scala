@@ -619,20 +619,41 @@ object Dedup {
       (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
         s"$idCol/$textCol/$keyLen/$window"),
       _ => {
-        val sh = docs.select(col(idCol).as("id"),
-            substring(TextOps.normalize(col(textCol)), 1, keyLen).as("key"),
-            // sorted ascending: the Jaccard verify below runs the
-            // two-pointer SortedIntersectCount kernel, whose contract is
-            // sorted input — shingleHashes alone emits first-occurrence
-            // order, which would undercount on non-identical near-dups
-            sort_array(TextOps.shingleHashes(TextOps.tokens(col(textCol)))).as("s"))
-          .filter(size(col("s")) > 0)
-          .withColumn("bk", substring(col("key"), 1, 2))
+        // featurize ONCE into an eager bk-partitioned checkpoint. The
+        // featurization (normalize + tokenize + shingle hash + sort) feeds
+        // TWO consumers — the bucket-offset aggregate and the rank window
+        // — and without a lineage break each consumer re-featurizes the
+        // whole corpus independently; worse, column pruning pushes the
+        // offset branch's copy BELOW the parallelism-repair repartition,
+        // so it ran at raw scan width (measured at 10x data on 32 cores:
+        // 33.4 s CPU over 8 tasks = 6.2 s serial-ish wall, PLUS a 49 s-CPU
+        // 32-wide copy for the window branch; the r14 cores report read
+        // the query at ~1.0x 4->32 speedup — the round-8 serial-stage
+        // signature). The checkpoint's declared hash(bk) layout (Bridge
+        // re-tag) also lets EnsureRequirements elide the rank window's
+        // exchange, so the arrays never move between featurization and
+        // ranking.
+        val sh = graft.Tables.checkpointHashPartitioned(
+          docs.select(col(idCol).as("id"),
+              substring(TextOps.normalize(col(textCol)), 1, keyLen).as("key"),
+              // sorted ascending: the Jaccard verify below runs the
+              // two-pointer SortedIntersectCount kernel, whose contract is
+              // sorted input — shingleHashes alone emits first-occurrence
+              // order, which would undercount on non-identical near-dups
+              sort_array(TextOps.shingleHashes(TextOps.tokens(col(textCol)))).as("s"))
+            .filter(size(col("s")) > 0)
+            .withColumn("bk", substring(col("key"), 1, 2)),
+          Seq("bk"), docs.sparkSession.sparkContext.defaultParallelism,
+          // lazy: materializes inside the first consuming action instead
+          // of a separate construct-time job (one fewer cold-path job;
+          // the broadcast build of `off` below triggers it, and the rank
+          // pass then reads the materialized partitions)
+          eager = false)
         val wOff = Window.orderBy(col("bk"))
         val off = sh.groupBy(col("bk")).agg(count(lit(1)).as("cnt"))
           .select(col("bk"), (sum(col("cnt")).over(wOff) - col("cnt")).as("off"))
         val inner = Window.partitionBy(col("bk")).orderBy(col("key"), col("id"))
-        sh.join(off, "bk")
+        sh.join(broadcast(off), "bk")
           .withColumn("rn", row_number().over(inner) + col("off"))
           // blk groups the rank order into contiguous blocks of w: any
           // pair within distance w-1 lives in one block or two ADJACENT
