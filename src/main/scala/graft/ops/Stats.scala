@@ -126,7 +126,16 @@ object Stats {
     */
   private[ops] def bucketedCumsum(g0: DataFrame, orderCol: String,
                              bucketWidth: Long, cs: Seq[String]): DataFrame = {
+    // lazy lineage break: `g` feeds BOTH the bucket-offset aggregate and
+    // the main running-sum pass, and without it each consumer recomputes
+    // g0's whole subtree — for every caller in this family g0 is a
+    // groupBy over a fact scan, so the facts were scanned and partially
+    // aggregated twice (measured on histogram_equidepth at 10x data: two
+    // identical ~5 s-CPU scan+agg stages). The checkpoint materializes
+    // the O(distinct) frame once; lazy, so it rides the first consuming
+    // action instead of a construct-time job.
     val g = g0.withColumn("bk", expr(s"$orderCol div $bucketWidth"))
+      .localCheckpoint(false)
     val aggs = cs.map(c => sum(col(c)).as(s"bt_$c"))
     val wOff = Window.orderBy("bk")
     val off = g.groupBy(col("bk")).agg(aggs.head, aggs.tail: _*)
@@ -164,7 +173,9 @@ object Stats {
   private[ops] def bucketedCumsumBy(g0: DataFrame, groupCol: String,
                                     orderCol: String, bucketWidth: Long,
                                     cs: Seq[String]): DataFrame = {
+    // same lazy lineage break as [[bucketedCumsum]] (see comment there)
     val g = g0.withColumn("bk", expr(s"$orderCol div $bucketWidth"))
+      .localCheckpoint(false)
     val aggs = cs.map(c => sum(col(c)).as(s"bt_$c"))
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("bk"))
     val off = g.groupBy(col(groupCol), col("bk")).agg(aggs.head, aggs.tail: _*)
@@ -295,6 +306,15 @@ object Stats {
       val dec = (c: Column) => c.cast("decimal(19,0)")
       val byQ = li
         .join(broadcast(rank2(li, "q")), "q")
+        // explicit-width repartition on the join key (the bucketedCumsum
+        // discipline): the rank join and the grouped-moment aggregate
+        // above it are CPU-heavy decimal work relative to their bytes, and
+        // AQE's byte-based coalescing squeezed the ENSURE_REQUIREMENTS
+        // exchange to 4 tasks at 10x data (15.5 s CPU / 4.3 s wall on a
+        // 32-core session). User-specified width is AQE-exempt and
+        // satisfies the shuffle-hash join's distribution requirement.
+        .repartition(li.sparkSession.sessionState.conf.numShufflePartitions,
+          col("p"))
         // shuffle-hash, not broadcast: the price rank table is O(distinct
         // prices) — near-fact-scale — and must never ship to every
         // executor; co-partitioning on p is the 100 TB shape
