@@ -128,7 +128,12 @@ object Learn {
     * on both engines — noted in the scaladoc of the queries).
     */
   private def nbTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    // parallelized: the tokenize+explode is the CPU of both NB queries and
+    // otherwise runs at raw scan width (1 task on the single-row-group
+    // test files — the same under-provisioned-scan repair every other
+    // text-family query applies; an exact no-op once the scan has
+    // session-width splits)
+    Tables.parallelized(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("lang"),
         explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
@@ -138,8 +143,17 @@ object Learn {
     * groupBys; nothing fact-scale ever sits on one node.
     */
   private def nbCounts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    // lazy lineage break on the (class, token) count table: c fans out to
+    // t, v, the smoothed-weight table, and the class-prior table, and
+    // without it each consumer re-ran the corpus tokenize + explode +
+    // count (vocabulary-scale output, corpus-scale input — the most
+    // expensive subtree in both NB queries, executed up to 5x). The
+    // checkpoint is O(classes x vocab) rows; tokenization now runs once
+    // for the model (the per-doc predict-side tokenize is a separate,
+    // necessarily per-doc pass).
     val c = nbTokens(s, dir).groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val t = c.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
     val v = c.agg(countDistinct(col("tok")).as("vocab"))
     (c, t, v)
