@@ -633,7 +633,7 @@ object Dedup {
       (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
         s"$idCol/$textCol/$keyLen/$window"),
       _ => {
-        // featurize ONCE into an eager bk-partitioned checkpoint. The
+        // featurize ONCE into a lazy bk-partitioned checkpoint. The
         // featurization (normalize + tokenize + shingle hash + sort) feeds
         // TWO consumers — the bucket-offset aggregate and the rank window
         // — and without a lineage break each consumer re-featurizes the

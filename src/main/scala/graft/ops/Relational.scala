@@ -491,12 +491,19 @@ object Relational {
       // map-side-combined degree count plus two semi-joins against the
       // (small, checkpointed) survivor set — the full edge list is never
       // re-joined after round 1, so later rounds cost proportional to
-      // what actually survives. Counts are driver actions per round
-      // (bounded: KcoreRounds·3 jobs on pinned frames — the documented
-      // CC/PageRank coordination family) and the profile itself is a
-      // literal 7-row frame.
+      // what actually survives. The profile itself is a literal 7-row
+      // frame. Driver actions are the round's only serial cost, so each
+      // checkpoint is LAZY and its count() is issued immediately: the one
+      // count job both materializes the checkpoint and returns the
+      // profile number — 2 driver actions per round instead of the 4 the
+      // eager-checkpoint-then-count form paid (the profile query is pure
+      // sequential job latency — round-15 A/B numbers in
+      // OPTIMIZATION_r15.md). The pageRankGraph lazy-checkpoint hazard
+      // (toRdd re-materializing upstream per downstream plan) does not
+      // arise because the count() action runs before any downstream plan
+      // is constructed from the frame.
       var e = adj.select(col("src"), explode(col("adj")).as("dst"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var rows = Vector((0, k, adj.count(), e.count()))
       // fixed-point early exit: once (survivors, edges) repeats, the
       // survivor set is stable (same edges → same degrees → same
@@ -509,11 +516,12 @@ object Relational {
       while (r <= KcoreRounds && !converged) {
         val surv = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= k).select(col("src").as("node"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
+        val nSurv = surv.count()
         e = e.join(surv.withColumnRenamed("node", "src"), "src")
           .join(surv.withColumnRenamed("node", "dst"), "dst")
-          .localCheckpoint(true)
-        rows :+= ((r, k, surv.count(), e.count()))
+          .localCheckpoint(false)
+        rows :+= ((r, k, nSurv, e.count()))
         converged = rows(r)._3 == rows(r - 1)._3 && rows(r)._4 == rows(r - 1)._4
         r += 1
       }
@@ -1442,6 +1450,19 @@ object Relational {
           countDistinct(col(c)).as(s"ndv_$c"),
           min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
         val one = df.agg(aggs.head, aggs.tail: _*)
+        // The per-column stacking below is a #cols-way union of selects
+        // from `one`; column pruning specializes each branch into its own
+        // single-column scan + single-distinct aggregate. That is the
+        // MEASURED winner, not an accident (round-15 A/B): each branch
+        // reads exactly one parquet column and its single countDistinct
+        // plans WITHOUT Expand, so total bytes = every column read once
+        // and the ~30 small stages overlap under AQE (2.1 s in-suite at
+        // sf0.1). Fusing all columns into the one `stack()`-unpivoted
+        // multi-distinct aggregate — the "one pass per table" shape —
+        // Expands every row (1 + #distinct-cols)× at scan width: 12.2 s
+        // CPU in a 3-task stage, 14.3 s cold vs 2.7 s for this shape at
+        // sf0.1. The stage-count flag in the round-14 cores report is
+        // job-DAG latency, not a duplicated scan; closed as adjudicated.
         def fmt(c: String)(v: Column): Column =
           if (dateCols.contains(c)) date_format(v, "yyyy-MM-dd")
           else v.cast("string")
@@ -1480,7 +1501,13 @@ object Relational {
             .cast("long").as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("cnt")),
         "v", 1000000L, Seq("cnt"))
-      val n = cum.agg(sum(col("cnt")).as("n"))
+      // n from a count-only scan (ReadSchema empty — the vectorized
+      // reader returns batch row counts without decoding a column), NOT
+      // from cum.agg(sum(cnt)): that branch re-derived the whole
+      // prefix-sum pipeline (join + window + both aggregates) just to
+      // total it (round-15 stage table: two extra pipeline copies), and
+      // the oracle's own n is literally count(*) of the fact rows.
+      val n = Tables.load(s, dir, "lineitem").agg(count(lit(1)).as("n"))
       val targets = n.select(explode(sequence(lit(1L), lit(HistBuckets)))
           .as("bucket"), col("n"))
         .select(col("bucket"),

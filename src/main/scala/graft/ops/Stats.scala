@@ -126,38 +126,59 @@ object Stats {
     */
   private[ops] def bucketedCumsum(g0: DataFrame, orderCol: String,
                              bucketWidth: Long, cs: Seq[String]): DataFrame = {
-    // lazy lineage break: `g` feeds BOTH the bucket-offset aggregate and
-    // the main running-sum pass, and without it each consumer recomputes
-    // g0's whole subtree — for every caller in this family g0 is a
-    // groupBy over a fact scan, so the facts were scanned and partially
-    // aggregated twice (measured on histogram_equidepth at 10x data: two
-    // identical ~5 s-CPU scan+agg stages). The checkpoint materializes
-    // the O(distinct) frame once; lazy, so it rides the first consuming
-    // action instead of a construct-time job.
+    // ONE explicit bucket-keyed exchange SHARED by both consumers: `g`
+    // feeds the bucket-offset aggregate AND the main running-sum window,
+    // and both need exactly hash(bk) distribution — putting the
+    // repartition below the fork lets exchange reuse compute g0's whole
+    // subtree once (one fact scan, one shuffle write, two reads). This
+    // replaces the round-14 lazy localCheckpoint, whose block-manager
+    // materialization of the O(distinct) frame cost more than the
+    // duplicated scan it saved below corpus scale (histogram_equidepth
+    // sf1: an 18 s-CPU 32-wide checkpoint-write stage vs ~10 s of saved
+    // scan+agg; weighted_median sf0.1 2.78→5.12 s — the round-14 verdict
+    // watch items), and the round-13 no-break shape, which scanned the
+    // facts twice. The shuffle the window needed anyway IS the shared
+    // materialization — nothing extra is written at any scale.
+    //
+    // The repartition width is EXPLICIT (session shuffle parallelism),
+    // not the implicit ENSURE_REQUIREMENTS exchange: AQE's bytes-based
+    // coalescing sees a few-MB distinct-value frame and folds the
+    // CPU-heavy running-sum window into ONE task (measured 2.1 s
+    // single-task stages at sf0.1 in this family — bytes are the wrong
+    // coalescing signal for per-row-expensive window work). The offsets
+    // side is O(buckets) rows — broadcast, so the shared exchange stays
+    // the ONLY fact-scale exchange between the cell aggregation and the
+    // output. numShufflePartitions (already an Int) rather than parsing
+    // the raw conf string: platforms that set "auto" would
+    // NumberFormatException every prefix-sum query outside
+    // GraftSession-built sessions.
+    val nPart = g0.sparkSession.sessionState.conf.numShufflePartitions
+    // explicit isnotnull(bk) BELOW the shared exchange: the inner join on
+    // bk drops null keys anyway (so this filters nothing the output ever
+    // kept), but without it InferFiltersFromConstraints pushes the
+    // null-filter down the join-side branch ONLY — the two exchange
+    // subtrees stop being canonically equal and the runtime stage cache
+    // cannot dedupe them (round-15 plan diff: the off branch carried the
+    // filter above its window instead).
     val g = g0.withColumn("bk", expr(s"$orderCol div $bucketWidth"))
-      .localCheckpoint(false)
-    val aggs = cs.map(c => sum(col(c)).as(s"bt_$c"))
-    val wOff = Window.orderBy("bk")
+      .filter(col("bk").isNotNull)
+      .repartition(nPart, col("bk"))
+    // the offsets window orders buckets by min(orderCol) — the SAME total
+    // order as bk (bk = orderCol div width is monotone, buckets are
+    // disjoint ranges), chosen so the offsets branch still references
+    // orderCol: otherwise column pruning drops it from this branch's
+    // final aggregate and the two copies of the shared exchange stop
+    // being canonically equal — the runtime stage cache then runs the
+    // distinct-value aggregate and shuffle twice (round-15 stage tables:
+    // two ~0.5 s final-agg stages collapse to one)
+    val aggs = cs.map(c => sum(col(c)).as(s"bt_$c")) :+
+      min(col(orderCol)).as("bk_lo")
+    val wOff = Window.orderBy("bk_lo")
     val off = g.groupBy(col("bk")).agg(aggs.head, aggs.tail: _*)
       .select(col("bk") +: cs.map(c =>
         (sum(col(s"bt_$c")).over(wOff) - col(s"bt_$c")).as(s"off_$c")): _*)
     val inner = Window.partitionBy(col("bk")).orderBy(col(orderCol))
-    // EXPLICIT fixed-width repartition on the window key, not the implicit
-    // ENSURE_REQUIREMENTS exchange: AQE's bytes-based coalescing sees a
-    // few-MB distinct-value frame and folds the CPU-heavy running-sum
-    // window into ONE task (measured 2.1 s single-task stages at sf0.1 in
-    // this family — the whole clean-window variance flagged in round 9:
-    // a serial stage inflates 1:1 with whichever single core it lands on,
-    // while wide stages average degradation out). Bytes are the wrong
-    // coalescing signal for per-row-expensive window work; the count is
-    // pinned to the session's shuffle parallelism so AQE cannot coalesce
-    // it. The offsets side is O(buckets) rows — broadcast, so this stays
-    // the ONLY exchange between the cell aggregation and the output.
-    // numShufflePartitions (already an Int) rather than parsing the raw
-    // conf string: platforms that set "auto" would NumberFormatException
-    // every prefix-sum query outside GraftSession-built sessions.
-    val nPart = g0.sparkSession.sessionState.conf.numShufflePartitions
-    g.repartition(nPart, col("bk")).join(broadcast(off), "bk")
+    g.join(broadcast(off), "bk")
       .select(g0.columns.map(col) ++ cs.map(c =>
         (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)
   }
@@ -173,22 +194,25 @@ object Stats {
   private[ops] def bucketedCumsumBy(g0: DataFrame, groupCol: String,
                                     orderCol: String, bucketWidth: Long,
                                     cs: Seq[String]): DataFrame = {
-    // same lazy lineage break as [[bucketedCumsum]] (see comment there)
+    // same shared-exchange shape and explicit-width discipline as
+    // [[bucketedCumsum]] (see comment there), keyed on (group, bucket)
+    val nPart = g0.sparkSession.sessionState.conf.numShufflePartitions
     val g = g0.withColumn("bk", expr(s"$orderCol div $bucketWidth"))
-      .localCheckpoint(false)
-    val aggs = cs.map(c => sum(col(c)).as(s"bt_$c"))
-    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("bk"))
+      .filter(col(groupCol).isNotNull && col("bk").isNotNull)
+      .repartition(nPart, col(groupCol), col("bk"))
+    // min(orderCol) as the offsets order key — same role as in
+    // [[bucketedCumsum]]: within a group, bucket order == min-value order,
+    // and referencing orderCol keeps the two shared-exchange copies
+    // canonically equal under column pruning
+    val aggs = cs.map(c => sum(col(c)).as(s"bt_$c")) :+
+      min(col(orderCol)).as("bk_lo")
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("bk_lo"))
     val off = g.groupBy(col(groupCol), col("bk")).agg(aggs.head, aggs.tail: _*)
       .select(col(groupCol) +: col("bk") +: cs.map(c =>
         (sum(col(s"bt_$c")).over(wOff) - col(s"bt_$c")).as(s"off_$c")): _*)
     val inner = Window.partitionBy(col(groupCol), col("bk"))
       .orderBy(col(orderCol))
-    // same explicit-width discipline as [[bucketedCumsum]] (see comment
-    // there): pin the window exchange at the session's shuffle
-    // parallelism so AQE's bytes-based coalescing can't serialize the
-    // per-row-expensive running sums into one task.
-    val nPart = g0.sparkSession.sessionState.conf.numShufflePartitions
-    g.repartition(nPart, col(groupCol), col("bk")).join(broadcast(off), Seq(groupCol, "bk"))
+    g.join(broadcast(off), Seq(groupCol, "bk"))
       .select(g0.columns.map(col) ++ cs.map(c =>
         (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)
   }
@@ -525,7 +549,12 @@ object Stats {
       val nd = (c: Column) => c.cast("double")
       val terms = byG.select(col("p"), col("ng"), col("r2g"),
         ((nd(col("r2g")) / 2.0) * (nd(col("r2g")) / 2.0) / nd(col("ng"))).as("term"))
-      val ties = ranked.agg(
+      // tie term from the per-value counts directly, not from `ranked`:
+      // the rank table's copy re-derived the whole prefix-sum pipeline
+      // (join + window) just to re-read cnt, while this subtree stops at
+      // the groupBy(v) aggregate — whose scan+partial stage is shared
+      // with the rank branch by the runtime stage cache
+      val ties = o.groupBy(col("v")).agg(count(lit(1)).as("cnt")).agg(
         sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
       val agg = terms.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
         aggregate(array_sort(collect_list(struct(col("p"), col("term")))),
@@ -1025,11 +1054,20 @@ object Stats {
       // group-aware two-level prefix sum (see weighted_median_price)
       val cum = bucketedCumsumBy(g, "p", "v", 1000000L, Seq("cnt"))
         .select(col("p"), col("v"), col("cnt"), col("cnt_cum").as("cw"))
-      val tot = g.groupBy(col("p")).agg(sum(col("cnt")).as("n"),
-        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      // per-group totals as a window ON the cum output, not a second
+      // branch over `g`: max(cw) per priority IS sum(cnt) (the running
+      // count's last value), and lo/hi are plain min/max — the separate
+      // `tot` branch re-derived the grouped fact aggregate a second time
+      // (round-15: the prefix-sum rework removed the lineage break that
+      // used to hide this). The O(distinct cells) window re-shuffles on
+      // p only — no fact pass, no join-back.
+      val wp = Window.partitionBy(col("p"))
       def pick(rank: Column): Column =
         min(when(col("cw") >= rank, col("v")))
-      val q = cum.join(tot, "p")
+      val q = cum
+        .withColumn("n", max(col("cw")).over(wp))
+        .withColumn("lo", min(col("v")).over(wp))
+        .withColumn("hi", max(col("v")).over(wp))
         .groupBy(col("p"), col("n"), col("lo"), col("hi"))
         .agg(pick(expr("(n + 3) div 4")).as("q1"), // ceil(n/4)
           pick(expr("(n + 1) div 2")).as("med"), // lower median
@@ -1114,9 +1152,13 @@ object Stats {
       val cum = bucketedCumsumBy(g, "p", "v", 1000000L, Seq("cnt", "wt"))
         .select(col("p"), col("v"),
           col("cnt_cum").as("cc"), col("wt_cum").as("cw"))
-      val tot = g.groupBy(col("p"))
-        .agg(sum(col("cnt")).as("n"), sum(col("wt")).as("tw"))
-      cum.join(tot, "p")
+      // totals as a window ON cum (max of a running sum = its last value
+      // = the group total; wt ≥ 1 so cw is monotone), not a second
+      // branch over `g` — see boxplot_price_by_priority
+      val wp = Window.partitionBy(col("p"))
+      cum
+        .withColumn("n", max(col("cc")).over(wp))
+        .withColumn("tw", max(col("cw")).over(wp))
         .groupBy(col("p"), col("n"), col("tw"))
         .agg(min(when(col("cc") * 2 >= col("n"), col("v"))).as("median_cents"),
           min(when(col("cw") * 2 >= col("tw"), col("v"))).as("wmedian_cents"))
@@ -1138,9 +1180,11 @@ object Stats {
       // same group-aware two-level discipline as weighted_median_price
       val cum = bucketedCumsumBy(g, "p", "v", 1000000L, Seq("cnt"))
         .select(col("p"), col("v"), col("cnt_cum").as("cw"))
-      val tot = g.groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+      // per-group total as a window ON cum — see boxplot_price_by_priority
+      val wp = Window.partitionBy(col("p"))
       def pick(rank: Column): Column = min(when(col("cw") >= rank, col("v")))
-      val q = cum.join(tot, "p").groupBy(col("p"), col("n"))
+      val q = cum.withColumn("n", max(col("cw")).over(wp))
+        .groupBy(col("p"), col("n"))
         .agg(pick(expr("(n * 5 + 99) div 100")).as("p05"),
           pick(expr("(n * 95 + 99) div 100")).as("p95"))
       o.join(broadcast(q), "p")

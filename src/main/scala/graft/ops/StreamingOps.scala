@@ -153,8 +153,16 @@ object StreamingOps {
     val conf = s.sessionState.conf
     val advisory = conf.getConf(
       org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    // the staged input is parquet — compressed and encoded on disk — while
+    // the advisory size is calibrated to UNCOMPRESSED in-flight bytes, so
+    // dividing raw disk bytes by it understates the width ~3-10x
+    // (round-14 ADVICE). Scale by a conservative encoded→in-flight
+    // expansion factor before dividing; the clamp to the configured width
+    // is unchanged, so at scale (bytes/advisory >> conf width either way)
+    // this still never caps scale-out.
+    val expansion = 4L
     math.max(1L, math.min(conf.numShufflePartitions.toLong,
-      bytes / math.max(1L, advisory) + 1)).toInt
+      bytes * expansion / math.max(1L, advisory) + 1)).toInt
   }
 
   /** Cloned session pinned to `width` shuffle partitions for ONE streaming
@@ -168,9 +176,22 @@ object StreamingOps {
     */
   private def streamSession(s: SparkSession, width: Int): SparkSession = {
     val s2 = s.newSession()
+    // copy EVERY runtime conf override the parent session carries, not a
+    // 2-key allowlist: any semantics-affecting conf set on the parent at
+    // runtime must reach the executed stream exactly as it reaches its
+    // batch twin (round-14 ADVICE). Static confs are fixed at context
+    // level and unsettable per-session — skipped. The width override is
+    // applied LAST so it wins over a copied parent width.
+    s.sessionState.conf.getAllConfs
+      .filter { case (k, _) =>
+        // SQL runtime confs only: getAllConfs also surfaces core spark.*
+        // context properties (driver port/host, app id) that are not
+        // per-session-settable, and static SQL confs are fixed at context
+        // level — both throw CANNOT_MODIFY_CONFIG
+        k.startsWith("spark.sql.") &&
+          !org.apache.spark.sql.internal.SQLConf.isStaticConfigKey(k) }
+      .foreach { case (k, v) => s2.conf.set(k, v) }
     s2.conf.set("spark.sql.shuffle.partitions", width.toString)
-    Seq("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
-      .foreach(k => s2.conf.set(k, s.conf.get(k)))
     s2
   }
 

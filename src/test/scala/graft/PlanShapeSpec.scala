@@ -110,8 +110,12 @@ class PlanShapeSpec extends SparkSpec {
     // row_number().over(Window.orderBy(v)) — a single-partition sort of
     // the whole fact column. It now goes through Stats.bucketedCumsum, so
     // the ONLY unpartitioned windows allowed in the plan are the
-    // O(#buckets) offset scans ordering by the bucket key `bk` (or the
-    // O(k log n) sketch-sample scan over `sv`) — never the raw column `v`.
+    // O(#buckets) offset scans ordering by the bucket key `bk` or its
+    // round-15 stand-in `bk_lo` (min(v) per bucket — same total order,
+    // kept so the offsets branch stays canonically equal to the main
+    // branch under column pruning; the window input is still the
+    // O(#buckets) per-bucket-totals aggregate), or the O(k log n)
+    // sketch-sample scan over `sv` — never the raw column `v`.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val lp = SparkEntry.queries("quantile_sketch_audit")(spark, sfDir)
       .queryExecution.optimizedPlan
@@ -119,7 +123,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(winds.nonEmpty, "expected window nodes in the plan")
     winds.filter(_.partitionSpec.isEmpty).foreach { w =>
       val ordCols = w.orderSpec.flatMap(_.child.references.toSeq).map(_.name)
-      assert(ordCols.forall(n => n == "bk" || n == "sv"),
+      assert(ordCols.forall(n => n == "bk" || n == "bk_lo" || n == "sv"),
         s"unpartitioned window ordering by $ordCols — a single-partition " +
           s"sort of a fact-scale column:\n$w")
     }
@@ -135,7 +139,7 @@ class PlanShapeSpec extends SparkSpec {
     // (the O(#buckets) histogram), or a WindowGroupLimit (the rank-2
     // top-k: each scan partition keeps k rows per group BEFORE the
     // exchange, so the window sorts ≤ k·partitions rows).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Filter => LFilter, Window => LWindow, WindowGroupLimit => LWgl}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Filter => LFilter, LogicalPlan, Window => LWindow, WindowGroupLimit => LWgl}
     val lp = SparkEntry.queries("window_cume_dist")(spark, sfDir)
       .queryExecution.optimizedPlan
     val winds = lp.collect { case w: LWindow => w }
@@ -147,11 +151,18 @@ class PlanShapeSpec extends SparkSpec {
       val overFact = w.child.collect {
         case r if r.nodeName.contains("Relation") => r
       }.nonEmpty
-      val pruned = w.child.collectFirst {
-        case f: LFilter => f
-        case a: LAgg => a
-        case g: LWgl => g
-      }.nonEmpty
+      // pruned means: EVERY relation leaf under the window has a
+      // Filter/Aggregate/WindowGroupLimit on its path to the window — a
+      // pruning node on one join branch (e.g. the broadcast histogram's
+      // aggregate) must not excuse an unpruned fact scan on the other
+      // (round-14 ADVICE: collectFirst accepted any pruning node
+      // anywhere in the subtree)
+      def prunedToLeaves(p: LogicalPlan): Boolean = p match {
+        case _: LFilter | _: LAgg | _: LWgl => true
+        case r if r.nodeName.contains("Relation") => false
+        case other => other.children.forall(prunedToLeaves)
+      }
+      val pruned = prunedToLeaves(w.child)
       assert(partCols.contains("bk") || pruned || !overFact,
         s"window partitioned by $partCols over the unpruned fact scan — " +
           s"a 5-task sort at any scale:\n$w")
