@@ -143,17 +143,22 @@ object Learn {
     * groupBys; nothing fact-scale ever sits on one node.
     */
   private def nbCounts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    // lazy lineage break on the (class, token) count table: c fans out to
-    // t, v, the smoothed-weight table, and the class-prior table, and
-    // without it each consumer re-ran the corpus tokenize + explode +
-    // count (vocabulary-scale output, corpus-scale input — the most
-    // expensive subtree in both NB queries, executed up to 5x). The
-    // checkpoint is O(classes x vocab) rows; tokenization now runs once
-    // for the model (the per-doc predict-side tokenize is a separate,
-    // necessarily per-doc pass).
+    // NO lineage break here (round-15 revert of the round-14 lazy
+    // localCheckpoint): c fans out to t, v, the smoothed-weight table and
+    // the class-prior table, so the corpus tokenize+explode+count re-runs
+    // per consumer — but each copy is a narrow scan feeding a map-side-
+    // combined partial aggregate that compresses to vocab scale
+    // immediately, while the checkpoint paid a (classes x vocab)
+    // materialization plus a construct-time job chain. Measured at BOTH
+    // available scales the recompute shape wins (sf0.1 cold triple
+    // 13.5 s -> 12.3 s; sf1 committed like-window artifacts read
+    // nb_predict 4.47 s in r13's recompute shape vs 5.62-5.73 s with the
+    // r14 checkpoint). The crossover where a session checkpoint would pay
+    // was not reached at any measurable SF; at true corpus scale the
+    // right artifact is a persisted model TABLE written once by
+    // nb_train, not a per-query lineage break.
     val c = nbTokens(s, dir).groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
     val t = c.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
     val v = c.agg(countDistinct(col("tok")).as("vocab"))
     (c, t, v)
