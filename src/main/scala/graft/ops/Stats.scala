@@ -174,13 +174,23 @@ object Stats {
     val aggs = cs.map(c => sum(col(c)).as(s"bt_$c")) :+
       min(col(orderCol)).as("bk_lo")
     val wOff = Window.orderBy("bk_lo")
+    // grand totals ride the SAME O(#buckets) offsets frame and the same
+    // broadcast join (an unbounded window over the per-bucket totals):
+    // callers that need "sum of c over everything" read `${c}_tot` off
+    // any row instead of growing a second fact branch or a fact-scale
+    // totals window — both measured regressions (round 15).
+    val wTot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val off = g.groupBy(col("bk")).agg(aggs.head, aggs.tail: _*)
-      .select(col("bk") +: cs.map(c =>
-        (sum(col(s"bt_$c")).over(wOff) - col(s"bt_$c")).as(s"off_$c")): _*)
+      .select(col("bk") +:
+        (cs.map(c =>
+          (sum(col(s"bt_$c")).over(wOff) - col(s"bt_$c")).as(s"off_$c")) ++
+         cs.map(c => sum(col(s"bt_$c")).over(wTot).as(s"${c}_tot"))): _*)
     val inner = Window.partitionBy(col("bk")).orderBy(col(orderCol))
     g.join(broadcast(off), "bk")
       .select(g0.columns.map(col) ++ cs.map(c =>
-        (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)
+        (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")) ++
+        cs.map(c => col(s"${c}_tot")): _*)
   }
 
   /** Group-aware two-level prefix sum: running totals of `cs` per
@@ -207,14 +217,25 @@ object Stats {
     val aggs = cs.map(c => sum(col(c)).as(s"bt_$c")) :+
       min(col(orderCol)).as("bk_lo")
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("bk_lo"))
+    // per-group totals ride the same O(groups x buckets) offsets frame
+    // and broadcast join (see [[bucketedCumsum]]): `${c}_tot` is the
+    // group's grand total on every row — callers stop growing a second
+    // fact branch (tot = g.groupBy(p).agg — a second scan+agg) or a
+    // fact-scale totals window (a partitionBy(p) exchange whose width is
+    // capped by the 3-5 distinct group values at ANY scale).
+    val wTot = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val off = g.groupBy(col(groupCol), col("bk")).agg(aggs.head, aggs.tail: _*)
-      .select(col(groupCol) +: col("bk") +: cs.map(c =>
-        (sum(col(s"bt_$c")).over(wOff) - col(s"bt_$c")).as(s"off_$c")): _*)
+      .select(col(groupCol) +: col("bk") +:
+        (cs.map(c =>
+          (sum(col(s"bt_$c")).over(wOff) - col(s"bt_$c")).as(s"off_$c")) ++
+         cs.map(c => sum(col(s"bt_$c")).over(wTot).as(s"${c}_tot"))): _*)
     val inner = Window.partitionBy(col(groupCol), col("bk"))
       .orderBy(col(orderCol))
     g.join(broadcast(off), Seq(groupCol, "bk"))
       .select(g0.columns.map(col) ++ cs.map(c =>
-        (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")): _*)
+        (sum(col(c)).over(inner) + col(s"off_$c")).as(s"${c}_cum")) ++
+        cs.map(c => col(s"${c}_tot")): _*)
   }
 
   private def rank2Cnt(df: DataFrame, c: String,
@@ -268,16 +289,17 @@ object Stats {
         .select(cents.as("v"),
           when(col("o_orderstatus") === KsStatusA, 1L).otherwise(0L).as("a"),
           when(col("o_orderstatus") === KsStatusB, 1L).otherwise(0L).as("b"))
-      // ECDFs for both populations at once via the shared [[bucketedCumsum]]
+      // ECDFs for both populations at once via the shared [[bucketedCumsum]];
+      // the population totals are the helper's `_tot` columns (computed on
+      // the O(#buckets) offsets frame and carried through its broadcast
+      // join), so the second pruned totals scan of earlier rounds is gone.
+      // The argmax stays ONE pass via lexicographic struct max.
       val cum = bucketedCumsum(
         o.groupBy("v").agg(sum(col("a")).as("a"), sum(col("b")).as("b")),
         "v", KsBucketWidth, Seq("a", "b"))
-        .select(col("v"), col("a_cum").as("ca"), col("b_cum").as("cb"))
-      // totals via a second pruned scan (cheaper than re-deriving g), the
-      // argmax in ONE pass via lexicographic struct max — no re-evaluation
-      // of the cumulative frame, no join-back
-      val t = o.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
-      cum.crossJoin(t)
+        .select(col("v"), col("a_cum").as("ca"), col("b_cum").as("cb"),
+          col("a_tot").as("n_a"), col("b_tot").as("n_b"))
+      cum
         .select(col("n_a"), col("n_b"),
           abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("dn"),
           col("v"))
@@ -1053,25 +1075,22 @@ object Stats {
       val g = o.groupBy(col("p"), col("v")).agg(count(lit(1)).as("cnt"))
       // group-aware two-level prefix sum (see weighted_median_price)
       val cum = bucketedCumsumBy(g, "p", "v", 1000000L, Seq("cnt"))
-        .select(col("p"), col("v"), col("cnt"), col("cnt_cum").as("cw"))
-      // per-group totals as a window ON the cum output, not a second
-      // branch over `g`: max(cw) per priority IS sum(cnt) (the running
-      // count's last value), and lo/hi are plain min/max — the separate
-      // `tot` branch re-derived the grouped fact aggregate a second time
-      // (round-15: the prefix-sum rework removed the lineage break that
-      // used to hide this). The O(distinct cells) window re-shuffles on
-      // p only — no fact pass, no join-back.
-      val wp = Window.partitionBy(col("p"))
+        .select(col("p"), col("v"), col("cnt_cum").as("cw"), col("cnt_tot"))
+      // per-group n is the helper's cnt_tot (computed on the O(groups x
+      // buckets) offsets frame, carried through its broadcast join — no
+      // second fact branch, no group-capped window); lo/hi are rank
+      // selections too: the smallest v whose running count reaches 1 is
+      // the minimum, and the one reaching n is the maximum (cw is
+      // strictly increasing across a group's distinct values).
       def pick(rank: Column): Column =
         min(when(col("cw") >= rank, col("v")))
-      val q = cum
-        .withColumn("n", max(col("cw")).over(wp))
-        .withColumn("lo", min(col("v")).over(wp))
-        .withColumn("hi", max(col("v")).over(wp))
-        .groupBy(col("p"), col("n"), col("lo"), col("hi"))
-        .agg(pick(expr("(n + 3) div 4")).as("q1"), // ceil(n/4)
+      val q = cum.withColumn("n", col("cnt_tot"))
+        .groupBy(col("p"), col("n"))
+        .agg(pick(lit(1L)).as("lo"),
+          pick(expr("(n + 3) div 4")).as("q1"), // ceil(n/4)
           pick(expr("(n + 1) div 2")).as("med"), // lower median
-          pick(expr("(n * 3 + 3) div 4")).as("q3")) // ceil(3n/4)
+          pick(expr("(n * 3 + 3) div 4")).as("q3"), // ceil(3n/4)
+          pick(col("n")).as("hi"))
       // classic 1.5·IQR fences kept integer-exact by doubling both sides:
       // v < q1 - 1.5(q3-q1)  ⇔  2v < 5·q1 - 3·q3
       val fenced = o.join(broadcast(q), "p")
@@ -1149,16 +1168,14 @@ object Stats {
       // group-aware two-level prefix sum: a window partitioned by the
       // 3-value returnflag alone would sort each flag's whole distinct-
       // price table in ONE task at any scale
+      // per-group totals are the helper's `_tot` columns — computed on
+      // the O(groups x buckets) offsets frame and carried through its
+      // broadcast join; no second fact branch, no group-capped window
       val cum = bucketedCumsumBy(g, "p", "v", 1000000L, Seq("cnt", "wt"))
         .select(col("p"), col("v"),
-          col("cnt_cum").as("cc"), col("wt_cum").as("cw"))
-      // totals as a window ON cum (max of a running sum = its last value
-      // = the group total; wt ≥ 1 so cw is monotone), not a second
-      // branch over `g` — see boxplot_price_by_priority
-      val wp = Window.partitionBy(col("p"))
+          col("cnt_cum").as("cc"), col("wt_cum").as("cw"),
+          col("cnt_tot").as("n"), col("wt_tot").as("tw"))
       cum
-        .withColumn("n", max(col("cc")).over(wp))
-        .withColumn("tw", max(col("cw")).over(wp))
         .groupBy(col("p"), col("n"), col("tw"))
         .agg(min(when(col("cc") * 2 >= col("n"), col("v"))).as("median_cents"),
           min(when(col("cw") * 2 >= col("tw"), col("v"))).as("wmedian_cents"))
@@ -1179,11 +1196,10 @@ object Stats {
       val g = o.groupBy(col("p"), col("v")).agg(count(lit(1)).as("cnt"))
       // same group-aware two-level discipline as weighted_median_price
       val cum = bucketedCumsumBy(g, "p", "v", 1000000L, Seq("cnt"))
-        .select(col("p"), col("v"), col("cnt_cum").as("cw"))
-      // per-group total as a window ON cum — see boxplot_price_by_priority
-      val wp = Window.partitionBy(col("p"))
+        .select(col("p"), col("v"), col("cnt_cum").as("cw"),
+          col("cnt_tot").as("n"))
       def pick(rank: Column): Column = min(when(col("cw") >= rank, col("v")))
-      val q = cum.withColumn("n", max(col("cw")).over(wp))
+      val q = cum
         .groupBy(col("p"), col("n"))
         .agg(pick(expr("(n * 5 + 99) div 100")).as("p05"),
           pick(expr("(n * 95 + 99) div 100")).as("p95"))
@@ -1250,12 +1266,15 @@ object Stats {
         .agg(count(lit(1)).as("n_parts"),
           (col("rev") * count(lit(1))).as("rev_sum"))
         .withColumn("neg", -col("rev"))
+      // the grand total is the helper's rev_sum_tot (computed on the
+      // O(#buckets) offsets frame, carried through its broadcast join) —
+      // the separate tot branch re-derived the cells aggregate
       val cum = bucketedCumsum(cells, "neg", RevCellBucketWidth,
         Seq("rev_sum"))
-      val tot = cells.agg(sum(col("rev_sum")).as("t"))
+        .withColumn("t", col("rev_sum_tot"))
       val c38 = col("rev_sum_cum").cast("decimal(38,0)")
       val t38 = col("t").cast("decimal(38,0)")
-      cum.crossJoin(broadcast(tot))
+      cum
         .select(col("n_parts"), col("rev_sum"),
           when(c38 * 5 <= t38 * 4, "A")
             .when(c38 * 20 <= t38 * 19, "B").otherwise("C").as("abc_class"),
