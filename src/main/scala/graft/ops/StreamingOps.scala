@@ -153,16 +153,20 @@ object StreamingOps {
     val conf = s.sessionState.conf
     val advisory = conf.getConf(
       org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
-    // the staged input is parquet — compressed and encoded on disk — while
-    // the advisory size is calibrated to UNCOMPRESSED in-flight bytes, so
-    // dividing raw disk bytes by it understates the width ~3-10x
-    // (round-14 ADVICE). Scale by a conservative encoded→in-flight
-    // expansion factor before dividing; the clamp to the configured width
-    // is unchanged, so at scale (bytes/advisory >> conf width either way)
-    // this still never caps scale-out.
-    val expansion = 4L
+    // Raw compressed on-disk bytes are divided by the (uncompressed-
+    // calibrated) advisory size DELIBERATELY, i.e. the width is biased
+    // narrow. The round-14 ADVICE suggested scaling by an encoded→
+    // in-flight expansion factor (~4x); implemented and MEASURED in
+    // round 15: the wider state width regressed stream_etl_upsert_exec
+    // ~2.3x raw in two independent windows at both SFs (sf0.1 in-suite
+    // 2.09→4.92 s, sf1 subset 2.23→5.13 s) — per-partition state-store
+    // open/commit fixed cost dominates in-flight bytes at every local
+    // scale, which is the exact pathology the width rule exists to
+    // remove. Reverted; the clamp to the configured width still means at
+    // 100 TB (bytes/advisory >> conf width either way) the factor is
+    // irrelevant and scale-out is never capped.
     math.max(1L, math.min(conf.numShufflePartitions.toLong,
-      bytes * expansion / math.max(1L, advisory) + 1)).toInt
+      bytes / math.max(1L, advisory) + 1)).toInt
   }
 
   /** Cloned session pinned to `width` shuffle partitions for ONE streaming
